@@ -1,0 +1,74 @@
+"""Pipeline configuration — the Spark-native analogue of the reference's
+TransducerBuilder (universal-automata/liblevenshtein: builder with
+algorithm / defaultMaxDistance / includeDistance / dictionary attributes,
+README.md:13-21). A `LinkConfig` selects the distance kernel variant, the
+blocking-key scheme and the scale knobs; it is a plain dataclass so jobs can
+ship it with spark-submit --py-files."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+ALGORITHMS = ("standard", "transposition", "merge_and_split")
+
+# Record separator used to join per-turn texts into one fingerprint string.
+# The turns array stays authoritative (SURVEY.md §7.3 item 4); fixtures
+# guarantee text never contains this control char.
+FINGERPRINT_SEP = "\x1e"
+
+
+@dataclass(frozen=True)
+class LinkConfig:
+    """Configuration for the blocking + scoring + clustering pipeline."""
+
+    algorithm: str = "standard"
+    max_distance: int = 2
+    include_distance: bool = True  # reference's includeDistance builder flag
+
+    # --- blocking ---------------------------------------------------------
+    # 'segments'  : PassJoin-style even segments + shifted-substring probes
+    #               (complete for all variants; the default for long
+    #               fingerprints / transcripts).
+    # 'deletions' : FastSS deletion neighborhoods (complete for standard and
+    #               transposition at depth n; merge_and_split needs depth 2n
+    #               — SURVEY.md §4.3). Best for short terms (word dicts).
+    blocking_scheme: str = "segments"
+    # Number of segments; None -> derived from variant:
+    #   standard: n+1, transposition / merge_and_split: 2n+1
+    # (a transposition/merge/split can damage two adjacent segments with one
+    # unit of cost, so pigeonhole needs 2n+1 intact-candidate segments).
+    n_segments: int | None = None
+    # Deletion-neighborhood depth; None -> n (standard/transposition), 2n (m&s).
+    deletion_depth: int | None = None
+    # Cap on records sharing one raw block key before salting/demotion kicks in.
+    hot_key_threshold: int = 5000
+
+    # --- scale knobs ------------------------------------------------------
+    shuffle_partitions: int | None = None  # None -> leave session value
+    arrow_batch_size: int = 10_000
+    cc_max_iterations: int = 50
+    checkpoint_buckets: int = 64  # resume-ledger granularity (P9)
+
+    fingerprint_sep: str = FINGERPRINT_SEP
+
+    def __post_init__(self) -> None:
+        if self.algorithm not in ALGORITHMS:
+            raise ValueError(f"algorithm must be one of {ALGORITHMS}")
+        if self.max_distance < 0:
+            raise ValueError("max_distance must be >= 0")
+        if self.blocking_scheme not in ("segments", "deletions"):
+            raise ValueError("blocking_scheme must be 'segments' or 'deletions'")
+
+    @property
+    def effective_segments(self) -> int:
+        if self.n_segments is not None:
+            return self.n_segments
+        n = self.max_distance
+        return n + 1 if self.algorithm == "standard" else 2 * n + 1
+
+    @property
+    def effective_deletion_depth(self) -> int:
+        if self.deletion_depth is not None:
+            return self.deletion_depth
+        n = self.max_distance
+        return 2 * n if self.algorithm == "merge_and_split" else n

@@ -1,0 +1,128 @@
+"""P3/P4 — blocking-key explosion and the candidate-pair self equi-join
+(SURVEY.md §2.4), the Spark-native stand-in for the reference's lazy
+DAWG ∩ automaton intersection queue (SURVEY.md §2.3 B4).
+
+Scale design:
+* the join shuffles only (id, block_key) — texts are re-joined by id at
+  scoring time, halving shuffle width (SURVEY.md §4.2);
+* canonical ordering + dropDuplicates guarantees each unordered pair is
+  scored exactly once even when several key schemes/keys agree;
+* hot keys (empty/boilerplate segments) are handled by an explicit salted
+  cartesian decomposition — each hot key's build rows are hashed into g_b
+  groups and probe rows into g_p groups, and every (i, j) group pair becomes
+  an independent join task, bounding per-task fan-out at ~threshold^2 while
+  preserving completeness. AQE skew-join is the runtime backstop on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LinkConfig
+from ..functions.blocking import (
+    deletion_neighborhood,
+    exploded_keys,
+    probe_keys,
+    segment_keys,
+)
+
+__all__ = ["block_keys", "candidate_pairs", "salted_cross_pairs"]
+
+
+def block_keys(entities: DataFrame, conf: LinkConfig, id_col: str = "conv_id",
+               text_col: str = "fingerprint") -> tuple[DataFrame, DataFrame]:
+    """Return (build_keys, probe_keys) DataFrames of (id, block_key).
+
+    For the deletion scheme both sides are the same neighborhood (FastSS is
+    symmetric); for the segment scheme the build side is the k exact
+    segments and the probe side is the shifted-substring keys."""
+    n = conf.max_distance
+    if conf.blocking_scheme == "deletions":
+        keys = deletion_neighborhood(text_col, conf.effective_deletion_depth)
+        built = exploded_keys(entities, id_col, text_col, keys)
+        return built, built
+    k = conf.effective_segments
+    built = exploded_keys(entities, id_col, text_col, segment_keys(text_col, k))
+    probes = exploded_keys(entities, id_col, text_col, probe_keys(text_col, k, n))
+    return built, probes
+
+
+def _key_counts(df: DataFrame, name: str) -> DataFrame:
+    return df.groupBy("block_key").agg(F.count("*").alias(name))
+
+
+def candidate_pairs(
+    build: DataFrame,
+    probe: DataFrame,
+    conf: LinkConfig,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Hash equi-join build-side keys against probe-side keys, canonicalize
+    the pair ordering, and dedup: (id_a < id_b) distinct pairs. Keys whose
+    per-side cardinality exceeds the hot threshold go through the salted
+    decomposition path."""
+    t = conf.hot_key_threshold
+    hot_keys = (
+        _key_counts(build, "c_build")
+        .join(_key_counts(probe, "c_probe"), "block_key")
+        .filter((F.col("c_build") > t) | (F.col("c_probe") > t))
+    )
+
+    cold_build = build.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
+    cold_probe = probe.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
+    cold_pairs = (
+        cold_build.select(F.col(id_col).alias("_ida"), "block_key")
+        .join(cold_probe.select(F.col(id_col).alias("_idb"), "block_key"), "block_key")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+    )
+
+    hot_build = build.join(F.broadcast(hot_keys), "block_key")
+    hot_probe = probe.join(F.broadcast(hot_keys), "block_key")
+    hot_pairs = salted_cross_pairs(hot_build, hot_probe, id_col, t)
+
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+
+
+def salted_cross_pairs(
+    hot_build: DataFrame, hot_probe: DataFrame, id_col: str, threshold: int
+) -> DataFrame:
+    """Distinct unordered id pairs for hot keys via salted grid join.
+
+    Build rows of a key with count c_build are hashed into
+    g_b = ceil(c_build / threshold) groups (likewise probe -> g_p); the join
+    runs on (key, i, j) over the full g_b x g_p task grid. Each build row is
+    replicated g_p times and each probe row g_b times, so every cross pair
+    appears in exactly one task and no task exceeds ~threshold^2 output."""
+    def grouped(df: DataFrame, cnt_col: str, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            "block_key",
+            F.greatest(F.lit(1), F.ceil(F.col("c_build") / threshold)).cast("int").alias("g_b"),
+            F.greatest(F.lit(1), F.ceil(F.col("c_probe") / threshold)).cast("int").alias("g_p"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.greatest(F.lit(1), F.ceil(F.col(cnt_col) / threshold)).cast("int")).cast("int").alias("gid"),
+        )
+
+    left = grouped(hot_build, "c_build", "_ida").select(
+        "_ida", "block_key",
+        F.col("gid").alias("ti"),
+        F.explode(F.sequence(F.lit(0), F.col("g_p") - 1)).alias("tj"),
+    )
+    right = grouped(hot_probe, "c_probe", "_idb").select(
+        "_idb", "block_key",
+        F.explode(F.sequence(F.lit(0), F.col("g_b") - 1)).alias("ti"),
+        F.col("gid").alias("tj"),
+    )
+    return (
+        left.join(right, ["block_key", "ti", "tj"])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

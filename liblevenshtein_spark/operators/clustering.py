@@ -1,0 +1,107 @@
+"""P7 — transitive clustering of the match graph via iterative
+large-star / small-star connected components (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — the entity-cluster stage beyond the
+reference's per-query candidate sets (SURVEY.md §1.2, BASELINE.json
+north_star).
+
+DataFrame-only implementation: each round is two (explode-direction,
+groupBy-min, join) passes; lineage is truncated every round with an eager
+localCheckpoint, convergence is an edge-set fixpoint check, and iterations
+are capped by conf.cc_max_iterations (SURVEY.md §7.3 item 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["large_star", "small_star", "connected_components", "assign_clusters"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to the
+    minimum of u's neighborhood (including u)."""
+    bidir = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bidir.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+        "src", F.least("_mn", "src").alias("m")
+    )
+    return _canon(
+        bidir.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """Direct each edge from the larger to the smaller endpoint; for every
+    node u connect all smaller-or-equal neighbors (and u) to the minimum."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = directed.join(mins, "src")
+    return _canon(
+        joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(joined.select("src", F.col("m").alias("dst")))
+    )
+
+
+def _fingerprint(edges: DataFrame):
+    row = edges.select(
+        F.count("*").alias("c"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["c"], row["h"]
+
+
+def connected_components(matches: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """matches(id_a, id_b) -> stable edge set (node -> component root).
+
+    Alternates large-star / small-star to fixpoint; every iteration is
+    checkpointed eagerly so the logical plan stays O(1) deep."""
+    edges = _canon(
+        matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    sig = _fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _fingerprint(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return edges
+
+
+def assign_clusters(entities: DataFrame, matches: DataFrame,
+                    id_col: str = "conv_id",
+                    max_iterations: int = 50) -> DataFrame:
+    """(id) x matches -> (id, cluster_id) where cluster_id is the minimum
+    member id of the connected component (singletons cluster to themselves)."""
+    stars = connected_components(matches, max_iterations)
+    # After convergence the canonical edge set is a star forest stored as
+    # (root=min, child=max); map each child to its root, min-reduced
+    # defensively.
+    roots = stars.groupBy("dst").agg(F.min("src").alias("cluster_id")).select(
+        F.col("dst").alias(id_col), "cluster_id"
+    )
+    return (
+        entities.select(id_col)
+        .join(roots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""SparkSession construction with the scale-oriented defaults this engine
+assumes: AQE (runtime re-planning + skew-join splitting), Arrow-batched
+Python UDF transport, and sane shuffle-partition counts for local runs.
+
+On a real cluster these land in spark-defaults / the submit command; the
+helper exists so tests, bench.py and __spark_entry__.py share one config
+surface."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship liblevenshtein_spark to executors (the local-mode equivalent of
+    `spark-submit --py-files`, BASELINE.json north_rule). Without this,
+    Python workers spawned outside the repo cwd cannot unpickle the pandas
+    UDF kernels (ModuleNotFoundError on the executor side)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "liblevenshtein_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "liblevenshtein_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def build_session(
+    app_name: str = "liblevenshtein-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: coalesce tiny shuffle partitions, split skewed ones — the
+        # runtime half of the skew story (salting is the static half).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transport for pandas UDFs (the only JVM<->Python crossings).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark

@@ -1,0 +1,76 @@
+"""Table IO — the engine's source/sink layer.
+
+Production target is Iceberg (BASELINE.json input_hint); this sandbox has no
+Iceberg jar or network, so the format is abstracted behind read_table /
+write_table with an identical-schema partitioned-parquet fallback
+(SURVEY.md §7.2). Everything above this module is format-agnostic.
+
+The compiled-dictionary role of the reference's DAWG serialization
+(liblevenshtein's ProtobufSerializer / BytecodeSerializer — persist the
+built automaton, reload without re-sorting) is played here by persisting the
+blocking-keyed entity table sorted within partitions: parquet dictionary +
+RLE encoding supplies the prefix-compression, partition + min/max metadata
+supplies the pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an Iceberg-shaped table (parquet in-sandbox)."""
+    return spark.read.parquet(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned, sorted-within-partition parquet write (Iceberg-shaped).
+
+    Sorting within partitions maximizes parquet RLE/dictionary compression on
+    key columns — the DAWG-prefix-sharing analogue (SURVEY.md §4.1)."""
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_dictionary(df: DataFrame, path: str, key_col: str = "block_key") -> None:
+    """Persist the 'compiled dictionary' (entity table with blocking keys) —
+    the Spark-native A1+A5 of SURVEY.md §2.2."""
+    write_table(df, path, sort_within_by=[key_col])
+
+
+def read_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    return read_table(spark, path)

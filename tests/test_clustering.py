@@ -1,0 +1,75 @@
+"""Connected-components parity (SURVEY.md §5.2 row 6): large-star/small-star
+cluster assignments must equal union-find over the same match edges."""
+
+from __future__ import annotations
+
+import random
+
+from liblevenshtein_spark.operators.clustering import assign_clusters, connected_components
+
+
+def union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min member id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _check(spark, nodes, edges):
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+    edges_df = spark.createDataFrame(edges or [("__none__", "__none__")], ["id_a", "id_b"])
+    if not edges:
+        edges_df = edges_df.filter("id_a != id_a")  # empty
+    got = {r.conv_id: r.cluster_id for r in assign_clusters(nodes_df, edges_df).collect()}
+    want = union_find(nodes, edges)
+    assert got == want
+
+
+def test_simple_components(spark):
+    nodes = [f"n{i}" for i in range(8)]
+    edges = [("n0", "n1"), ("n1", "n2"), ("n4", "n5")]
+    _check(spark, nodes, edges)
+
+
+def test_chain_and_singletons(spark):
+    """Long chain exercises multi-iteration convergence."""
+    nodes = [f"c{i:03d}" for i in range(60)]
+    edges = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(0, 40)]
+    _check(spark, nodes, edges)
+
+
+def test_random_graph(spark):
+    rng = random.Random(9)
+    nodes = [f"r{i:03d}" for i in range(120)]
+    edges = [
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(90)
+    ]
+    _check(spark, nodes, list(set(edges)))
+
+
+def test_no_edges(spark):
+    nodes = [f"s{i}" for i in range(5)]
+    _check(spark, nodes, [])
+
+
+def test_component_roots_are_minima(spark):
+    nodes = [f"m{i}" for i in range(10)]
+    edges = [("m9", "m3"), ("m3", "m7"), ("m1", "m2")]
+    edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    stars = connected_components(edges_df)
+    for r in stars.collect():  # canonical star edges are (root=min, child)
+        assert r.src in ("m1", "m3")

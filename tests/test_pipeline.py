@@ -1,0 +1,86 @@
+"""End-to-end pipeline test (SURVEY.md M1–M3): transcripts -> clusters must
+match the brute-force oracle (all-pairs kernel distances + union-find) and
+hit the F1 >= 0.99 gate on the planted labeled pairs (BASELINE.json)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from liblevenshtein_spark.config import FINGERPRINT_SEP, LinkConfig
+from liblevenshtein_spark.kernels.banded import batch_banded_distance
+from liblevenshtein_spark.plans.pipeline import run_linkage
+from liblevenshtein_spark.sources.tables import TRANSCRIPTS_SCHEMA
+from liblevenshtein_spark.testdata_gen import gen_transcript_rows
+
+from test_clustering import union_find
+
+
+def _fingerprints(rows):
+    convs = {}
+    for conv_id, turn_idx, _r, text, _t, _ts in rows:
+        convs.setdefault(conv_id, []).append((turn_idx, text))
+    return {cid: FINGERPRINT_SEP.join(t for _, t in sorted(ts)) for cid, ts in convs.items()}
+
+
+@pytest.mark.parametrize("algorithm", ["standard", "transposition", "merge_and_split"])
+def test_pipeline_matches_brute_force(spark, algorithm):
+    rows, planted = gen_transcript_rows(
+        n_base=35, dup_fraction=0.6, max_edits=2, algorithm=algorithm
+    )
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    conf = LinkConfig(algorithm=algorithm, max_distance=2, hot_key_threshold=200)
+    res = run_linkage(df, conf)
+
+    fps = _fingerprints(rows)
+    ids = sorted(fps)
+    combos = list(itertools.combinations(ids, 2))
+    d = batch_banded_distance(
+        [fps[a] for a, _ in combos], [fps[b] for _, b in combos], 2, algorithm
+    )
+    true_matches = {
+        (a, b): int(dist) for (a, b), dist in zip(combos, d) if dist <= 2
+    }
+
+    got_matches = {
+        (r.id_a, r.id_b): r.distance for r in res.matches.collect()
+    }
+    assert got_matches == true_matches  # exact accepted-set + distance parity
+
+    want_clusters = union_find(ids, list(true_matches))
+    got_clusters = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    assert got_clusters == want_clusters
+
+    # Planted dups must actually land in their base's cluster (sanity that
+    # the fixture exercised the match path).
+    assert planted, "fixture must plant duplicates"
+    linked = sum(
+        1 for dup, (base, _) in planted.items()
+        if got_clusters[dup] == got_clusters[base]
+    )
+    assert linked / len(planted) == pytest.approx(1.0)
+
+
+def test_pairwise_f1_gate(spark):
+    """Pairwise F1 >= 0.99 vs the oracle match set (BASELINE.json metric).
+    With complete blocking + exact kernels this is exactly 1.0."""
+    rows, _ = gen_transcript_rows(n_base=60, dup_fraction=0.5, max_edits=2)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    conf = LinkConfig(algorithm="standard", max_distance=2, hot_key_threshold=500)
+    res = run_linkage(df, conf)
+
+    fps = _fingerprints(rows)
+    ids = sorted(fps)
+    combos = list(itertools.combinations(ids, 2))
+    d = batch_banded_distance(
+        [fps[a] for a, _ in combos], [fps[b] for _, b in combos], 2, "standard"
+    )
+    truth = {pair for pair, dist in zip(combos, d) if dist <= 2}
+    got = {(r.id_a, r.id_b) for r in res.matches.collect()}
+
+    tp = len(truth & got)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(truth) if truth else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (precision, recall)

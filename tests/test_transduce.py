@@ -1,0 +1,50 @@
+"""Transduce parity (SURVEY.md §5.2 row 4): the Spark pipeline's
+(query, candidate, distance) set must equal brute-force transduce over the
+fixture dictionary — the reference's own transducer-vs-oracle equivalence
+test pattern, per algorithm."""
+
+from __future__ import annotations
+
+import pytest
+
+from liblevenshtein_spark.config import LinkConfig
+from liblevenshtein_spark.kernels.oracles import transduce_brute_force
+from liblevenshtein_spark.operators.transduce import compile_dictionary, transduce
+from liblevenshtein_spark.testdata_gen import gen_dictionary, gen_queries
+
+ALGOS = ["standard", "transposition", "merge_and_split"]
+
+
+@pytest.mark.parametrize("algorithm", ALGOS)
+@pytest.mark.parametrize("n", [0, 1, 2])
+def test_transduce_parity(spark, algorithm, n):
+    dictionary = gen_dictionary(250)
+    queries = gen_queries(dictionary, n_queries=45, algorithm=algorithm)
+    conf = LinkConfig(algorithm=algorithm, max_distance=n, blocking_scheme="deletions")
+
+    dict_df = spark.createDataFrame([(t,) for t in dictionary], ["term"])
+    q_df = spark.createDataFrame(queries, ["query_id", "term"])
+    compiled = compile_dictionary(dict_df, conf)
+    got = {
+        (r.query_id, r.candidate, r.distance)
+        for r in transduce(q_df, compiled, conf).collect()
+    }
+    want = {
+        (qid, cand, d)
+        for qid, term in queries
+        for cand, d in transduce_brute_force(term, dictionary, n, algorithm)
+    }
+    assert got == want
+
+
+def test_include_distance_flag(spark):
+    """The reference's includeDistance builder flag: candidates-only mode."""
+    dictionary = gen_dictionary(100)
+    conf = LinkConfig(algorithm="standard", max_distance=1,
+                      blocking_scheme="deletions", include_distance=False)
+    dict_df = spark.createDataFrame([(t,) for t in dictionary], ["term"])
+    q_df = spark.createDataFrame([("q1", dictionary[0])], ["query_id", "term"])
+    out = transduce(q_df, compile_dictionary(dict_df, conf), conf)
+    assert "distance" not in out.columns
+    rows = out.collect()
+    assert ("q1", dictionary[0]) in {(r.query_id, r.candidate) for r in rows}
