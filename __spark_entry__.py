@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full record-linkage pipeline (canonicalize ->
+                 block -> score -> match -> cluster) over the transcripts
+                 corpus derived from sf0.001 documents; returns the cluster
+                 assignment DataFrame.
+queries()      — one entry per implemented operator (SURVEY.md §2.4 P1-P10 +
+                 A3 transduce variants).
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible entry;
+                 transposition / merge_and_split transduce are rows-only
+                 (DuckDB's damerau_levenshtein is the UNRESTRICTED variant;
+                 the reference's — and ours — is restricted; covered by
+                 naive-recursion oracles in pytest instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from liblevenshtein_spark import LinkConfig  # noqa: E402
+from liblevenshtein_spark import driver_queries as dq  # noqa: E402
+from liblevenshtein_spark.plans.pipeline import run_linkage  # noqa: E402
+from liblevenshtein_spark.session import ship_package  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: end-to-end linkage over the
+    derived transcripts corpus; returns (conv_id, cluster_id, n_turns,
+    fp_len) with planted near-duplicates clustered together."""
+    ship_package(spark)
+    transcripts = dq.derive_transcripts(spark, "/root/testdata/sf0.001")
+    res = run_linkage(transcripts, LinkConfig(algorithm="standard", max_distance=2))
+    return res.clusters.join(
+        res.canonical.select("conv_id", "n_turns", "fp_len"), "conv_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(dq.LINKAGE_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(dq.LINKAGE_ORACLES)

@@ -1,0 +1,361 @@
+"""Driver-contract queries (__spark_entry__.py): one entry per implemented
+operator (SURVEY.md §2.4), each with an equivalent DuckDB oracle SQL where
+SQL-expressible.
+
+Because /root/testdata has no transcripts table, a transcripts-shaped corpus
+is DERIVED deterministically from `documents` in a way both engines express
+identically (BASELINE.json input_hint shape):
+
+  corpus   : base rows 'c<doc_id>' (full text), planted near-duplicates
+             'd<doc_id>' (doc_id%3==0, last char deleted -> fingerprint
+             distance 1..2) and 'e<doc_id>' (doc_id%7==0, last two chars
+             deleted)
+  transcripts : each corpus text chunked into 100-char turns,
+             turn_idx = chunk index, role alternating user/assistant
+
+so the linkage pipeline has real matches and clusters to find, and DuckDB
+can recompute every stage (levenshtein() is the scoring oracle; a recursive
+CTE is the connected-components oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import LinkConfig
+from .functions.blocking import deletion_neighborhood
+from .operators.canonicalize import canonicalize
+from .operators.topk import topk_candidates
+from .operators.clustering import assign_clusters
+from .operators.scoring import distance_udf
+from .operators.transduce import compile_dictionary, transduce
+from .session import ship_package
+
+TURN_WIDTH = 100
+SIG_LEN = 16
+SEP = "\x1e"  # chr(30)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived corpus / transcripts (Spark side)
+# ---------------------------------------------------------------------------
+
+def derive_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("conv_id"), "text"
+    )
+    dup3 = (
+        d.filter((F.col("doc_id") % 3 == 0) & (F.length("text") > 1))
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.expr("substring(text, 1, length(text) - 1)").alias("text"),
+        )
+    )
+    dup7 = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.length("text") > 2))
+        .select(
+            F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.expr("substring(text, 1, length(text) - 2)").alias("text"),
+        )
+    )
+    return base.unionByName(dup3).unionByName(dup7)
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = derive_corpus(spark, sf_dir)
+    return (
+        corpus.withColumn(
+            "n_turns", F.ceil(F.length("text") / F.lit(float(TURN_WIDTH))).cast("int")
+        )
+        .select(
+            "conv_id", "text",
+            F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")).alias("role"),
+            F.expr(f"substring(text, turn_idx * {TURN_WIDTH} + 1, {TURN_WIDTH})").alias("text"),
+            F.lit("").alias("tool"),
+        )
+    )
+
+
+# DuckDB CTE chain shared by every transcript-based oracle. NOTE: keep in
+# exact semantic lockstep with derive_corpus/derive_transcripts above.
+DUCK_TRANSCRIPTS = f"""
+WITH corpus AS (
+  SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+  UNION ALL
+  SELECT 'd' || CAST(doc_id AS VARCHAR), substring(text, 1, length(text) - 1)
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 1
+  UNION ALL
+  SELECT 'e' || CAST(doc_id AS VARCHAR), substring(text, 1, length(text) - 2)
+  FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
+),
+transcripts AS (
+  SELECT conv_id,
+         CAST(i AS INT) AS turn_idx,
+         CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         substring(text, CAST(i AS INT) * {TURN_WIDTH} + 1, {TURN_WIDTH}) AS text,
+         '' AS tool
+  FROM (
+    SELECT conv_id, text,
+           unnest(range(0, CAST(ceil(length(text) / {TURN_WIDTH}.0) AS BIGINT))) AS i
+    FROM corpus
+  )
+),
+canonical AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         string_agg(text, chr(30) ORDER BY turn_idx) AS fingerprint
+  FROM transcripts GROUP BY conv_id
+),
+canonical2 AS (
+  SELECT conv_id, n_turns, fingerprint,
+         CAST(length(fingerprint) AS INT) AS fp_len,
+         substring(fingerprint, 1, {SIG_LEN}) AS sig
+  FROM canonical
+),
+sig_keys AS (
+  SELECT DISTINCT conv_id, sig AS block_key FROM canonical2
+  UNION
+  SELECT DISTINCT conv_id,
+         substring(sig, 1, CAST(i AS INT) - 1) || substring(sig, CAST(i AS INT) + 1) AS block_key
+  FROM (SELECT conv_id, sig, unnest(range(1, length(sig) + 1)) AS i FROM canonical2)
+),
+cand_pairs AS (
+  SELECT DISTINCT least(a.conv_id, b.conv_id) AS id_a,
+                  greatest(a.conv_id, b.conv_id) AS id_b
+  FROM sig_keys a JOIN sig_keys b ON a.block_key = b.block_key
+  WHERE a.conv_id < b.conv_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(least(levenshtein(ca.fingerprint, cb.fingerprint), 3) AS INT) AS distance
+  FROM cand_pairs p
+  JOIN canonical2 ca ON ca.conv_id = p.id_a
+  JOIN canonical2 cb ON cb.conv_id = p.id_b
+  WHERE abs(ca.fp_len - cb.fp_len) <= 2
+),
+matches AS (
+  SELECT id_a, id_b, distance FROM scored WHERE distance <= 2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side pipeline stages over the derived corpus
+# ---------------------------------------------------------------------------
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_transcripts(spark, sf_dir)
+
+
+def _canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonicalize(derive_transcripts(spark, sf_dir), SEP)
+
+
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _canonical(spark, sf_dir).select("conv_id", "n_turns", "fingerprint", "fp_len")
+
+
+def _sig_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _canonical(spark, sf_dir).withColumn(
+        "sig", F.expr(f"substring(fingerprint, 1, {SIG_LEN})")
+    )
+    return canon.select(
+        "conv_id", F.explode(deletion_neighborhood("sig", 1)).alias("block_key")
+    ).distinct()
+
+
+def q_block_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sig_keys(spark, sf_dir)
+
+
+def q_block_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = _sig_keys(spark, sf_dir)
+    return (
+        keys.groupBy("block_key")
+        .agg(F.count("*").cast("int").alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = _sig_keys(spark, sf_dir)
+    a = keys.select(F.col("conv_id").alias("_ida"), "block_key")
+    b = keys.select(F.col("conv_id").alias("_idb"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .distinct()
+    )
+
+
+def q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    pairs = q_candidate_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir)
+    fa = canon.select(F.col("conv_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
+                      F.col("fp_len").alias("len_a"))
+    fb = canon.select(F.col("conv_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
+                      F.col("fp_len").alias("len_b"))
+    dist = distance_udf(2, "standard")
+    return (
+        pairs.join(fa, "id_a").join(fb, "id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        .select("id_a", "id_b", dist(F.col("fp_a"), F.col("fp_b")).alias("distance"))
+    )
+
+
+def q_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_score_pairs(spark, sf_dir).filter(F.col("distance") <= 2)
+
+
+def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    return assign_clusters(entities, matches)
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    scored = q_score_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("candidate"), "distance"
+    )
+    return topk_candidates(scored, k=2).select("query_id", "candidate", "distance",
+                                               F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Transduce over a word dictionary derived from documents + nation
+# ---------------------------------------------------------------------------
+
+def _word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    nation_words = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(F.lower(F.col("n_name")).alias("term"))
+    )
+    return doc_words.unionByName(nation_words).distinct()
+
+
+def _word_queries(dictionary: DataFrame) -> DataFrame:
+    # deterministic near-miss queries: delete the first char of each term
+    return dictionary.filter(F.length("term") > 2).select(
+        F.concat(F.lit("q_"), F.col("term")).alias("query_id"),
+        F.expr("substring(term, 2, length(term))").alias("term"),
+    )
+
+
+DUCK_WORDS = """
+WITH dict AS (
+  SELECT DISTINCT w AS term FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+    UNION ALL
+    SELECT lower(n_name) FROM nation
+  )
+),
+queries AS (
+  SELECT 'q_' || term AS query_id, substring(term, 2) AS query_term
+  FROM dict WHERE length(term) > 2
+)
+"""
+
+
+def q_transduce_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=1, blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+
+
+def q_transduce_transposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    conf = LinkConfig(algorithm="transposition", max_distance=2, blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+
+
+def q_transduce_merge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    conf = LinkConfig(algorithm="merge_and_split", max_distance=1, blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect) — keep names/aliases in lockstep with the
+# Spark callables above; the driver sorts columns by name and hashes values.
+# ---------------------------------------------------------------------------
+
+LINKAGE_ORACLES: dict[str, str] = {
+    "transcripts": DUCK_TRANSCRIPTS + "SELECT conv_id, turn_idx, role, text, tool FROM transcripts",
+    "canonicalize": DUCK_TRANSCRIPTS + "SELECT conv_id, n_turns, fingerprint, fp_len FROM canonical2",
+    "block_keys": DUCK_TRANSCRIPTS + "SELECT conv_id, block_key FROM sig_keys",
+    "block_metrics": DUCK_TRANSCRIPTS + (
+        "SELECT block_key, CAST(count(*) AS INT) AS n_records FROM sig_keys "
+        "GROUP BY block_key HAVING count(*) > 1"
+    ),
+    "candidate_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
+    "score_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
+    "matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
+    "clusters": DUCK_TRANSCRIPTS + """,
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node""",
+    "topk_candidates": DUCK_TRANSCRIPTS + """
+SELECT query_id, candidate, distance, rank FROM (
+  SELECT id_a AS query_id, id_b AS candidate, distance,
+         CAST(row_number() OVER (PARTITION BY id_a ORDER BY distance ASC, id_b ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 2""",
+    "transduce_standard": DUCK_WORDS + """
+SELECT q.query_id, q.query_term, d.term AS candidate,
+       CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
+FROM queries q CROSS JOIN dict d
+WHERE levenshtein(q.query_term, d.term) <= 1""",
+}
+
+LINKAGE_QUERIES = {
+    "transcripts": q_transcripts,
+    "canonicalize": q_canonicalize,
+    "block_keys": q_block_keys,
+    "block_metrics": q_block_metrics,
+    "candidate_pairs": q_candidate_pairs,
+    "score_pairs": q_score_pairs,
+    "matches": q_matches,
+    "clusters": q_clusters,
+    "topk_candidates": q_topk,
+    "transduce_standard": q_transduce_standard,
+    # rows-only entries (DuckDB's damerau_levenshtein is UNRESTRICTED, ours
+    # is the reference's restricted variant; merge_and_split has no DuckDB
+    # analogue) — covered against naive-recursion oracles in pytest instead.
+    "transduce_transposition": q_transduce_transposition,
+    "transduce_merge_split": q_transduce_merge_split,
+}

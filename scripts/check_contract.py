@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry at a given sf dir and compare against
+oracle_sql() in DuckDB — row count, column names, and an order-insensitive
+value hash (columns sorted by name, floats rounded)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from liblevenshtein_spark.session import build_session  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    digest = 0
+    for row in rows:
+        s = "\x1f".join(norm_val(row[i]) for i in order)
+        digest ^= int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+    return digest
+
+
+def main():
+    spark = build_session(master="local[8]", shuffle_partitions=16,
+                          extra_conf={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c.lower() for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ok_cols = sorted(c.lower() for c in scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        ok_hash = hash_rows([c.lower() for c in scols], srows) == hash_rows(ocols, orows)
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status}  {name}: spark={len(srows)} duck={len(orows)} cols_ok={ok_cols} hash_ok={ok_hash} [{time.time()-t0:.1f}s]")
+        if not ok_cols:
+            print(f"      spark cols: {scols}  duck cols: {rel.columns}")
+        if ok_cols and ok_count and not ok_hash:
+            order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            sset = {tuple(norm_val(r[i]) for i in order) for r in srows}
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            oset = {tuple(norm_val(r[i]) for i in oorder) for r in orows}
+            print(f"      spark-only: {sorted(sset - oset)[:3]}")
+            print(f"      duck-only : {sorted(oset - sset)[:3]}")
+    print("FAILURES:", failures)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
