@@ -1,0 +1,224 @@
+"""Benchmark harness: headline linkage queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "e2e_linkage_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., plus throughput extras
+   (pairs_scored_per_sec — the BASELINE.md headline — cpus, row counts)}
+
+Usage: python bench.py [--cpus N] [--sf-dir PATH]
+The N-vs-4N scaling study (BASELINE.md target >= 0.8 efficiency) is
+scripts/scaling_bench.py, which runs this twice (local[8], local[32]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from liblevenshtein_spark import LinkConfig  # noqa: E402
+from liblevenshtein_spark.driver_queries import derive_transcripts  # noqa: E402
+from liblevenshtein_spark.operators.candidates import block_keys, candidate_pairs  # noqa: E402
+from liblevenshtein_spark.operators.canonicalize import canonicalize  # noqa: E402
+from liblevenshtein_spark.operators.clustering import assign_clusters  # noqa: E402
+from liblevenshtein_spark.operators.scoring import match_filter, score_pairs  # noqa: E402
+from liblevenshtein_spark.session import build_session  # noqa: E402
+from liblevenshtein_spark.sources.tables import TRANSCRIPTS_SCHEMA  # noqa: E402
+from liblevenshtein_spark.testdata_gen import gen_transcript_rows  # noqa: E402
+
+
+def build_corpus(spark, sf_dir: str):
+    """Benchmark corpus: transcripts derived from sf documents plus a
+    deterministic synthetic batch with planted near-duplicates (seed=42)."""
+    derived = derive_transcripts(spark, sf_dir).withColumn("ts", F.lit(None).cast("timestamp"))
+    rows, _ = gen_transcript_rows(n_base=6000, dup_fraction=0.5, max_edits=2, seed=42)
+    synth = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    return derived.select(*TRANSCRIPTS_SCHEMA.fieldNames()).unionByName(synth)
+
+
+def heavy_pairs(canonical, target_pairs: int = 200_000):
+    """Deterministic high-volume scoring workload: pair records within the
+    same fp_len//3 bucket (so every pair passes the length-band prefilter
+    and reaches the banded kernel), salted by id hash to hit ~target_pairs.
+    Mix is realistic: mostly early-exit non-matches plus the true near-dups."""
+    stats = canonical.select(
+        F.count("*").alias("n"),
+        F.countDistinct(F.floor(F.col("fp_len") / 3)).alias("lb"),
+    ).collect()[0]
+    n, lb = stats["n"], max(stats["lb"], 1)
+    # within one length bucket ~n/lb rows -> pairs ~ n^2/(2*lb*salt)
+    salt = max(1, round(n * n / (2.0 * lb * target_pairs)))
+    b = canonical.select(
+        "conv_id",
+        F.concat_ws(
+            "_",
+            F.floor(F.col("fp_len") / 3),
+            F.pmod(F.xxhash64("conv_id"), F.lit(salt)),
+        ).alias("bk"),
+    )
+    a = b.select(F.col("conv_id").alias("_ida"), "bk")
+    c = b.select(F.col("conv_id").alias("_idb"), "bk")
+    return (
+        a.join(c, "bk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+
+
+def hard_pairs(canonical, variants: int = 6):
+    """Kernel-bound scoring workload: every entity paired with `variants`
+    one-char-deleted copies of its own fingerprint — every pair is a true
+    near-duplicate, so the banded DP runs its full O(len * band) rows with
+    no early exit. This is the stage that isolates Python-kernel compute for
+    the N-vs-4N scaling-efficiency evidence (BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    var = (
+        canonical.select(
+            "conv_id", "fingerprint", "fp_len",
+            F.explode(F.sequence(F.lit(0), F.lit(variants - 1))).alias("v"),
+        )
+        .withColumn(
+            "pos",
+            (F.pmod(F.xxhash64("conv_id") + F.col("v") * 37, F.greatest(F.col("fp_len"), F.lit(1))) + 1).cast("int"),
+        )
+        .select(
+            F.concat_ws("~", "conv_id", "v").alias("conv_id"),
+            F.expr("concat(substring(fingerprint, 1, pos - 1), substring(fingerprint, pos + 1, fp_len))").alias("fingerprint"),
+        )
+        .withColumn("fp_len", F.length("fingerprint"))
+    )
+    entities2 = canonical.select("conv_id", "fingerprint", "fp_len").unionByName(var)
+    pairs = var.select(
+        F.expr("substring_index(conv_id, '~', 1)").alias("id_a"),
+        F.col("conv_id").alias("id_b"),
+    )
+    return pairs, entities2
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--target-pairs", type=int, default=1_500_000)
+    ap.add_argument("--score-partitions", type=int, default=128)
+    ap.add_argument("--score-iterations", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = build_session(
+        app_name="liblevenshtein-spark-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus * 2, 16),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="segments")
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    transcripts = build_corpus(spark, args.sf_dir).localCheckpoint(eager=True)
+    n_turn_rows = transcripts.count()
+    timings["q_load"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    canonical = canonicalize(transcripts).localCheckpoint(eager=True)
+    n_entities = canonical.count()
+    timings["q_canonicalize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    build, probe = block_keys(canonical, conf)
+    pairs = candidate_pairs(build, probe, conf).localCheckpoint(eager=True)
+    n_blocked_pairs = pairs.count()
+    timings["q_block_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    scored = score_pairs(pairs, canonical, conf).localCheckpoint(eager=True)
+    n_scored = scored.count()  # checkpoint already forced the kernel
+    timings["q_score_blocked"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    matches = match_filter(scored, conf).localCheckpoint(eager=True)
+    n_matches = matches.count()
+    clusters = assign_clusters(canonical, matches.select("id_a", "id_b"))
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    timings["q_cluster_cc"] = round(time.time() - t0, 3)
+
+    # headline throughput: large deterministic pair workload through the
+    # banded kernel (blocking-independent, measures P5 at volume)
+    t0 = time.time()
+    hp = (
+        heavy_pairs(canonical, args.target_pairs)
+        .repartition(args.score_partitions)  # fixed task count: scaling runs
+        .localCheckpoint(eager=True)         # compare core counts, not plans
+    )
+    n_heavy = hp.count()
+
+    def run_heavy():
+        # agg over the distance column so Catalyst cannot prune the UDF away
+        row = (
+            score_pairs(hp, canonical, conf)
+            .agg(F.count("distance").alias("c"), F.sum("distance").alias("s"))
+            .collect()[0]
+        )
+        return row["c"]
+
+    # untimed warmup: spawns + warms the Python UDF workers (numpy/pandas
+    # imports), so the timed pass measures steady-state kernel throughput
+    n_heavy_scored = run_heavy()
+    t0 = time.time()
+    for _ in range(args.score_iterations):
+        n_heavy_scored = run_heavy()
+    t_heavy = (time.time() - t0) / args.score_iterations
+    timings["q_score_throughput"] = round(t_heavy, 3)
+
+    # kernel-bound hard workload (full-DP near-dup pairs): scaling evidence
+    hpairs, hentities = hard_pairs(canonical)
+    hpairs = hpairs.repartition(args.score_partitions).localCheckpoint(eager=True)
+    hentities = hentities.localCheckpoint(eager=True)
+    n_hard = hpairs.count()
+
+    def run_hard():
+        return (
+            score_pairs(hpairs, hentities, conf)
+            .agg(F.count("distance").alias("c"), F.sum("distance").alias("s"))
+            .collect()[0]["c"]
+        )
+
+    n_hard_scored = run_hard()  # warmup
+    t0 = time.time()
+    for _ in range(args.score_iterations):
+        n_hard_scored = run_hard()
+    t_hard = (time.time() - t0) / args.score_iterations
+    timings["q_score_hard"] = round(t_hard, 3)
+
+    total = round(sum(timings.values()), 3)
+    pairs_per_sec = round(n_heavy / t_heavy, 1) if t_heavy > 0 else 0.0
+    hard_pairs_per_sec = round(n_hard / t_hard, 1) if t_hard > 0 else 0.0
+    print(json.dumps({
+        "metric": "e2e_linkage_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+        "pairs_scored_per_sec": pairs_per_sec,
+        "hard_pairs_scored_per_sec": hard_pairs_per_sec,
+        "cpus": args.cpus,
+        "rows": {
+            "turn_rows": n_turn_rows, "entities": n_entities,
+            "blocked_pairs": n_blocked_pairs, "scored": n_scored,
+            "matches": n_matches, "clusters": n_clusters,
+            "heavy_pairs": n_heavy, "heavy_scored": n_heavy_scored,
+            "hard_pairs": n_hard, "hard_scored": n_hard_scored,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

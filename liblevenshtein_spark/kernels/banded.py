@@ -92,37 +92,44 @@ def batch_banded_distance(a_list, b_list, n: int, algorithm: str = "standard") -
     sub_res = np.full(m, sentinel, dtype=np.int32)
     # Pairs whose answer offset: k* = lb - la + n (within [0, 2n] by feasibility).
     kstar = (lb_s - la_s + n).astype(np.int64)
-    open_mask = np.ones(m, dtype=bool)
+    # live: positions into the ORIGINAL sub-batch for the currently-active
+    # pairs. Finished (i == la) and dead (row min > n: reference B6 — banded
+    # row minima are non-decreasing in i) pairs are compacted away so each
+    # DP row only touches still-active pairs: work is ~sum(effective la),
+    # not batch_size * max(la).
+    live = np.arange(m, dtype=np.int64)
 
     for i in range(1, lamax + 1):
         jv = i + karr - n  # (W,) target-column per band offset
-        row_valid = (jv[None, :] >= 0) & (jv[None, :] <= lb_s[:, None]) & (i <= la_s)[:, None]
+        lb_l = lb_s[live]
+        row_valid = (jv[None, :] >= 0) & (jv[None, :] <= lb_l[:, None])
 
-        achar = A[:, i - 1][:, None]  # (m,1)
+        achar = A[live, i - 1][:, None]  # (ml,1)
         bj = np.clip(jv - 1, 0, B.shape[1] - 1)
-        bchar = B[:, bj]  # (m,W) char of b at j-1 (garbage where j<1; masked below)
+        bchar = B[live[:, None], bj[None, :]]  # (ml,W) b char at j-1 (masked below)
         has_b = jv[None, :] >= 1
 
         diag = np.where(has_b, prev + (achar != bchar), INF)  # substitute / match
-        dele = np.full((m, W), INF, dtype=np.int32)
+        ml = live.shape[0]
+        dele = np.full((ml, W), INF, dtype=np.int32)
         dele[:, : W - 1] = prev[:, 1:] + 1  # delete from a: d[i-1][j]
         cur = np.minimum(diag, dele).astype(np.int32)
 
         if is_tr and i >= 2:
             # transpose: d[i-2][j-2] + 1 when a[i-1]==b[j-2] and a[i-2]==b[j-1]
             bj2 = np.clip(jv - 2, 0, B.shape[1] - 1)
-            bchar2 = B[:, bj2]
-            cond = (jv[None, :] >= 2) & (achar == bchar2) & (A[:, i - 2][:, None] == bchar)
+            bchar2 = B[live[:, None], bj2[None, :]]
+            cond = (jv[None, :] >= 2) & (achar == bchar2) & (A[live, i - 2][:, None] == bchar)
             tr = np.where(cond, prev2 + 1, INF)
             cur = np.minimum(cur, tr)
         if is_ms:
             if i >= 2:
                 # merge: a[i-2:i] -> b[j-1]; d[i-2][j-1] + 1 at offset k+1 of row i-2
-                mg = np.full((m, W), INF, dtype=np.int32)
+                mg = np.full((ml, W), INF, dtype=np.int32)
                 mg[:, : W - 1] = prev2[:, 1:] + 1
                 cur = np.minimum(cur, np.where(has_b, mg, INF))
             # split: a[i-1] -> b[j-2:j]; d[i-1][j-2] + 1 at offset k-1 of row i-1
-            sp = np.full((m, W), INF, dtype=np.int32)
+            sp = np.full((ml, W), INF, dtype=np.int32)
             sp[:, 1:] = prev[:, : W - 1] + 1
             cur = np.minimum(cur, np.where(jv[None, :] >= 2, sp, INF))
 
@@ -132,18 +139,18 @@ def batch_banded_distance(a_list, b_list, n: int, algorithm: str = "standard") -
             cur[:, k] = np.minimum(cur[:, k], cur[:, k - 1] + 1)
         cur = np.where(row_valid, np.minimum(cur, INF), INF).astype(np.int32)
 
-        finish = open_mask & (la_s == i)
+        finish = la_s[live] == i
         if finish.any():
-            sub_res[finish] = cur[finish, kstar[finish]]
-            open_mask &= ~finish
+            fidx = live[finish]
+            sub_res[fidx] = cur[finish, kstar[fidx]]
 
-        if not open_mask.any():
+        keep = ~finish & (cur.min(axis=1) <= n)
+        if not keep.any():
             break
-        # Early termination (reference B6): banded row minima are
-        # non-decreasing in i, so a row of all-INF can never recover.
-        alive = open_mask & (cur.min(axis=1) <= n)
-        if not alive.any():
-            break
+        if not keep.all():
+            live = live[keep]
+            cur = cur[keep]
+            prev = prev[keep]
         prev2, prev = prev, cur
 
     res[idx] = np.minimum(sub_res, sentinel)
