@@ -42,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(dq.LINKAGE_QUERIES)
+    return {**dq.LINKAGE_QUERIES, **dq.DATA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(dq.LINKAGE_ORACLES)
+    return {**dq.LINKAGE_ORACLES, **dq.DATA_ORACLES}

@@ -359,3 +359,249 @@ LINKAGE_QUERIES = {
     "transduce_transposition": q_transduce_transposition,
     "transduce_merge_split": q_transduce_merge_split,
 }
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries over documents / embeddings
+# ---------------------------------------------------------------------------
+
+from .functions.text import lang_id, lang_scores, normalized_fingerprint, quality_columns  # noqa: E402
+from .operators import ann, dedup, multimodal  # noqa: E402
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", *quality_columns("text"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", *lang_scores("text")).withColumn(
+        "lang_pred", lang_id()
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalized_fingerprint("text").alias("fp")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_perms=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, bands=4, max_hamming=3)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return ann.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    return ann.lsh_ann_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.decode_media(media).select(
+        "doc_id", "kind", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+DUCK_TOKENS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks, text
+  FROM documents
+)
+"""
+
+DUCK_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM toks WHERE len(toks) >= 3)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+"""
+
+DATA_ORACLES: dict[str, str] = {
+    "text_stats": """
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+  round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(length(text), 1), 4) AS alpha_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 4) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / greatest(length(text), 1), 4) AS space_ratio,
+  round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
+        THEN (length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))
+             / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+        ELSE 0.0 END, 4) AS mean_token_len,
+  round(
+    (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END)
+    + 0.25 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(length(text), 1))
+    + 0.25 * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1))
+    + 0.25 * least(
+        (CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
+         THEN (length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))
+              / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+         ELSE 0.0 END) / 8.0, 1.0), 4) AS quality_score
+FROM documents""",
+    "lang_id": DUCK_TOKENS + """
+SELECT doc_id,
+  CAST(len(list_intersect(list_distinct(toks), ['the','and','of','to','a','in','is','it','you','that'])) AS INT) AS score_en,
+  CAST(len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','nicht','du','ich','mit','ein'])) AS INT) AS score_de,
+  CAST(len(list_intersect(list_distinct(toks), ['le','la','et','les','des','un','une','est','je','pas'])) AS INT) AS score_fr,
+  CAST(len(list_intersect(list_distinct(toks), ['el','los','y','de','que','en','se','para','con','por'])) AS INT) AS score_es,
+  CASE
+    WHEN greatest(
+      len(list_intersect(list_distinct(toks), ['the','and','of','to','a','in','is','it','you','that'])),
+      len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','nicht','du','ich','mit','ein'])),
+      len(list_intersect(list_distinct(toks), ['le','la','et','les','des','un','une','est','je','pas'])),
+      len(list_intersect(list_distinct(toks), ['el','los','y','de','que','en','se','para','con','por']))) = 0 THEN 'und'
+    WHEN len(list_intersect(list_distinct(toks), ['the','and','of','to','a','in','is','it','you','that'])) = greatest(
+      len(list_intersect(list_distinct(toks), ['the','and','of','to','a','in','is','it','you','that'])),
+      len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','nicht','du','ich','mit','ein'])),
+      len(list_intersect(list_distinct(toks), ['le','la','et','les','des','un','une','est','je','pas'])),
+      len(list_intersect(list_distinct(toks), ['el','los','y','de','que','en','se','para','con','por']))) THEN 'en'
+    WHEN len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','nicht','du','ich','mit','ein'])) = greatest(
+      len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','nicht','du','ich','mit','ein'])),
+      len(list_intersect(list_distinct(toks), ['le','la','et','les','des','un','une','est','je','pas'])),
+      len(list_intersect(list_distinct(toks), ['el','los','y','de','que','en','se','para','con','por']))) THEN 'de'
+    WHEN len(list_intersect(list_distinct(toks), ['le','la','et','les','des','un','une','est','je','pas'])) = greatest(
+      len(list_intersect(list_distinct(toks), ['le','la','et','les','des','un','une','est','je','pas'])),
+      len(list_intersect(list_distinct(toks), ['el','los','y','de','que','en','se','para','con','por']))) THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM toks""",
+    "doc_fingerprint": """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+FROM documents""",
+    "dedup_exact": """
+WITH keyed AS (SELECT doc_id, md5(text) AS dup_group FROM documents),
+groups AS (SELECT dup_group, min(doc_id) AS canonical_id FROM keyed GROUP BY dup_group)
+SELECT k.doc_id, k.dup_group, g.canonical_id, k.doc_id = g.canonical_id AS is_canonical
+FROM keyed k JOIN groups g USING (dup_group)""",
+    "dedup_ngram_jaccard": DUCK_SHINGLES + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5",
+    "dedup_minhash_lsh": DUCK_SHINGLES + """,
+sigs AS (
+  SELECT doc_id, perm,
+         min(CAST(('0x' || substring(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
+  FROM shingles, (SELECT unnest(range(0, 16)) AS perm)
+  GROUP BY doc_id, perm
+),
+band_keys AS (
+  SELECT doc_id,
+         (CAST(CAST(perm // 4 AS INT) AS VARCHAR) || '|' ||
+          string_agg(CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ','
+                     ORDER BY CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_key
+  FROM sigs GROUP BY doc_id, perm // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_keys a JOIN band_keys b ON a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cands c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.5""",
+    "dedup_simhash": DUCK_TOKENS + """,
+tok_h AS (
+  SELECT DISTINCT doc_id, tok,
+         CAST(('0x' || substring(md5('sim' || '|' || tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks)
+),
+votes AS (
+  SELECT doc_id, CAST(b AS INT) AS bit, sum(((h >> CAST(b AS INT)) & 1) * 2 - 1) AS v
+  FROM tok_h, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+),
+sims AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, CAST(c AS INT) AS chunk,
+         (simhash >> (CAST(c AS INT) * 8)) & 255 AS chunk_val
+  FROM sims, (SELECT unnest(range(0, 4)) AS c)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "embed_cosine_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35""",
+    "ann_cosine_topk": """
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC, c.vec_id ASC
+         ) AS INT) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 5""",
+    "multimodal_meta": """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(64 + octet_length(encode(text)) % 640 AS INT) END AS width,
+  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(64 + (octet_length(encode(text)) // 2) % 480 AS INT) END AS height,
+  CASE WHEN doc_id % 3 IN (1, 2) THEN CAST(250 + octet_length(encode(text)) % 60000 AS INT) END AS duration_ms
+FROM documents""",
+}
+
+DATA_QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embed_cosine_pairs": q_embed_cosine_pairs,
+    "ann_cosine_topk": q_ann_topk,
+    "embed_lsh_ann": q_embed_lsh_ann,  # rows-only: seeded-Gaussian LSH has no SQL analogue
+    "multimodal_meta": q_multimodal_meta,
+}

@@ -1,0 +1,98 @@
+"""Text-analysis scalar functions for large-scale training-data pipelines:
+tokenization, token counts, quality scoring, language ID (stopword-overlap
+heuristic), and document fingerprinting. All native Spark SQL expressions
+(JVM-side, codegen) — no UDFs — and each has an exact DuckDB-SQL equivalent
+used by the driver oracle (driver_queries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens", "token_count", "portable_hash64", "quality_columns",
+    "lang_scores", "lang_id", "normalized_fingerprint", "STOPWORDS",
+]
+
+
+def tokens(col: str) -> Column:
+    """Whitespace tokens, empties dropped (consistent with DuckDB
+    list_filter(regexp_split_to_array(...), x -> x <> ''))."""
+    return F.expr(f"filter(split({col}, '\\\\s+'), x -> x != '')")
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens(col)).cast("int")
+
+
+def portable_hash64(*cols: Column | str) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    Spark : CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+    Inputs are joined with '|'."""
+    s = F.concat_ws("|", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def quality_columns(col: str) -> list[Column]:
+    """Deterministic quality metrics: length, token count, alpha/digit/space
+    ratios, mean token length, and a [0,1] composite quality score."""
+    n = F.length(col)
+    alpha = n - F.length(F.regexp_replace(F.col(col), "[A-Za-z]", ""))
+    digit = n - F.length(F.regexp_replace(F.col(col), "[0-9]", ""))
+    space = n - F.length(F.regexp_replace(F.col(col), r"\s", ""))
+    tc = token_count(col)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    alpha_ratio = alpha / safe_n
+    digit_ratio = digit / safe_n
+    space_ratio = space / safe_n
+    mean_tok = F.when(tc > 0, (n - space) / tc.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        F.when((n >= 50) & (n <= 5000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + 0.25 * alpha_ratio
+        + 0.25 * (1.0 - digit_ratio)
+        + 0.25 * F.least(mean_tok / 8.0, F.lit(1.0))
+    )
+    return [
+        n.cast("int").alias("n_chars"),
+        tc.alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(space_ratio, 4).alias("space_ratio"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(score, 4).alias("quality_score"),
+    ]
+
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "du", "ich", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "je", "pas"],
+    "es": ["el", "los", "y", "de", "que", "en", "se", "para", "con", "por"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # fixed tie-break precedence
+
+
+def lang_scores(col: str) -> list[Column]:
+    toks = F.array_distinct(tokens(col))
+    out = []
+    for lang in _LANG_ORDER:
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        out.append(F.size(F.array_intersect(toks, arr)).cast("int").alias(f"score_{lang}"))
+    return out
+
+
+def lang_id() -> Column:
+    """argmax over the score_<lang> columns produced by lang_scores, ties
+    broken by _LANG_ORDER; 'und' when all scores are zero."""
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_fingerprint(col: str) -> Column:
+    """md5 of the lowercased alphanumeric skeleton — whitespace/punct/case
+    -insensitive exact-dup fingerprint."""
+    return F.md5(F.lower(F.regexp_replace(F.col(col), "[^A-Za-z0-9]+", "")))

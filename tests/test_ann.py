@@ -1,0 +1,97 @@
+"""Similarity-search tests: exact cosine vs numpy, brute-force top-k
+correctness, LSH candidate precision/recall vs brute force (seeded,
+deterministic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dups: ids 100+i are tiny perturbations of ids 0..9
+    for i in range(10):
+        v = base[i] + rng.standard_normal(16).astype(np.float32) * 0.05
+        rows.append((100 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_matches_numpy(spark, emb_df):
+    df, rows = emb_df
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    out = (
+        a.crossJoin(b).filter("id_a < id_b")
+        .select("id_a", "id_b", ann.cosine("va", "vb", digits=None).alias("c"))
+        .collect()
+    )
+    vecs = dict((i, v) for i, v in rows)
+    for r in out:
+        assert r.c == pytest.approx(_np_cosine(vecs[r.id_a], vecs[r.id_b]), abs=1e-9)
+
+
+def test_brute_force_topk(spark, emb_df):
+    df, rows = emb_df
+    vecs = dict(rows)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = {}
+    for r in ann.brute_force_topk(df, queries, k=4, vec_col="embedding").collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for q, lst in got.items():
+        lst.sort()
+        sims = sorted(
+            ((round(_np_cosine(vecs[q], vecs[i]), 4), -i) for i in vecs if i != q),
+            reverse=True,
+        )[:4]
+        want_ids = [-s[1] for s in sims]
+        assert [x[1] for x in lst] == want_ids
+        # planted near-dup must rank first for queries 0..2
+        assert lst[0][1] == 100 + q and lst[0][2] > 0.9
+
+
+def test_cosine_dup_pairs_threshold(spark, emb_df):
+    df, rows = emb_df
+    vecs = dict(rows)
+    got = {(r.id_a, r.id_b) for r in ann.cosine_dup_pairs(df, threshold=0.9).collect()}
+    want = {
+        (a, b)
+        for a in vecs for b in vecs if a < b
+        and round(_np_cosine(vecs[a], vecs[b]), 4) >= 0.9
+    }
+    assert got == want
+    assert len(got) >= 10  # the planted pairs
+
+
+def test_lsh_ann_subset_and_recall(spark, emb_df):
+    df, rows = emb_df
+    brute = {(r.id_a, r.id_b) for r in ann.cosine_dup_pairs(df, threshold=0.9).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann.lsh_ann_pairs(df, threshold=0.9, dim=16, n_planes=16, bands=4).collect()
+    }
+    assert got <= brute  # verify step: precision 1.0
+    recall = len(got & brute) / len(brute)
+    # planted dups at cosine ~0.99: P(band hit) is high; seeded -> stable
+    assert recall >= 0.8, recall
+
+
+def test_lsh_signature_deterministic(spark, emb_df):
+    df, _ = emb_df
+    sig = ann.lsh_signature_udf(dim=16, n_planes=16, seed=42)
+    s1 = {r.vec_id: r.s for r in df.select("vec_id", sig("embedding").alias("s")).collect()}
+    s2 = {r.vec_id: r.s for r in df.select("vec_id", sig("embedding").alias("s")).collect()}
+    assert s1 == s2

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: schema, mapInPandas batching, deterministic
+fake decode, feature extraction shape; the real codec hook stays
+NotImplementedError by design (no media libs in this container)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = spark.createDataFrame(
+        [(0, "an image payload"), (1, "an audio payload!"), (2, "a video payload!!"),
+         (3, ""), (4, "x" * 1000)],
+        ["doc_id", "text"],
+    )
+    return docs, multimodal.synth_media(docs)
+
+
+def test_synth_media_schema_and_kinds(spark, media_df):
+    docs, media = media_df
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    kinds = {r.doc_id: r.kind for r in media.collect()}
+    assert kinds == {0: "image", 1: "audio", 2: "video", 3: "image", 4: "audio"}
+
+
+def test_decode_media_deterministic_meta(spark, media_df):
+    docs, media = media_df
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    out = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    assert set(out) == set(texts)
+    for doc_id, r in out.items():
+        payload = texts[doc_id].encode()
+        assert r.n_bytes == len(payload)
+        assert r.sha1_8 == hashlib.sha1(payload).hexdigest()[:8]
+        if r.kind in ("image", "video"):
+            assert r.width == 64 + len(payload) % 640
+            assert r.height == 64 + (len(payload) // 2) % 480
+        else:
+            assert r.width is None and r.height is None
+        if r.kind in ("audio", "video"):
+            assert r.duration_ms == 250 + len(payload) % 60000
+    # repartitioned input -> identical output (batch-shape independence)
+    out2 = {r.doc_id: tuple(r) for r in multimodal.decode_media(media.repartition(4)).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_extract_features_shape(spark, media_df):
+    _, media = media_df
+    rows = multimodal.extract_features(media, dim=8).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.features) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x89PNG", "image")
