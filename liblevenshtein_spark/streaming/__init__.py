@@ -1,8 +1,17 @@
 """Structured Streaming surface.
 
 The reference is strictly batch (single-shot queries over a static
-dictionary — /root/reference/README.md:13-24), so streaming is a declared
-non-goal for v1 (SURVEY.md §1.2). `incremental.py` sketches the intended
-growth path: readStream over the transcripts table + foreachBatch into the
-same blocking/scoring operators with the checkpoint ledger as state.
+dictionary — /root/reference/README.md:13-24); this package is the engine's
+growth path beyond it: `incremental.py` runs the same blocking/scoring
+operators incrementally via readStream + foreachBatch against an
+append-only compiled dictionary, with exactly-once resume from the stream
+checkpoint, plus watermarked windowed turn-volume metrics.
 """
+
+from .incremental import (  # noqa: F401
+    clusters_from_sink,
+    matches_from_sink,
+    start_incremental_linkage,
+    stream_transcripts,
+    stream_turn_metrics,
+)

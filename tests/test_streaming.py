@@ -1,0 +1,128 @@
+"""Structured Streaming incremental linkage: streaming the corpus in
+micro-batches must produce exactly the batch pipeline's match set and
+cluster partition (one implementation, two execution modes), and the
+watermarked metrics stream must agree with the batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_spark.config import LinkConfig
+from liblevenshtein_spark.operators.candidates import block_keys, candidate_pairs
+from liblevenshtein_spark.operators.canonicalize import canonicalize
+from liblevenshtein_spark.operators.clustering import assign_clusters
+from liblevenshtein_spark.operators.scoring import match_filter, score_pairs
+from liblevenshtein_spark.sources.tables import TRANSCRIPTS_SCHEMA
+from liblevenshtein_spark.streaming import (
+    clusters_from_sink,
+    matches_from_sink,
+    start_incremental_linkage,
+    stream_transcripts,
+    stream_turn_metrics,
+)
+from liblevenshtein_spark.testdata_gen import gen_transcript_rows
+
+CONF = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="segments")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Transcript corpus written as 3 parquet files (1 conversation group
+    per file, every conversation whole within its file) so
+    maxFilesPerTrigger=1 yields 3 micro-batches."""
+    rows, planted = gen_transcript_rows(n_base=40, dup_fraction=0.6, max_edits=2, seed=7)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    grouped = df.withColumn("grp", F.pmod(F.xxhash64(F.expr("substring(conv_id, 1, 10)")), F.lit(3)))
+    for g in range(3):
+        (grouped.filter(F.col("grp") == g).drop("grp")
+         .coalesce(1).write.mode("append").parquet(src))
+    return src, df
+
+
+def _batch_matches(df):
+    canon = canonicalize(df, CONF.fingerprint_sep)
+    build, probe = block_keys(canon, CONF)
+    pairs = candidate_pairs(build, probe, CONF)
+    return match_filter(score_pairs(pairs, canon.select("conv_id", "fingerprint"), CONF), CONF), canon
+
+
+def test_incremental_matches_equal_batch(spark, corpus, tmp_path):
+    src, df = corpus
+    state = str(tmp_path / "state")
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    q = start_incremental_linkage(stream, CONF, state)
+    q.awaitTermination(timeout=600)
+
+    got = {(r.id_a, r.id_b, r.distance)
+           for r in matches_from_sink(spark, state).collect()}
+    batch_df, _ = _batch_matches(df)
+    want = {(r.id_a, r.id_b, r.distance) for r in batch_df.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_incremental_clusters_equal_batch(spark, corpus, tmp_path):
+    src, df = corpus
+    state = str(tmp_path / "state")
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+    )
+    q.awaitTermination(timeout=600)
+
+    batch_matches, canon = _batch_matches(df)
+    want = assign_clusters(canon.select("conv_id"), batch_matches.select("id_a", "id_b"))
+    got = clusters_from_sink(spark, state)
+    # cluster ids are min-member on both paths -> directly comparable
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_resume_after_restart_is_idempotent(spark, corpus, tmp_path):
+    """Drain the stream, then restart against the same checkpoint: no new
+    micro-batches run, the match sink is unchanged (exactly-once resume —
+    the streaming twin of the P9 ledger)."""
+    src, df = corpus
+    state = str(tmp_path / "state")
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+    )
+    q.awaitTermination(timeout=600)
+    before = sorted(tuple(r) for r in matches_from_sink(spark, state).collect())
+
+    q2 = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+    )
+    q2.awaitTermination(timeout=600)
+    after = sorted(tuple(r) for r in matches_from_sink(spark, state).collect())
+    assert after == before
+
+
+def test_stream_turn_metrics_match_batch(spark, corpus, tmp_path):
+    src, df = corpus
+    metrics = stream_turn_metrics(
+        stream_transcripts(spark, src), window="1 minute", watermark="2 minutes"
+    )
+    q = (
+        metrics.writeStream.format("memory").queryName("turn_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=600)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT window_start, window_end, role, n_turns FROM turn_metrics"
+    ).collect()}
+
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    want_all = {tuple(r) for r in (
+        df.groupBy(F.window("ts", "1 minute").alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "role", "n_turns")
+    ).collect()}
+    # append mode emits exactly the windows the final watermark
+    # (max event time - 2 minutes) has closed; later windows stay open
+    import datetime as dt
+    closed = {w for w in want_all if w[1] <= max_ts - dt.timedelta(minutes=2)}
+    assert got == closed and len(closed) > 0
