@@ -110,13 +110,23 @@ def main() -> None:
     ap.add_argument("--target-pairs", type=int, default=1_500_000)
     ap.add_argument("--score-partitions", type=int, default=128)
     ap.add_argument("--score-iterations", type=int, default=2)
+    ap.add_argument("--hard-variants", type=int, default=24)
+    ap.add_argument("--arrow-batch", type=int, default=3072)
     args = ap.parse_args()
 
     spark = build_session(
         app_name="liblevenshtein-spark-bench",
         master=f"local[{args.cpus}]",
         shuffle_partitions=max(args.cpus * 2, 16),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # the timed workloads push ~10 GB through Arrow; a small heap
+            # turns the late stages into GC thrash
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "28g"),
+            # ~3k-row Arrow batches: DP working set stays L2-resident in the
+            # kernel and JVM serialize overlaps Python compute (pipelining)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(args.arrow_batch),
+        },
     )
     conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="segments")
     timings: dict[str, float] = {}
@@ -149,6 +159,26 @@ def main() -> None:
     n_clusters = clusters.select("cluster_id").distinct().count()
     timings["q_cluster_cc"] = round(time.time() - t0, 3)
 
+    # kernel-bound hard workload (full-DP near-dup pairs): scaling evidence
+    hpairs, hentities = hard_pairs(canonical, variants=args.hard_variants)
+    hpairs = hpairs.repartition(args.score_partitions).localCheckpoint(eager=True)
+    hentities = hentities.localCheckpoint(eager=True)
+    n_hard = hpairs.count()
+
+    def run_hard():
+        return (
+            score_pairs(hpairs, hentities, conf)
+            .agg(F.count("distance").alias("c"), F.sum("distance").alias("s"))
+            .collect()[0]["c"]
+        )
+
+    n_hard_scored = run_hard()  # warmup
+    t0 = time.time()
+    for _ in range(args.score_iterations):
+        n_hard_scored = run_hard()
+    t_hard = (time.time() - t0) / args.score_iterations
+    timings["q_score_hard"] = round(t_hard, 3)
+
     # headline throughput: large deterministic pair workload through the
     # banded kernel (blocking-independent, measures P5 at volume)
     t0 = time.time()
@@ -176,26 +206,6 @@ def main() -> None:
         n_heavy_scored = run_heavy()
     t_heavy = (time.time() - t0) / args.score_iterations
     timings["q_score_throughput"] = round(t_heavy, 3)
-
-    # kernel-bound hard workload (full-DP near-dup pairs): scaling evidence
-    hpairs, hentities = hard_pairs(canonical)
-    hpairs = hpairs.repartition(args.score_partitions).localCheckpoint(eager=True)
-    hentities = hentities.localCheckpoint(eager=True)
-    n_hard = hpairs.count()
-
-    def run_hard():
-        return (
-            score_pairs(hpairs, hentities, conf)
-            .agg(F.count("distance").alias("c"), F.sum("distance").alias("s"))
-            .collect()[0]["c"]
-        )
-
-    n_hard_scored = run_hard()  # warmup
-    t0 = time.time()
-    for _ in range(args.score_iterations):
-        n_hard_scored = run_hard()
-    t_hard = (time.time() - t0) / args.score_iterations
-    timings["q_score_hard"] = round(t_hard, 3)
 
     total = round(sum(timings.values()), 3)
     pairs_per_sec = round(n_heavy / t_heavy, 1) if t_heavy > 0 else 0.0

@@ -299,6 +299,60 @@ def q_transduce_merge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
 
 
+def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 serialize/deserialize: persist the word dictionary as a sorted
+    plain-text term list (the reference's PlainTextSerializer format) and
+    read it back — the returned term set must be unchanged."""
+    import tempfile
+
+    from .sources.dictionary_io import read_terms_text, write_terms_text
+
+    path = tempfile.mkdtemp(prefix="levdict_") + "/terms"
+    write_terms_text(_word_dictionary(spark, sf_dir), path, num_files=4)
+    return read_terms_text(spark, path)
+
+
+def q_stream_linkage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of `matches`: the derived transcripts are
+    drained through the incremental-linkage stream in two micro-batches; the
+    accumulated match sink must equal the batch pipeline's match set. Uses
+    the same sig-prefix deletion blocking as the batch entries so the DuckDB
+    oracle is shared with `matches`."""
+    import tempfile
+
+    from .streaming.incremental import start_incremental_linkage, stream_transcripts
+
+    ship_package(spark)
+    work = tempfile.mkdtemp(prefix="levstream_")
+    src, state = work + "/src", work + "/state"
+    t = derive_transcripts(spark, sf_dir).withColumn("ts", F.lit(None).cast("timestamp"))
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    for g in range(2):
+        (t.withColumn("_g", half).filter(F.col("_g") == g).drop("_g")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), conf, state,
+        block_fn=_sig_block_keys,
+    )
+    q.awaitTermination()
+    m = spark.read.parquet(state + "/matches")
+    return m.dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )
+
+
+def _sig_block_keys(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Sig-prefix deletion blocking (the scheme of q_block_keys) as a
+    streaming block_fn, so streaming and batch share one DuckDB oracle."""
+    sig = canon.withColumn("sig", F.expr(f"substring(fingerprint, 1, {SIG_LEN})"))
+    keys = sig.select(
+        "conv_id", F.explode(deletion_neighborhood("sig", 1)).alias("block_key")
+    ).distinct()
+    return keys, keys
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — keep names/aliases in lockstep with the
 # Spark callables above; the driver sorts columns by name and hashes values.
@@ -340,6 +394,8 @@ SELECT q.query_id, q.query_term, d.term AS candidate,
        CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
 FROM queries q CROSS JOIN dict d
 WHERE levenshtein(q.query_term, d.term) <= 1""",
+    "dictionary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
+    "stream_linkage_matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
 }
 
 LINKAGE_QUERIES = {
@@ -353,6 +409,8 @@ LINKAGE_QUERIES = {
     "clusters": q_clusters,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
+    "dictionary_roundtrip": q_dictionary_roundtrip,
+    "stream_linkage_matches": q_stream_linkage_matches,
     # rows-only entries (DuckDB's damerau_levenshtein is UNRESTRICTED, ours
     # is the reference's restricted variant; merge_and_split has no DuckDB
     # analogue) — covered against naive-recursion oracles in pytest instead.
@@ -371,6 +429,14 @@ from .operators import ann, dedup, multimodal  # noqa: E402
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", *quality_columns("text"))
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_ish_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,6 +580,12 @@ FROM toks""",
     "doc_fingerprint": """
 SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
 FROM documents""",
+    "bpe_token_count": r"""
+SELECT doc_id,
+  CAST(len(list_filter(
+    regexp_extract_all(text, '(''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+|\s+)', 1),
+    x -> NOT regexp_matches(x, '^\s+$'))) AS INT) AS n_bpe_tokens
+FROM documents""",
     "dedup_exact": """
 WITH keyed AS (SELECT doc_id, md5(text) AS dup_group FROM documents),
 groups AS (SELECT dup_group, min(doc_id) AS canonical_id FROM keyed GROUP BY dup_group)
@@ -594,6 +666,7 @@ FROM documents""",
 
 DATA_QUERIES = {
     "text_stats": q_text_stats,
+    "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,

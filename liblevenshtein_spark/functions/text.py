@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens", "token_count", "portable_hash64", "quality_columns",
     "lang_scores", "lang_id", "normalized_fingerprint", "STOPWORDS",
+    "BPE_ISH_PATTERN", "bpe_ish_tokens", "bpe_ish_token_count",
 ]
 
 
@@ -23,6 +24,25 @@ def tokens(col: str) -> Column:
 
 def token_count(col: str) -> Column:
     return F.size(tokens(col)).cast("int")
+
+
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# other-symbol runs, whitespace runs — a cheap, deterministic proxy for BPE
+# token counts (ASCII classes so Spark and DuckDB regex engines agree).
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+|\\s+"
+
+
+def bpe_ish_tokens(col: str) -> Column:
+    """Sub-word-ish tokens under the GPT-2-style pretokenizer regex;
+    whitespace runs dropped from the result (they carry no token mass).
+    Column-based construction (no F.expr) sidesteps SQL-literal backslash
+    escaping differences between engines."""
+    arr = F.regexp_extract_all(F.col(col), F.lit(f"({BPE_ISH_PATTERN})"), 1)
+    return F.filter(arr, lambda x: ~x.rlike(r"^\s+$"))
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("int")
 
 
 def portable_hash64(*cols: Column | str) -> Column:

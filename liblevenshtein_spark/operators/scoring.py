@@ -18,7 +18,8 @@ from pyspark.sql.functions import pandas_udf
 from ..config import LinkConfig
 from ..kernels.banded import batch_banded_distance
 
-__all__ = ["distance_udf", "attach_texts", "score_pairs", "match_filter", "normalized_similarity"]
+__all__ = ["distance_udf", "attach_texts", "score_pairs", "score_pairs_grouped",
+           "match_filter", "normalized_similarity"]
 
 
 def distance_udf(n: int, algorithm: str):
@@ -66,6 +67,77 @@ def score_pairs(
     dist = distance_udf(n, conf.algorithm)
     return feasible.select(
         "id_a", "id_b", dist(F.col("text_a"), F.col("text_b")).alias("distance")
+    )
+
+
+def score_pairs_grouped(
+    pairs: DataFrame,
+    entities: DataFrame,
+    conf: LinkConfig,
+    id_col: str = "conv_id",
+    text_col: str = "fingerprint",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Dictionary-encoded scoring: same result as `score_pairs`, but each
+    distinct text crosses the JVM->Python boundary once per scoring bucket
+    instead of once per pair.
+
+    `score_pairs` ships (text_a, text_b) per pair, so an entity appearing in
+    k candidate pairs is serialized k times — for multi-KB transcript
+    fingerprints the Arrow transfer, not the DP kernel, becomes the
+    bottleneck (and the dominant cross-boundary traffic at cluster scale).
+    Here pairs are hashed into deterministic buckets; each bucket cogroups
+    its (id_a, id_b) rows with the distinct entity texts it references, and
+    the kernel resolves ids to texts Python-side (shared str objects, no
+    copies). Transfer per bucket = distinct texts + two small id columns."""
+    n = conf.max_distance
+    algorithm = conf.algorithm
+    pb = pairs.select(
+        "id_a", "id_b",
+        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    # (bucket + 0) mints a fresh attribute so the later cogroup of pb with
+    # a pb-derived frame isn't flagged as an ambiguous self-join
+    refs = (
+        pb.select(
+            (F.col("bucket") + F.lit(0)).cast("int").alias("bucket"),
+            F.explode(F.array("id_a", "id_b")).alias(id_col),
+        )
+        .dropDuplicates(["bucket", id_col])
+    )
+    ents = refs.join(
+        entities.select(F.col(id_col), F.col(text_col).alias("_text")), id_col
+    ).select("bucket", id_col, "_text")
+
+    def score(key, pairs_pdf: pd.DataFrame, ents_pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.banded import batch_banded_distance
+
+        lookup = dict(zip(ents_pdf[id_col], ents_pdf["_text"]))
+        texts_a = [lookup.get(i) for i in pairs_pdf["id_a"]]
+        texts_b = [lookup.get(i) for i in pairs_pdf["id_b"]]
+        known = [ta is not None and tb is not None for ta, tb in zip(texts_a, texts_b)]
+        feasible = [
+            k and abs(len(ta) - len(tb)) <= n
+            for k, ta, tb in zip(known, texts_a, texts_b)
+        ]
+        if not any(feasible):
+            return pd.DataFrame({"id_a": [], "id_b": [], "distance": []}).astype(
+                {"id_a": object, "id_b": object, "distance": "int32"}
+            )
+        sub = pairs_pdf.loc[feasible]
+        d = batch_banded_distance(
+            [t for t, f in zip(texts_a, feasible) if f],
+            [t for t, f in zip(texts_b, feasible) if f],
+            n, algorithm,
+        )
+        return pd.DataFrame(
+            {"id_a": sub["id_a"].values, "id_b": sub["id_b"].values, "distance": d}
+        )
+
+    return (
+        pb.groupBy("bucket")
+        .cogroup(ents.groupBy("bucket"))
+        .applyInPandas(score, "id_a string, id_b string, distance int")
     )
 
 

@@ -82,9 +82,13 @@ def _link_batch(
     batch_id: int,
     conf: LinkConfig,
     state_dir: str,
+    block_fn=None,
 ) -> None:
     """foreachBatch body: canonicalize -> block -> (new x new) + (new x old)
-    -> score -> append matches; then fold the batch into the dictionary."""
+    -> score -> append matches; then fold the batch into the dictionary.
+
+    `block_fn(canon) -> (build_keys, probe_keys)` overrides the blocking
+    scheme (default: conf's scheme via operators.candidates.block_keys)."""
     spark = batch_turns.sparkSession
     dict_path = os.path.join(state_dir, "dict_keys")
     ent_path = os.path.join(state_dir, "entities")
@@ -93,7 +97,7 @@ def _link_batch(
     canon = canonicalize(batch_turns, conf.fingerprint_sep).localCheckpoint(eager=True)
     if canon.isEmpty():
         return
-    build, probe = block_keys(canon, conf)
+    build, probe = block_fn(canon) if block_fn is not None else block_keys(canon, conf)
     build = build.localCheckpoint(eager=True)
     probe = probe.localCheckpoint(eager=True)
 
@@ -134,15 +138,16 @@ def start_incremental_linkage(
     conf: LinkConfig,
     state_dir: str,
     trigger_available_now: bool = True,
+    block_fn=None,
 ):
     """Start the incremental-linkage stream; returns the StreamingQuery.
 
     ``trigger_available_now=True`` drains everything currently in the source
     then stops (backfill mode); False runs continuously on the default
-    micro-batch trigger."""
+    micro-batch trigger. ``block_fn`` overrides the blocking scheme."""
     writer = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: _link_batch(df, bid, conf, state_dir)
+            lambda df, bid: _link_batch(df, bid, conf, state_dir, block_fn)
         )
         .option("checkpointLocation", os.path.join(state_dir, "checkpoint"))
         .outputMode("update")

@@ -84,3 +84,24 @@ def test_pairwise_f1_gate(spark):
     recall = tp / len(truth) if truth else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     assert f1 >= 0.99, (precision, recall)
+
+
+def test_score_pairs_grouped_matches_pairwise(spark):
+    """Dictionary-encoded grouped scoring must equal the per-pair path."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.scoring import score_pairs, score_pairs_grouped
+
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    ents = spark.createDataFrame(
+        [("a", "kitten"), ("b", "sitten"), ("c", "sittin"), ("d", "zzzzzzzzzz"),
+         ("e", "kitte"), ("f", "")],
+        "conv_id string, fingerprint string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("e", "a"), ("f", "e"),
+         ("a", "missing")],
+        "id_a string, id_b string",
+    )
+    want = {tuple(r) for r in score_pairs(pairs, ents, conf).collect()}
+    got = {tuple(r) for r in score_pairs_grouped(pairs, ents, conf, n_buckets=4).collect()}
+    assert got == want and len(want) > 0
