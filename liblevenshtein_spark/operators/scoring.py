@@ -23,7 +23,12 @@ __all__ = ["distance_udf", "attach_texts", "score_pairs", "score_pairs_grouped",
 
 
 def distance_udf(n: int, algorithm: str):
-    """Arrow-batched pandas UDF computing the variant distance (or n+1)."""
+    """Arrow-batched pandas UDF computing the variant distance (or n+1).
+
+    Marked nondeterministic (it is in fact deterministic) so Catalyst never
+    duplicates the kernel: a filter over the distance column would otherwise
+    be pushed below the projection and evaluate the UDF a second time
+    (observed as two stacked ArrowEvalPython nodes = 2x kernel cost)."""
 
     @pandas_udf("integer")
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -32,7 +37,7 @@ def distance_udf(n: int, algorithm: str):
         )
         return pd.Series(out)
 
-    return dist
+    return dist.asNondeterministic()
 
 
 def attach_texts(
