@@ -487,6 +487,18 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_ann_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index probed on ALL cells == brute force exactly, so this shares
+    the ann_cosine_topk oracle; partial-probe recall is a pytest property
+    (tests/test_ann.py)."""
+    e = _emb(spark, sf_dir)
+    cents = ann.ivf_centroids(e, n_cells=4, refine_iters=1)
+    return ann.ivf_topk(
+        ann.ivf_index(e, cents), e.filter(F.col("vec_id") < 10), cents,
+        k=5, nprobe=len(cents),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
@@ -643,6 +655,17 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35""",
+    "ann_ivf_topk": """
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC, c.vec_id ASC
+         ) AS INT) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 5""",
     "ann_cosine_topk": """
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -676,5 +699,6 @@ DATA_QUERIES = {
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_topk,
     "embed_lsh_ann": q_embed_lsh_ann,  # rows-only: seeded-Gaussian LSH has no SQL analogue
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_meta": q_multimodal_meta,
 }

@@ -22,6 +22,7 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "cosine", "brute_force_topk", "cosine_dup_pairs",
     "lsh_signature_udf", "lsh_ann_pairs",
+    "ivf_centroids", "ivf_index", "ivf_topk",
 ]
 
 
@@ -132,4 +133,112 @@ def lsh_ann_pairs(
         .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
         .distinct()
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroids: seed with the n_cells vectors of smallest
+    xxhash64(id) (a reproducible k-means|| stand-in; distributed top-k, no
+    global sort), then `refine_iters` Lloyd passes computed natively
+    (assign -> posexplode -> per-(cell,pos) mean -> rebuild array).
+    Returns driver-side [(cell_id, centroid)] — n_cells x dim floats, the
+    'coarse quantizer' that is broadcast into assignment expressions."""
+    seeds = (
+        emb.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
+    for _ in range(refine_iters):
+        assigned = emb.select(
+            _nearest_cell(vec_col, cents).alias("cell"), F.col(vec_col)
+        )
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.expr("transform(pm, x -> x.m)").alias("centroid"))
+            .collect()
+        )
+        cents = [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in means]
+    return cents
+
+
+def _cell_cosines(vec_col: str, cents: list[tuple[int, list[float]]]) -> list[Column]:
+    return [cosine(vec_col, F.array(*[F.lit(x) for x in c]), digits=None)
+            for _, c in cents]
+
+
+def _nearest_cell(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine cell id as a native expression (no UDF): greatest()
+    over the per-centroid cosines, first-match tie-break by cell order."""
+    sims = _cell_cosines(vec_col, cents)
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    expr = F.lit(cents[-1][0])
+    for (cell_id, _), sim in list(zip(cents, sims))[-2::-1]:
+        expr = F.when(sim == best, F.lit(cell_id)).otherwise(expr)
+    return expr.cast("int")
+
+
+def ivf_index(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted lists: every vector assigned to its nearest centroid and
+    the table repartitioned by cell — at scale this is the partition layout
+    on disk, so a probe reads only nprobe/n_cells of the data."""
+    return (
+        emb.select(_nearest_cell(vec_col, cents).alias("cell"), id_col, vec_col)
+        .repartition("cell")
+    )
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query over the nprobe nearest cells only. With
+    nprobe == n_cells this is exactly brute force (tested); smaller nprobe
+    trades recall for reading a fraction of the index."""
+    sims = _cell_cosines(vec_col, cents)
+    ranked = F.array_sort(
+        F.array(*[F.struct((-s).alias("neg"), F.lit(c).cast("int").alias("cell"))
+                  for (c, _), s in zip(cents, sims)])
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
+    ).select("query_id", "_qv", F.col("pr.cell").alias("cell"))
+    scored = (
+        F.broadcast(probes)
+        .join(index.select("cell", F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("_cv")), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )

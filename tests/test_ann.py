@@ -95,3 +95,41 @@ def test_lsh_signature_deterministic(spark, emb_df):
     s1 = {r.vec_id: r.s for r in df.select("vec_id", sig("embedding").alias("s")).collect()}
     s2 = {r.vec_id: r.s for r in df.select("vec_id", sig("embedding").alias("s")).collect()}
     assert s1 == s2
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from liblevenshtein_spark.operators.ann import (
+        brute_force_topk, ivf_centroids, ivf_index, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(emb, n_cells=4, refine_iters=1)
+    index = ivf_index(emb, cents)
+    # probing every cell must reproduce brute force exactly (incl. tie order)
+    got = {tuple(r) for r in ivf_topk(index, queries, cents, k=5,
+                                      nprobe=len(cents)).collect()}
+    want = {tuple(r) for r in brute_force_topk(emb, queries, k=5).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ivf_partial_probe_subset_and_recall(spark):
+    from liblevenshtein_spark.operators.ann import (
+        brute_force_topk, ivf_centroids, ivf_index, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(emb, n_cells=4, refine_iters=1)
+    index = ivf_index(emb, cents)
+    got = ivf_topk(index, queries, cents, k=5, nprobe=2).collect()
+    brute = brute_force_topk(emb, queries, k=5).collect()
+    # cosine values must be exact for every returned pair (IVF only prunes,
+    # never approximates the metric)
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in brute_force_topk(emb, queries, k=10**6).collect()}
+    for r in got:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+    # recall@5 vs brute force is imperfect but bounded below
+    want_pairs = {(r.query_id, r.neighbor_id) for r in brute}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.3, recall
