@@ -18,8 +18,9 @@ from pyspark.sql.functions import pandas_udf
 from ..config import LinkConfig
 from ..kernels.banded import batch_banded_distance
 
-__all__ = ["distance_udf", "attach_texts", "score_pairs", "score_pairs_grouped",
-           "match_filter", "normalized_similarity"]
+__all__ = ["distance_udf", "attach_texts", "score_pairs", "score_attached",
+           "score_pairs_pandas", "score_pairs_grouped", "match_filter",
+           "normalized_similarity"]
 
 
 def distance_udf(n: int, algorithm: str):
@@ -63,7 +64,52 @@ def score_pairs(
     """(id_a, id_b) -> (id_a, id_b, distance). Applies the length-band
     pre-filter (|len_a - len_b| <= n, valid for all three variants — every
     unit op changes length by at most 1) natively before the kernel sees the
-    pair, so Python only ever scores feasible pairs."""
+    pair, so Python only ever scores feasible pairs.
+
+    Uses mapInArrow: the kernel decodes string columns straight from Arrow
+    buffers (no pandas Series, no Python string objects — ~3x the mixed
+    throughput of the pandas-UDF path), and a map-partitions node cannot be
+    duplicated or pushed through by Catalyst, so a downstream
+    distance-filter never re-runs the kernel."""
+    return score_attached(attach_texts(pairs, entities, id_col, text_col), conf)
+
+
+def score_attached(with_texts: DataFrame, conf: LinkConfig) -> DataFrame:
+    """Scoring stage proper over a pre-joined (id_a, id_b, text_a, text_b)
+    frame: native length-band filter, then the mapInArrow kernel. Split out
+    so benchmarks can checkpoint the join and time pure scoring."""
+    n = conf.max_distance
+    algorithm = conf.algorithm
+    feasible = with_texts.filter(
+        F.abs(F.length("text_a") - F.length("text_b")) <= n
+    ).select("id_a", "id_b", "text_a", "text_b")
+
+    def score(batches):
+        import pyarrow as pa
+
+        from ..kernels.banded import batch_banded_distance_arrow
+
+        for batch in batches:
+            d = batch_banded_distance_arrow(
+                batch.column("text_a"), batch.column("text_b"), n, algorithm
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id_a"), batch.column("id_b"), pa.array(d)],
+                ["id_a", "id_b", "distance"],
+            )
+
+    return feasible.mapInArrow(score, "id_a string, id_b string, distance int")
+
+
+def score_pairs_pandas(
+    pairs: DataFrame,
+    entities: DataFrame,
+    conf: LinkConfig,
+    id_col: str = "conv_id",
+    text_col: str = "fingerprint",
+) -> DataFrame:
+    """pandas-UDF variant of score_pairs (kept for parity testing and as
+    the expression-style API; the mapInArrow path above is the fast one)."""
     n = conf.max_distance
     with_texts = attach_texts(pairs, entities, id_col, text_col)
     feasible = with_texts.filter(

@@ -22,8 +22,18 @@ def ship_package(spark: SparkSession) -> None:
     UDF kernels (ModuleNotFoundError on the executor side)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "liblevenshtein_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+    # rebuild when any source file is newer than the cached zip — a stale
+    # zip makes remote executors import old code (symptom: ImportError /
+    # wrong results ONLY in local-cluster or real-cluster mode)
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for f in files:
                     if f.endswith(".py"):
@@ -32,7 +42,7 @@ def ship_package(spark: SparkSession) -> None:
                             "liblevenshtein_spark", os.path.relpath(full, pkg_dir)
                         )
                         zf.write(full, rel)
-        os.replace(zip_path + ".tmp", zip_path)
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 

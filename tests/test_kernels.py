@@ -113,3 +113,46 @@ def test_long_strings_banded():
     ins = base[:500] + "zz" + base[500:]
     assert banded_distance(base, ins, 2) == 2
     assert banded_distance(base, ins[:-1] + "qqq", 2) == 3  # > n -> sentinel
+
+
+def test_chunk_boundary_parity():
+    """Edits placed around the lazy-transposition chunk boundary (row 128)
+    must score identically to the naive oracle for every variant."""
+    import random
+    from liblevenshtein_spark.kernels.banded import _CHUNK, batch_banded_distance
+    from liblevenshtein_spark.kernels.oracles import distance as naive_distance
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcd") for _ in range(_CHUNK * 2 + 17))
+    cases = []
+    for pos in (_CHUNK - 2, _CHUNK - 1, _CHUNK, _CHUNK + 1, _CHUNK + 2):
+        cases.append((base, base[:pos] + base[pos + 1:]))              # deletion
+        cases.append((base, base[:pos] + "z" + base[pos:]))            # insertion
+        cases.append((base, base[:pos] + "z" + base[pos + 1:]))        # substitution
+        cases.append((base, base[:pos] + base[pos + 1] + base[pos] + base[pos + 2:]))  # transposition
+    for algo in ("standard", "transposition", "merge_and_split"):
+        got = batch_banded_distance([c[0] for c in cases], [c[1] for c in cases], 2, algo)
+        for (a, b), d in zip(cases, got):
+            want = min(naive_distance(a, b, algo), 3)
+            assert d == want, (algo, a[:8], want, d)
+
+
+def test_arrow_entry_matches_list_entry():
+    import pyarrow as pa
+    from liblevenshtein_spark.kernels.banded import (
+        batch_banded_distance, batch_banded_distance_arrow)
+
+    a = ["kitten", "", "abc", "x" * 300, "hello world", "café"]
+    b = ["sitten", "a", "abcd", "x" * 299 + "y", "hello_world", "cafe"]
+    for algo in ("standard", "transposition", "merge_and_split"):
+        want = batch_banded_distance(a, b, 2, algo).tolist()
+        got = batch_banded_distance_arrow(pa.array(a), pa.array(b), 2, algo).tolist()
+        assert got == want
+    # large_string + sliced array paths
+    la_ = pa.array(a, type=pa.large_string())
+    lb_ = pa.array(b, type=pa.large_string())
+    assert batch_banded_distance_arrow(la_, lb_, 1, "standard").tolist() == \
+        batch_banded_distance(a, b, 1, "standard").tolist()
+    sl_a, sl_b = pa.array(a).slice(2, 3), pa.array(b).slice(2, 3)
+    assert batch_banded_distance_arrow(sl_a, sl_b, 2, "standard").tolist() == \
+        batch_banded_distance(a[2:5], b[2:5], 2, "standard").tolist()

@@ -105,3 +105,25 @@ def test_score_pairs_grouped_matches_pairwise(spark):
     want = {tuple(r) for r in score_pairs(pairs, ents, conf).collect()}
     got = {tuple(r) for r in score_pairs_grouped(pairs, ents, conf, n_buckets=4).collect()}
     assert got == want and len(want) > 0
+
+
+def test_score_pairs_arrow_matches_pandas_udf(spark):
+    """mapInArrow scorer must equal the pandas-UDF scorer exactly."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.scoring import score_pairs, score_pairs_pandas
+
+    ents = spark.createDataFrame(
+        [("a", "kitten"), ("b", "sitten"), ("c", "sittin"), ("d", "zzzzzzzzzz"),
+         ("e", "kitte"), ("f", ""), ("g", "cafés")],
+        "conv_id string, fingerprint string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("e", "a"), ("f", "e"),
+         ("g", "a"), ("g", "e")],
+        "id_a string, id_b string",
+    )
+    for algo in ("standard", "transposition", "merge_and_split"):
+        conf = LinkConfig(algorithm=algo, max_distance=2)
+        want = {tuple(r) for r in score_pairs_pandas(pairs, ents, conf).collect()}
+        got = {tuple(r) for r in score_pairs(pairs, ents, conf).collect()}
+        assert got == want and len(want) > 0, algo
