@@ -15,11 +15,10 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
-def ship_package(spark: SparkSession) -> None:
-    """Ship liblevenshtein_spark to executors (the local-mode equivalent of
-    `spark-submit --py-files`, BASELINE.json north_rule). Without this,
-    Python workers spawned outside the repo cwd cannot unpickle the pandas
-    UDF kernels (ModuleNotFoundError on the executor side)."""
+def build_pyfiles_zip() -> str:
+    """Build (or refresh) the --py-files zip of this package and return its
+    path — used by ship_package and by spark-submit wrappers
+    (scripts/submit_demo.sh)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "liblevenshtein_spark_pyfiles.zip")
     # rebuild when any source file is newer than the cached zip — a stale
@@ -43,7 +42,15 @@ def ship_package(spark: SparkSession) -> None:
                         )
                         zf.write(full, rel)
         os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship liblevenshtein_spark to executors (the local-mode equivalent of
+    `spark-submit --py-files`, BASELINE.json north_rule). Without this,
+    Python workers spawned outside the repo cwd cannot unpickle the
+    UDF kernels (ModuleNotFoundError on the executor side)."""
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
 
 
 def build_session(
