@@ -499,6 +499,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows over the events table (30-minute inactivity
+    gap): Spark's native session_window; the DuckDB oracle is the classic
+    gaps-and-islands formulation. Values are summed in exact integer cents
+    so float addition order cannot break hash parity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value_cents",
+        )
+    )
+
+
+def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats with a JSON-path extraction from the props
+    column (json scalar-function coverage)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.countDistinct("user_id").cast("int").alias("n_users"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
@@ -677,6 +709,34 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10
 ) WHERE rank <= 5""",
+    "event_sessions": """
+WITH e AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS INT) AS n_events,
+       sum(cents) AS sum_value_cents
+FROM s GROUP BY user_id, sess""",
+    "event_json_stats": """
+SELECT event_type,
+       CAST(count(*) AS INT) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(count(DISTINCT user_id) AS INT) AS n_users
+FROM events GROUP BY event_type""",
     "multimodal_meta": """
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -700,5 +760,7 @@ DATA_QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "embed_lsh_ann": q_embed_lsh_ann,  # rows-only: seeded-Gaussian LSH has no SQL analogue
     "ann_ivf_topk": q_ann_ivf_topk,
+    "event_sessions": q_event_sessions,
+    "event_json_stats": q_event_json_stats,
     "multimodal_meta": q_multimodal_meta,
 }
