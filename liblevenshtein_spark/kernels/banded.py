@@ -278,14 +278,14 @@ def _banded_core(A: np.ndarray, la_s: np.ndarray, B: np.ndarray, lb_s: np.ndarra
             ml = live.shape[0]
             p, p2, c = prev[:, :ml], prev2[:, :ml], cur[:, :ml]
             tm, tr_ = tmp[:, :ml], trow[:ml]
-            lb_l = lb_s[live]
 
             achar = ATb[i - 1 - cstart, :ml]
             bwin = BTb[i - c0 - 1 : i - c0 - 1 + W, :ml]
 
             # substitute / match: cur = prev + (a[i-1] != b[j-1])
-            np.not_equal(bwin, achar[None, :], out=c1[:, :ml])
-            np.add(p, c1[:, :ml], out=c, casting="unsafe")
+            # (neq written straight into cur — no separate bool buffer)
+            np.not_equal(bwin, achar[None, :], out=c, casting="unsafe")
+            np.add(p, c, out=c, casting="unsafe")
             # rows whose j = i+k-n has no b char at j-1 (j < 1): the diag
             # compared against pad zeros — kill it before the dele pass
             for k in range(W):
@@ -330,13 +330,13 @@ def _banded_core(A: np.ndarray, la_s: np.ndarray, B: np.ndarray, lb_s: np.ndarra
             for k in range(1, W):
                 np.add(c[k - 1], 1, out=tr_, casting="unsafe")
                 np.minimum(c[k], tr_, out=c[k])
-            # bounds + clamp: kill cells outside [max(0, i-n), min(lb, i+n)]
-            for k in range(W):
-                jk = i + k - n
-                if jk < 0:
-                    c[k, :] = INF
-                else:
-                    c[k, lb_l < jk] = INF
+            # clamp keeps uint8 cells in [0, n+2]. NO per-pair bounds
+            # masking: out-of-band cells (j < 0 handled by the j<1 diag
+            # kill + row-0 init; j > lb reads the pad-zero region) can
+            # never flow INTO in-band cells — every recurrence move keeps
+            # an out-of-upper-band j out of band — so they only ever hold
+            # >= in-band values and are simply never extracted (kstar is
+            # in-band by construction).
             np.minimum(c, CLAMP, out=c)
 
             la_l = la_s[live]
@@ -345,12 +345,15 @@ def _banded_core(A: np.ndarray, la_s: np.ndarray, B: np.ndarray, lb_s: np.ndarra
                 fpos = np.nonzero(fin)[0]
                 sub_res[live[fpos]] = c[kstar[live[fpos]], fpos]
 
-            rowmin = c.min(axis=0)
-            keep = ~fin & (rowmin <= n)
-            if not keep.any():
-                done = True
-                prev, prev2, cur = cur, prev, prev2
-                break
+            # early-exit probe: banded row minima are non-decreasing, so
+            # checking on a cadence only delays (never misses) the exit
+            if i <= 16 or (i & 3) == 0 or i == c1_row or fin.any():
+                rowmin = c.min(axis=0)
+                keep = ~fin & (rowmin <= n)
+                if not keep.any():
+                    done = True
+                    prev, prev2, cur = cur, prev, prev2
+                    break
             prev, prev2, cur = cur, prev, prev2
 
         if done:
