@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "synth_media", "decode_media", "extract_features", "real_decode"]
+__all__ = ["MEDIA_SCHEMA", "synth_media", "decode_media", "extract_features",
+           "resize_media", "sample_frames", "real_decode"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -116,3 +117,85 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         T.StructField("features", T.ArrayType(T.FloatType()), False),
     ])
     return media.select("doc_id", "payload").mapInPandas(feat_batches, schema=schema)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("src_width", T.IntegerType(), True),
+    T.StructField("src_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("thumb", T.BinaryType(), False),  # stub pixel payload
+])
+
+
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Resize plumbing for image/video rows: mapInPandas emitting the
+    target geometry plus a deterministic stub thumbnail (sha1-derived bytes
+    of exactly target_w*target_h — the shape a real resampler would fill).
+    Audio rows are dropped (no spatial dims). The real pixel resample goes
+    where the stub bytes are built; schema/batching/pruning stay as-is."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = target_w * target_h
+        for pdf in batches:
+            keep = pdf["kind"].isin(["image", "video"])
+            pdf = pdf[keep]
+            rows = []
+            for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+                meta = _fake_decode(payload, kind)
+                seed = hashlib.sha1((payload or b"") + b"|resize").digest()
+                thumb = (seed * (n_px // len(seed) + 1))[:n_px]
+                rows.append((doc_id, kind, meta["width"], meta["height"],
+                             target_w, target_h, thumb))
+            out = pd.DataFrame(rows, columns=["doc_id", "kind", "src_width",
+                                              "src_height", "width", "height", "thumb"])
+            for c in ("src_width", "src_height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.IntegerType(), False),
+    T.StructField("frame_sha1_8", T.StringType(), False),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled timestamp
+    (0, every_ms, 2*every_ms, ... capped at max_frames within the stub
+    duration). The per-frame sha is derived deterministically from
+    (payload, ts) — exactly where a real demuxer would decode the frame."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            ids, idxs, tss, shas = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                duration = _fake_decode(payload, "video")["duration_ms"]
+                n = min(max_frames, duration // every_ms + 1)
+                for fi in range(int(n)):
+                    ts = fi * every_ms
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    tss.append(ts)
+                    shas.append(hashlib.sha1(
+                        (payload or b"") + f"|frame|{ts}".encode()
+                    ).hexdigest()[:8])
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "ts_ms": pd.array(tss, dtype="int32"),
+                "frame_sha1_8": shas,
+            })
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        frame_batches, schema=FRAMES_SCHEMA
+    )

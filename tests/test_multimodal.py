@@ -62,3 +62,40 @@ def test_extract_features_shape(spark, media_df):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x89PNG", "image")
+
+
+def test_resize_media_stub_plumbing(spark):
+    from liblevenshtein_spark.operators.multimodal import resize_media, synth_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    media = synth_media(docs)
+    out = resize_media(media, target_w=16, target_h=8).collect()
+    kinds = {r.kind for r in out}
+    assert kinds <= {"image", "video"} and out
+    for r in out:
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.thumb) == 16 * 8          # stub pixel buffer shape
+        assert r.src_width is not None and r.src_height is not None
+    # deterministic
+    again = resize_media(media, target_w=16, target_h=8).collect()
+    assert sorted((r.doc_id, bytes(r.thumb)) for r in out) == \
+        sorted((r.doc_id, bytes(r.thumb)) for r in again)
+
+
+def test_sample_frames_stub_plumbing(spark):
+    from liblevenshtein_spark.operators.multimodal import (
+        decode_media, sample_frames, synth_media)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = synth_media(docs)
+    frames = sample_frames(media, every_ms=5000, max_frames=6).collect()
+    assert frames and all(r.ts_ms == r.frame_idx * 5000 for r in frames)
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    durations = {r.doc_id: r.duration_ms for r in decode_media(media).collect()
+                 if r.kind == "video"}
+    assert set(per_doc) == set(durations)      # videos only, all of them
+    for doc_id, idxs in per_doc.items():
+        want = min(6, durations[doc_id] // 5000 + 1)
+        assert sorted(idxs) == list(range(want))
