@@ -42,6 +42,11 @@ class LinkConfig:
     deletion_depth: int | None = None
     # Cap on records sharing one raw block key before salting/demotion kicks in.
     hot_key_threshold: int = 5000
+    # Segments scheme: join on xxhash64(key) bigints instead of raw
+    # 'i|len|segment' strings (segments of multi-KB fingerprints otherwise
+    # dominate shuffle bytes). Complete: equal segments hash equal; a hash
+    # collision only adds a candidate pair that scoring rejects.
+    hash_block_keys: bool = True
 
     # --- scale knobs ------------------------------------------------------
     shuffle_partitions: int | None = None  # None -> leave session value

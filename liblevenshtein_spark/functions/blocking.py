@@ -67,37 +67,49 @@ def deletion_neighborhood(col: str, depth: int) -> Column:
     return F.expr(expr)
 
 
-def segment_keys(col: str, k: int) -> Column:
-    """array<string> of k even-segment keys 'i|len|segment' for the string.
+def segment_keys(col: str, k: int, hashed: bool = False) -> Column:
+    """array of k even-segment keys (i, len, segment) for the string.
 
     Segment i of a length-L string spans [floor(i*L/k), floor((i+1)*L/k)).
     The target length L is part of the key because probe-side boundaries
-    depend on it (PassJoin length grouping)."""
+    depend on it (PassJoin length grouping).
+
+    hashed=True emits xxhash64(i, len, segment) bigints instead of
+    'i|len|segment' strings: fingerprint segments are multi-KB, so string
+    keys make the blocking join shuffle megabytes per row; a 64-bit hash
+    keeps completeness (equal segments hash equal) and a collision merely
+    adds a candidate pair that scoring rejects."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    return F.expr(
-        f"transform(sequence(0, {k} - 1), i -> concat_ws('|', i, length({col}), "
+    seg = (
         f"substring({col}, cast(floor(i * length({col}) / {k}) as int) + 1, "
         f"cast(floor((i + 1) * length({col}) / {k}) as int) - "
-        f"cast(floor(i * length({col}) / {k}) as int))))"
+        f"cast(floor(i * length({col}) / {k}) as int))"
     )
+    key = (f"xxhash64(i, length({col}), {seg})" if hashed
+           else f"concat_ws('|', i, length({col}), {seg})")
+    return F.expr(f"transform(sequence(0, {k} - 1), i -> {key})")
 
 
-def probe_keys(col: str, k: int, n: int) -> Column:
-    """array<string> of probe keys: for every candidate partner length
+def probe_keys(col: str, k: int, n: int, hashed: bool = False) -> Column:
+    """array of probe keys: for every candidate partner length
     lv in [len-n, len+n], every segment index i and every alignment shift
     d in [-n, n], the substring of this string where partner-segment i would
-    sit — keyed 'i|lv|substr' to match `segment_keys` of the partner."""
+    sit — keyed (i, lv, substr) to match `segment_keys` of the partner
+    (hashed=True mirrors segment_keys' xxhash64 bigint form)."""
     if n < 0:
         raise ValueError("n must be >= 0")
     L = f"length({col})"
     lo = f"greatest({L} - {n}, 0)"
     start = f"cast(floor(i * lv / {k}) as int)"
     seglen = f"(cast(floor((i + 1) * lv / {k}) as int) - cast(floor(i * lv / {k}) as int))"
+    sub = f"substring({col}, {start} + d + 1, {seglen})"
+    key = (f"xxhash64(i, lv, {sub})" if hashed
+           else f"concat_ws('|', i, lv, {sub})")
     inner = (
         f"filter(transform(sequence(-{n}, {n}), d -> "
         f"CASE WHEN {start} + d >= 0 AND {start} + d + {seglen} <= {L} "
-        f"THEN concat_ws('|', i, lv, substring({col}, {start} + d + 1, {seglen})) END), "
+        f"THEN {key} END), "
         f"key -> key IS NOT NULL)"
     )
     return F.expr(

@@ -43,8 +43,9 @@ def block_keys(entities: DataFrame, conf: LinkConfig, id_col: str = "conv_id",
         built = exploded_keys(entities, id_col, text_col, keys)
         return built, built
     k = conf.effective_segments
-    built = exploded_keys(entities, id_col, text_col, segment_keys(text_col, k))
-    probes = exploded_keys(entities, id_col, text_col, probe_keys(text_col, k, n))
+    hashed = conf.hash_block_keys
+    built = exploded_keys(entities, id_col, text_col, segment_keys(text_col, k, hashed))
+    probes = exploded_keys(entities, id_col, text_col, probe_keys(text_col, k, n, hashed))
     return built, probes
 
 
