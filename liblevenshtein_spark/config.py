@@ -61,6 +61,13 @@ class LinkConfig:
             raise ValueError(f"algorithm must be one of {ALGORITHMS}")
         if self.max_distance < 0:
             raise ValueError("max_distance must be >= 0")
+        # The banded kernel stores DP cells as uint8 (values <= n+2), so the
+        # distance budget is capped; surface that at config time instead of
+        # deep inside an executor task (kernels.banded._MAX_N).
+        if self.max_distance > 200:
+            raise ValueError(
+                "max_distance must be <= 200 (uint8 DP-cell kernel limit)"
+            )
         if self.blocking_scheme not in ("segments", "deletions"):
             raise ValueError("blocking_scheme must be 'segments' or 'deletions'")
 

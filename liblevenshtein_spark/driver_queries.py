@@ -503,7 +503,9 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows over the events table (30-minute inactivity
     gap): Spark's native session_window; the DuckDB oracle is the classic
     gaps-and-islands formulation. Values are summed in exact integer cents
-    so float addition order cannot break hash parity."""
+    so float addition order cannot break hash parity, and session bounds are
+    emitted as epoch-millis bigints (raw timestamp columns stringify
+    differently across harness hashers — tz/precision rendering)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -513,8 +515,8 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
             "n_events", "sum_value_cents",
         )
     )
@@ -526,7 +528,11 @@ def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(
         F.count("*").cast("int").alias("n_events"),
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        # coalesce pins the all-null-group case to a concrete bigint 0 —
+        # nullable aggregate rendering is hasher-sensitive across harnesses
+        F.coalesce(
+            F.sum(F.get_json_object("props", "$.k").cast("long")), F.lit(0).cast("long")
+        ).alias("sum_k"),
         F.countDistinct("user_id").cast("int").alias("n_users"),
     )
 
@@ -726,15 +732,15 @@ s AS (
   FROM m
 )
 SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
        CAST(count(*) AS INT) AS n_events,
        sum(cents) AS sum_value_cents
 FROM s GROUP BY user_id, sess""",
     "event_json_stats": """
 SELECT event_type,
        CAST(count(*) AS INT) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
        CAST(count(DISTINCT user_id) AS INT) AS n_users
 FROM events GROUP BY event_type""",
     "multimodal_meta": """

@@ -110,17 +110,23 @@ def batch_banded_distance_arrow(a_arr, b_arr, n: int, algorithm: str = "standard
     if bsz == 0:
         return np.empty(0, dtype=np.int32)
 
+    def _fallback():
+        # Nulls become "" (same semantics as the pandas-UDF fillna("") path).
+        a_list = ["" if s is None else s for s in a_arr.to_pylist()]
+        b_list = ["" if s is None else s for s in b_arr.to_pylist()]
+        return batch_banded_distance(a_list, b_list, n, algorithm)
+
     da = _arrow_parts(a_arr)
     db = _arrow_parts(b_arr)
     if da is None or db is None:
-        return batch_banded_distance(a_arr.to_pylist(), b_arr.to_pylist(), n, algorithm)
+        return _fallback()
     a_off, a_buf = da
     b_off, b_buf = db
     # ASCII check: any byte >= 0x80 means multi-byte codepoints somewhere
     if (a_buf.size and int(a_buf.max(initial=0)) >= 128) or (
         b_buf.size and int(b_buf.max(initial=0)) >= 128
     ):
-        return batch_banded_distance(a_arr.to_pylist(), b_arr.to_pylist(), n, algorithm)
+        return _fallback()
 
     la = (a_off[1:] - a_off[:-1]).astype(np.int64)
     lb = (b_off[1:] - b_off[:-1]).astype(np.int64)

@@ -88,10 +88,10 @@ def run_scored_waves(
     done_waves = 0
     for wave in range(waves):
         wave_pairs = todo.filter(F.pmod(F.col("bucket"), F.lit(waves)) == wave)
+        # `bucket` rides through the mapInArrow kernel as a passthrough
+        # column, so no join-back against pairs_b is needed.
         scored = score_pairs(
             wave_pairs, entities, conf, id_col=id_col, text_col=text_col
-        ).join(
-            pairs_b.select("id_a", "id_b", "bucket"), ["id_a", "id_b"]
         )
         scored.write.mode("append").partitionBy("bucket").parquet(_scored_path(out_dir))
 

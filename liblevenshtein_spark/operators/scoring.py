@@ -51,7 +51,11 @@ def attach_texts(
     texts never ride through the blocking join (SURVEY.md §4.2)."""
     ea = entities.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     eb = entities.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    return pairs.join(ea, "id_a").join(eb, "id_b")
+    # equi-joins put the join key first; re-select to keep the caller's
+    # column order stable (it flows through score_attached's passthrough)
+    return pairs.join(ea, "id_a").join(eb, "id_b").select(
+        *pairs.columns, "text_a", "text_b"
+    )
 
 
 def score_pairs(
@@ -74,31 +78,44 @@ def score_pairs(
     return score_attached(attach_texts(pairs, entities, id_col, text_col), conf)
 
 
-def score_attached(with_texts: DataFrame, conf: LinkConfig) -> DataFrame:
-    """Scoring stage proper over a pre-joined (id_a, id_b, text_a, text_b)
-    frame: native length-band filter, then the mapInArrow kernel. Split out
-    so benchmarks can checkpoint the join and time pure scoring."""
+def score_attached(with_texts: DataFrame, conf: LinkConfig,
+                   text_a: str = "text_a", text_b: str = "text_b",
+                   drop_texts: bool = True) -> DataFrame:
+    """Scoring stage proper over a pre-joined frame carrying two text
+    columns: native length-band filter, then the mapInArrow kernel. Split out
+    so benchmarks can checkpoint the join and time pure scoring.
+
+    Every column except the two text columns is passed through unchanged
+    (original types preserved — non-string ids work), with `distance: int`
+    appended. By default the text columns are dropped so multi-KB payloads
+    never ride past the kernel; `drop_texts=False` keeps them (short-term
+    workloads like transduce, where the output wants the words)."""
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     n = conf.max_distance
     algorithm = conf.algorithm
     feasible = with_texts.filter(
-        F.abs(F.length("text_a") - F.length("text_b")) <= n
-    ).select("id_a", "id_b", "text_a", "text_b")
+        F.abs(F.length(text_a) - F.length(text_b)) <= n
+    )
+    dropped = () if not drop_texts else (text_a, text_b)
+    keep = [f for f in feasible.schema.fields if f.name not in dropped]
+    keep_names = [f.name for f in keep]
+    out_schema = StructType(list(keep) + [StructField("distance", IntegerType())])
 
     def score(batches):
-        import pyarrow as pa
-
         from ..kernels.banded import batch_banded_distance_arrow
 
         for batch in batches:
             d = batch_banded_distance_arrow(
-                batch.column("text_a"), batch.column("text_b"), n, algorithm
+                batch.column(text_a), batch.column(text_b), n, algorithm
             )
             yield pa.RecordBatch.from_arrays(
-                [batch.column("id_a"), batch.column("id_b"), pa.array(d)],
-                ["id_a", "id_b", "distance"],
+                [batch.column(c) for c in keep_names] + [pa.array(d, type=pa.int32())],
+                keep_names + ["distance"],
             )
 
-    return feasible.mapInArrow(score, "id_a string, id_b string, distance int")
+    return feasible.mapInArrow(score, out_schema)
 
 
 def score_pairs_pandas(
@@ -185,10 +202,17 @@ def score_pairs_grouped(
             {"id_a": sub["id_a"].values, "id_b": sub["id_b"].values, "distance": d}
         )
 
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("id_a", pairs.schema["id_a"].dataType),
+        StructField("id_b", pairs.schema["id_b"].dataType),
+        StructField("distance", IntegerType()),
+    ])
     return (
         pb.groupBy("bucket")
         .cogroup(ents.groupBy("bucket"))
-        .applyInPandas(score, "id_a string, id_b string, distance int")
+        .applyInPandas(score, out_schema)
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..config import LinkConfig
 from ..functions.blocking import deletion_neighborhood, probe_keys, segment_keys
-from .scoring import distance_udf
+from .scoring import score_attached
 
 __all__ = ["compile_dictionary", "transduce"]
 
@@ -71,13 +71,13 @@ def transduce(
         .select("query_id", "query_term", "candidate")
         .dropDuplicates(["query_id", "candidate"])
     )
-    dist = distance_udf(conf.max_distance, conf.algorithm)
-    out = (
-        cands
-        .filter(F.abs(F.length("query_term") - F.length("candidate")) <= conf.max_distance)
-        .withColumn("distance", dist(F.col("query_term"), F.col("candidate")))
-        .filter(F.col("distance") <= conf.max_distance)
-    )
+    # Same mapInArrow kernel node as the pipeline's score_pairs (scoring.py):
+    # the length-band prefilter is applied inside score_attached, and a
+    # map-partitions node cannot be duplicated by Catalyst, so the
+    # distance-filter below never re-runs the kernel.
+    out = score_attached(
+        cands, conf, text_a="query_term", text_b="candidate", drop_texts=False
+    ).filter(F.col("distance") <= conf.max_distance)
     if not conf.include_distance:
         out = out.drop("distance")
     return out

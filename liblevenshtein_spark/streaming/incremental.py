@@ -106,14 +106,29 @@ def _link_batch(
     entities = canon.select("conv_id", "fingerprint")
 
     old_build = _read_or_none(spark, dict_path)
+    old_entities = _read_or_none(spark, ent_path)
+    if old_build is not None and old_entities is None:
+        # Crash window: a prior batch appended dict_keys but died before the
+        # entities append. dict_keys without texts cannot be scored against;
+        # fail loudly with a repair hint instead of an opaque AttributeError.
+        raise RuntimeError(
+            f"inconsistent linkage state under {state_dir!r}: {dict_path} "
+            f"exists but {ent_path} does not (batch died between the "
+            "dict_keys and entities appends). Delete dict_keys/ to rebuild "
+            "state from the entities table, or delete the whole state dir "
+            "to replay from the checkpoint."
+        )
     if old_build is not None:
-        old_entities = _read_or_none(spark, ent_path).select("conv_id", "fingerprint")
+        old_entities = old_entities.select("conv_id", "fingerprint")
         # new-probe x old-build only: old x old pairs were emitted by the
-        # batches that introduced them. No canonical-order collapse here —
-        # the two sides are disjoint id sets (new conv_ids are new).
+        # batches that introduced them. The _ida != _idb guard matters on
+        # replay: after a partially-folded batch (or any re-seen conv_id)
+        # a conversation would otherwise join itself via old state and emit
+        # distance-0 self-match edges.
         cross = (
             probe.select(F.col("conv_id").alias("_ida"), "block_key")
             .join(old_build.select(F.col("conv_id").alias("_idb"), "block_key"), "block_key")
+            .filter(F.col("_ida") != F.col("_idb"))
             .select(
                 F.least("_ida", "_idb").alias("id_a"),
                 F.greatest("_ida", "_idb").alias("id_b"),

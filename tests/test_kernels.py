@@ -156,3 +156,29 @@ def test_arrow_entry_matches_list_entry():
     sl_a, sl_b = pa.array(a).slice(2, 3), pa.array(b).slice(2, 3)
     assert batch_banded_distance_arrow(sl_a, sl_b, 2, "standard").tolist() == \
         batch_banded_distance(a[2:5], b[2:5], 2, "standard").tolist()
+
+
+def test_arrow_entry_null_fallback():
+    """Nulls take the list fallback with None -> '' (the pandas-UDF
+    fillna('') semantics) instead of crashing (round-2 ADVICE fix)."""
+    import pyarrow as pa
+    from liblevenshtein_spark.kernels.banded import (
+        batch_banded_distance, batch_banded_distance_arrow)
+
+    a = pa.array(["kitten", None, "abc", None])
+    b = pa.array(["sitten", "ab", None, None])
+    got = batch_banded_distance_arrow(a, b, 2, "standard").tolist()
+    want = batch_banded_distance(["kitten", "", "abc", ""],
+                                 ["sitten", "ab", "", ""], 2, "standard").tolist()
+    assert got == want
+
+
+def test_config_rejects_kernel_overflow_distance():
+    """max_distance beyond the uint8 kernel cap fails at config time, not
+    deep inside an executor task (round-2 ADVICE fix)."""
+    import pytest as _pytest
+    from liblevenshtein_spark.config import LinkConfig
+
+    with _pytest.raises(ValueError, match="200"):
+        LinkConfig(max_distance=201)
+    LinkConfig(max_distance=200)  # boundary accepted

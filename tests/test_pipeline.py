@@ -127,3 +127,25 @@ def test_score_pairs_arrow_matches_pandas_udf(spark):
         want = {tuple(r) for r in score_pairs_pandas(pairs, ents, conf).collect()}
         got = {tuple(r) for r in score_pairs(pairs, ents, conf).collect()}
         assert got == want and len(want) > 0, algo
+
+
+def test_score_pairs_preserves_id_types_and_passthrough(spark):
+    """Non-string ids keep their types through the mapInArrow scorer, and
+    extra pair columns ride through unchanged (round-2 ADVICE fix)."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.scoring import score_pairs
+
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    ents = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "zzz")],
+        "conv_id long, fingerprint string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 7), (1, 3, 9)], "id_a long, id_b long, bucket int"
+    )
+    out = score_pairs(pairs, ents, conf)
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id_a:bigint", "id_b:bigint", "bucket:int", "distance:int"
+    ]
+    rows = {(r.id_a, r.id_b, r.bucket, r.distance) for r in out.collect()}
+    assert rows == {(1, 2, 7, 1)}  # (1,3) fails the native length-band filter

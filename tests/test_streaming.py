@@ -126,3 +126,51 @@ def test_stream_turn_metrics_match_batch(spark, corpus, tmp_path):
     import datetime as dt
     closed = {w for w in want_all if w[1] <= max_ts - dt.timedelta(minutes=2)}
     assert got == closed and len(closed) > 0
+
+
+def test_replayed_conversation_never_self_matches(spark, tmp_path):
+    """A conv_id re-seen in a later micro-batch (CDC replay / duplicate
+    delivery) must not join itself via old state and emit distance-0
+    self-edges (round-2 ADVICE fix)."""
+    rows, _ = gen_transcript_rows(n_base=10, dup_fraction=0.5, max_edits=2, seed=11)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    src = str(tmp_path / "src")
+    # same full corpus written twice -> batch 2 replays every conv_id
+    df.coalesce(1).write.mode("append").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    q = start_incremental_linkage(stream, CONF, state)
+    q.awaitTermination(timeout=600)
+
+    m = matches_from_sink(spark, state)
+    assert m.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    got = {(r.id_a, r.id_b) for r in m.collect()}
+    batch_df, _ = _batch_matches(df)
+    want = {(r.id_a, r.id_b) for r in batch_df.collect()}
+    assert got == want
+
+
+def test_inconsistent_state_fails_loudly(spark, tmp_path):
+    """dict_keys present without entities (crash between the two appends)
+    must raise a repair-hint error, not an AttributeError (round-2 ADVICE
+    fix)."""
+    import pyspark.errors
+
+    rows, _ = gen_transcript_rows(n_base=4, dup_fraction=0.0, max_edits=1, seed=3)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+    # fabricate the crash window: dict_keys exists, entities does not
+    spark.createDataFrame(
+        [("cX", "k1", 5)], "conv_id string, block_key string, fp_len int"
+    ).write.parquet(state + "/dict_keys")
+
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    q = start_incremental_linkage(stream, CONF, state)
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException) as ei:
+        q.awaitTermination(timeout=600)
+    assert "inconsistent linkage state" in str(ei.value)
