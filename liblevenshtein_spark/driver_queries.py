@@ -262,8 +262,8 @@ def _word_queries(dictionary: DataFrame) -> DataFrame:
     )
 
 
-DUCK_WORDS = """
-WITH dict AS (
+_DUCK_WORDS_BODY = """
+dict AS (
   SELECT DISTINCT w AS term FROM (
     SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
     FROM documents
@@ -276,6 +276,77 @@ queries AS (
   FROM dict WHERE length(term) > 2
 )
 """
+
+DUCK_WORDS = "\nWITH " + _DUCK_WORDS_BODY
+
+
+def _bfs_transduce_sql(n: int, variant: str) -> str:
+    """DuckDB oracle for the restricted transduce variants as a shortest-path
+    BFS over the edit lattice, mirroring kernels/oracles.py EXACTLY: when the
+    next characters match, only the free match move is allowed (the
+    recursions short-circuit on equal heads), otherwise unit-cost edit moves
+    — so on the trap pair ("ca","abc") transposition yields the restricted 3,
+    not DuckDB's unrestricted damerau_levenshtein 2.
+
+    Completeness of the prefilters: restricted-transposition distance >=
+    unrestricted Damerau, so damerau_levenshtein <= n is a superset; a merge
+    (two chars -> one) or split is expressible as <= 2 plain edits, so
+    levenshtein <= 2n is a superset for merge_and_split. The BFS then
+    computes the exact restricted distance with cost capped at n."""
+    if variant == "transposition":
+        pre = f"damerau_levenshtein(q.query_term, d.term) <= {n}"
+        extra_moves = "(2, 2, 1, 'trans'),"
+    elif variant == "merge_and_split":
+        pre = f"levenshtein(q.query_term, d.term) <= {2 * n}"
+        extra_moves = "(1, 2, 1, 'split'), (2, 1, 1, 'merge'),"
+    else:
+        raise ValueError(variant)
+    return f"""
+WITH RECURSIVE {_DUCK_WORDS_BODY},
+pairs AS (
+  SELECT q.query_id, q.query_term, d.term AS candidate,
+         length(q.query_term) AS la, length(d.term) AS lb
+  FROM queries q CROSS JOIN dict d
+  WHERE abs(length(q.query_term) - length(d.term)) <= {n}
+    AND {pre}
+),
+moves(di, dj, c, kind) AS (
+  SELECT * FROM (VALUES
+    (1, 1, 0, 'match'), (1, 1, 1, 'sub'), (1, 0, 1, 'del'), (0, 1, 1, 'ins'),
+    {extra_moves}
+  ) v
+),
+bfs(query_id, candidate, i, j, cost) AS (
+  SELECT query_id, candidate, 0, 0, 0 FROM pairs
+  UNION
+  SELECT s.query_id, s.candidate, s.i + m.di, s.j + m.dj, s.cost + m.c
+  FROM bfs s
+  JOIN pairs p ON p.query_id = s.query_id AND p.candidate = s.candidate
+  CROSS JOIN moves m
+  WHERE CASE m.kind
+    WHEN 'match' THEN s.i < p.la AND s.j < p.lb
+      AND substring(p.query_term, s.i + 1, 1) = substring(p.candidate, s.j + 1, 1)
+    WHEN 'sub' THEN s.cost < {n} AND s.i < p.la AND s.j < p.lb
+      AND substring(p.query_term, s.i + 1, 1) <> substring(p.candidate, s.j + 1, 1)
+    WHEN 'del' THEN s.cost < {n} AND s.i < p.la
+      AND (s.j >= p.lb OR substring(p.query_term, s.i + 1, 1) <> substring(p.candidate, s.j + 1, 1))
+    WHEN 'ins' THEN s.cost < {n} AND s.j < p.lb
+      AND (s.i >= p.la OR substring(p.query_term, s.i + 1, 1) <> substring(p.candidate, s.j + 1, 1))
+    WHEN 'trans' THEN s.cost < {n} AND s.i + 1 < p.la AND s.j + 1 < p.lb
+      AND substring(p.query_term, s.i + 1, 1) <> substring(p.candidate, s.j + 1, 1)
+      AND substring(p.query_term, s.i + 1, 1) = substring(p.candidate, s.j + 2, 1)
+      AND substring(p.query_term, s.i + 2, 1) = substring(p.candidate, s.j + 1, 1)
+    WHEN 'split' THEN s.cost < {n} AND s.i < p.la AND s.j + 1 < p.lb
+      AND substring(p.query_term, s.i + 1, 1) <> substring(p.candidate, s.j + 1, 1)
+    WHEN 'merge' THEN s.cost < {n} AND s.i + 1 < p.la AND s.j < p.lb
+      AND substring(p.query_term, s.i + 1, 1) <> substring(p.candidate, s.j + 1, 1)
+  END
+)
+SELECT p.query_id, p.query_term, p.candidate, CAST(min(s.cost) AS INT) AS distance
+FROM bfs s
+JOIN pairs p ON p.query_id = s.query_id AND p.candidate = s.candidate
+WHERE s.i = p.la AND s.j = p.lb
+GROUP BY p.query_id, p.query_term, p.candidate"""
 
 
 def q_transduce_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +368,33 @@ def q_transduce_merge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = LinkConfig(algorithm="merge_and_split", max_distance=1, blocking_scheme="deletions")
     d = _word_dictionary(spark, sf_dir)
     return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+
+
+def q_scored_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 checkpoint ledger through the hard gate: score the candidate pairs
+    in bucketed waves with an INJECTED CRASH after wave 2, then resume — the
+    resumed job anti-joins the completed-bucket ledger so finished buckets
+    are never rescored (BASELINE.json north_star: killed job resumes without
+    rescoring). The final sink must equal the one-shot `score_pairs` result,
+    so this entry shares its oracle."""
+    import tempfile
+
+    from .operators.ledger import completed_buckets, run_scored_waves
+
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2, checkpoint_buckets=16)
+    pairs = q_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    canon = _canonical(spark, sf_dir).localCheckpoint(eager=True)
+    out = tempfile.mkdtemp(prefix="levledger_") + "/run"
+    try:
+        run_scored_waves(spark, pairs, canon, conf, out, waves=4, fail_after_waves=2)
+        raise AssertionError("injected failure did not fire")
+    except RuntimeError:
+        pass
+    n_before = completed_buckets(spark, out).count()
+    assert 0 < n_before < conf.checkpoint_buckets, n_before
+    scored = run_scored_waves(spark, pairs, canon, conf, out, waves=4)
+    return scored.select("id_a", "id_b", "distance")
 
 
 def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,6 +466,7 @@ LINKAGE_ORACLES: dict[str, str] = {
     ),
     "candidate_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
     "score_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
+    "scored_resume": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
     "matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
     "clusters": DUCK_TRANSCRIPTS + """,
 nodes AS (SELECT conv_id FROM canonical2),
@@ -394,6 +493,11 @@ SELECT q.query_id, q.query_term, d.term AS candidate,
        CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
 FROM queries q CROSS JOIN dict d
 WHERE levenshtein(q.query_term, d.term) <= 1""",
+    # restricted variants: DuckDB has no restricted damerau / merge-split
+    # function, so the oracle is an edit-lattice BFS (recursive CTE) that
+    # mirrors kernels/oracles.py move-for-move — see _bfs_transduce_sql.
+    "transduce_transposition": _bfs_transduce_sql(2, "transposition"),
+    "transduce_merge_split": _bfs_transduce_sql(1, "merge_and_split"),
     "dictionary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
     "stream_linkage_matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
 }
@@ -405,17 +509,15 @@ LINKAGE_QUERIES = {
     "block_metrics": q_block_metrics,
     "candidate_pairs": q_candidate_pairs,
     "score_pairs": q_score_pairs,
+    "scored_resume": q_scored_resume,
     "matches": q_matches,
     "clusters": q_clusters,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
-    "dictionary_roundtrip": q_dictionary_roundtrip,
-    "stream_linkage_matches": q_stream_linkage_matches,
-    # rows-only entries (DuckDB's damerau_levenshtein is UNRESTRICTED, ours
-    # is the reference's restricted variant; merge_and_split has no DuckDB
-    # analogue) — covered against naive-recursion oracles in pytest instead.
     "transduce_transposition": q_transduce_transposition,
     "transduce_merge_split": q_transduce_merge_split,
+    "dictionary_roundtrip": q_dictionary_roundtrip,
+    "stream_linkage_matches": q_stream_linkage_matches,
 }
 
 
@@ -455,8 +557,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+NGRAM_DF_CAP = 20  # stop-shingle guard ACTIVE in the registered entry
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return dedup.jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, df_cap=NGRAM_DF_CAP
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +574,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, bands=4, max_hamming=3)
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group assignment (keep-one-per-group) over the MinHash-LSH
+    pair set: transitive CC + min-id canonical."""
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_perms=16, bands=4, shingle_n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    return dedup.dedup_groups(docs, pairs)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,8 +622,10 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap): Spark's native session_window; the DuckDB oracle is the classic
     gaps-and-islands formulation. Values are summed in exact integer cents
     so float addition order cannot break hash parity, and session bounds are
-    emitted as epoch-millis bigints (raw timestamp columns stringify
-    differently across harness hashers — tz/precision rendering)."""
+    emitted as explicit microsecond ISO strings (raw timestamp columns
+    stringify differently across harness hashers — tz/precision rendering;
+    the events ts is TIMESTAMP_NTZ, so formatting is timezone-free on both
+    engines)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -515,8 +635,8 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
             "n_events", "sum_value_cents",
         )
     )
@@ -575,6 +695,36 @@ jac AS (
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.id_a
   JOIN sizes sb ON sb.doc_id = i.id_b
+)
+"""
+
+# MinHash signature / banding / LSH candidates + verified pairs, shared by
+# the dedup_minhash_lsh and dedup_groups oracles. Mirrors
+# operators/dedup.py minhash_lsh_pairs (16 perms, 4 bands, 3-shingles,
+# jaccard >= 0.5, portable 60-bit md5 hash family).
+DUCK_MINHASH = DUCK_SHINGLES + """,
+sigs AS (
+  SELECT doc_id, perm,
+         min(CAST(('0x' || substring(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
+  FROM shingles, (SELECT unnest(range(0, 16)) AS perm)
+  GROUP BY doc_id, perm
+),
+band_keys AS (
+  SELECT doc_id,
+         (CAST(CAST(perm // 4 AS INT) AS VARCHAR) || '|' ||
+          string_agg(CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ','
+                     ORDER BY CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_key
+  FROM sigs GROUP BY doc_id, perm // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_keys a JOIN band_keys b ON a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT c.id_a, c.id_b, j.jaccard
+  FROM cands c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.5
 )
 """
 
@@ -641,29 +791,39 @@ WITH keyed AS (SELECT doc_id, md5(text) AS dup_group FROM documents),
 groups AS (SELECT dup_group, min(doc_id) AS canonical_id FROM keyed GROUP BY dup_group)
 SELECT k.doc_id, k.dup_group, g.canonical_id, k.doc_id = g.canonical_id AS is_canonical
 FROM keyed k JOIN groups g USING (dup_group)""",
-    "dedup_ngram_jaccard": DUCK_SHINGLES + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5",
-    "dedup_minhash_lsh": DUCK_SHINGLES + """,
-sigs AS (
-  SELECT doc_id, perm,
-         min(CAST(('0x' || substring(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
-  FROM shingles, (SELECT unnest(range(0, 16)) AS perm)
-  GROUP BY doc_id, perm
+    # the oracle computes jaccard over ALL shingle-sharing pairs then
+    # restricts to the capped candidate set — value-identical to the capped
+    # Spark plan (the cap only prunes PAIR GENERATION, not the values)
+    "dedup_ngram_jaccard": DUCK_SHINGLES + f""",
+nostop AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY shingle
+        HAVING count(*) <= {NGRAM_DF_CAP}) f USING (shingle)
 ),
-band_keys AS (
-  SELECT doc_id,
-         (CAST(CAST(perm // 4 AS INT) AS VARCHAR) || '|' ||
-          string_agg(CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ','
-                     ORDER BY CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_key
-  FROM sigs GROUP BY doc_id, perm // 4
-),
-cands AS (
+candp AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM band_keys a JOIN band_keys b ON a.band_key = b.band_key
+  FROM nostop a JOIN nostop b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
 )
-SELECT c.id_a, c.id_b, j.jaccard
-FROM cands c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+SELECT j.id_a, j.id_b, j.jaccard
+FROM jac j JOIN candp c ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.5""",
+    "dedup_minhash_lsh": DUCK_MINHASH + "SELECT id_a, id_b, jaccard FROM mh_pairs",
+    "dedup_groups": DUCK_MINHASH + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION ALL SELECT id_b, id_a FROM mh_pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS doc_id, min(root) AS dup_group,
+       (node = min(root)) AS is_canonical
+FROM reach GROUP BY node""",
     "dedup_simhash": DUCK_TOKENS + """,
 tok_h AS (
   SELECT DISTINCT doc_id, tok,
@@ -732,8 +892,8 @@ s AS (
   FROM m
 )
 SELECT user_id,
-       epoch_ms(min(ts)) AS session_start_ms,
-       epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        CAST(count(*) AS INT) AS n_events,
        sum(cents) AS sum_value_cents
 FROM s GROUP BY user_id, sess""",
@@ -762,6 +922,7 @@ DATA_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_groups": q_dedup_groups,
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_topk,
     "embed_lsh_ann": q_embed_lsh_ann,  # rows-only: seeded-Gaussian LSH has no SQL analogue

@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 from ..functions.text import normalized_fingerprint, portable_hash64, tokens
 
 __all__ = [
-    "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_pairs",
-    "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs",
+    "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_for_pairs",
+    "jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash", "simhash_pairs", "dedup_groups",
 ]
 
 
@@ -86,13 +87,53 @@ def _pair_candidates(sh: DataFrame, id_col: str, df_cap: int | None) -> DataFram
     )
 
 
+def jaccard_for_pairs(sh: DataFrame, cands: DataFrame, threshold: float,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate pair set: each candidate pair is
+    joined to its two shingle sets (cost ∝ |cands| x shingles-per-doc), never
+    via the full shingle self-join — this is what keeps LSH/capped blocking
+    cheaper than no blocking at scale. Intersections are counted over ALL
+    shingles (stop shingles included), so the Jaccard value is exact even
+    when the candidate set came from a df-capped or banded generator.
+    Returns (id_a, id_b, jaccard >= threshold)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "id_a").join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, threshold: float = 0.6,
                   df_cap: int | None = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold, blocked on
     shared shingles: |A ∩ B| via a groupBy over the shingle join, |A ∪ B|
-    from per-doc shingle counts. Returns (id_a, id_b, jaccard)."""
+    from per-doc shingle counts. Returns (id_a, id_b, jaccard).
+
+    `df_cap` demotes shingles shared by more than df_cap docs from PAIR
+    GENERATION (the quadratic step) — they still count in every intersection
+    and denominator, so reported Jaccard values are exact; only pairs whose
+    shared shingles are ALL boilerplate are missed (the standard
+    recall/cost trade)."""
     sh = doc_shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        return jaccard_for_pairs(sh, _pair_candidates(sh, id_col, df_cap),
+                                 threshold, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -141,7 +182,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                       threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (n_perms / bands rows
     per band), bucket-join on (band, banded signature), then verify with
-    exact Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    exact Jaccard >= threshold computed ONLY for the LSH candidates
+    (jaccard_for_pairs) — verifying against the full shingle-sharing pair
+    stream would cost more than not using LSH at all. Returns
+    (id_a, id_b, jaccard)."""
     sig = minhash_signatures(df, id_col, text_col, n_perms, shingle_n)
     rows_per_band = n_perms // bands
     band_keys = (
@@ -161,8 +205,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = jaccard_pairs(df, id_col, text_col, shingle_n, threshold)
-    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sh = doc_shingles(df, id_col, text_col, shingle_n)
+    return jaccard_for_pairs(sh, cands, threshold, id_col)
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs -> keep-one-per-group: transitive closure of the pair
+    graph (large-star/small-star CC, operators.clustering) with the minimum
+    id as the group's canonical document — the "which docs survive dedup"
+    step a training pipeline runs after any pair generator (minhash / simhash
+    / jaccard / cosine). Returns (id, dup_group, is_canonical); singletons
+    are their own group."""
+    from .clustering import assign_clusters
+
+    groups = assign_clusters(
+        docs.select(id_col),
+        pairs.select(F.col("id_a"), F.col("id_b")),
+        id_col=id_col,
+    ).withColumnRenamed("cluster_id", "dup_group")
+    return groups.select(
+        id_col, "dup_group",
+        (F.col(id_col) == F.col("dup_group")).alias("is_canonical"),
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
