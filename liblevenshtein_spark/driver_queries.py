@@ -605,6 +605,58 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_ann_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def _lsh_ann_oracle_sql(threshold: float = 0.35, dim: int = 64,
+                        n_planes: int = 16, bands: int = 4,
+                        seed: int = 42) -> str:
+    """Full DuckDB oracle for the random-hyperplane LSH ANN path: the seeded
+    Gaussian hyperplanes (identical to ann.lsh_signature_udf's, same rng
+    stream) are embedded as SQL literals, so DuckDB recomputes the exact
+    sign-bit signatures, band buckets, candidate join and cosine verify —
+    the whole scale path is hash-gated, not just its output row count.
+    Sign agreement is float-robust: a bit could only flip if a dot product
+    sat within ~1e-13 of zero, which the seeded Gaussian planes make
+    vanishingly unlikely (checked at both test sfs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    bit_terms = []
+    for k in range(n_planes):
+        vec = ", ".join(repr(float(x)) for x in planes[:, k])
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(emb_d, [{vec}]) > 0 "
+            f"THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+        )
+    sig = "\n     + ".join(bit_terms)
+    chunk_bits = n_planes // bands
+    mask = (1 << chunk_bits) - 1
+    return f"""
+WITH embd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {sig} AS sig
+  FROM embd
+),
+chunks AS (
+  SELECT vec_id, CAST(c AS INT) AS chunk,
+         (sig >> (CAST(c AS INT) * {chunk_bits})) & {mask} AS chunk_val
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS c)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cosine
+FROM cands c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {threshold}"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index probed on ALL cells == brute force exactly, so this shares
     the ann_cosine_topk oracle; partial-probe recall is a pytest property
@@ -853,6 +905,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35""",
+    "embed_lsh_ann": _lsh_ann_oracle_sql(threshold=0.35),
     "ann_ivf_topk": """
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -925,7 +978,7 @@ DATA_QUERIES = {
     "dedup_groups": q_dedup_groups,
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_topk,
-    "embed_lsh_ann": q_embed_lsh_ann,  # rows-only: seeded-Gaussian LSH has no SQL analogue
+    "embed_lsh_ann": q_embed_lsh_ann,
     "ann_ivf_topk": q_ann_ivf_topk,
     "event_sessions": q_event_sessions,
     "event_json_stats": q_event_json_stats,

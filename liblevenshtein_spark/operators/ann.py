@@ -115,23 +115,35 @@ def lsh_ann_pairs(
 ) -> DataFrame:
     """Scale-path near-dup pairs: LSH-bucket join (signature bit-bands) then
     exact-cosine verify >= threshold. Candidate recall vs brute force is a
-    tested property, not an assumption (tests/test_ann.py)."""
+    tested property, not an assumption (tests/test_ann.py).
+
+    Only (id, sig) rides the bands-x explode and the bucket join; embedding
+    vectors are re-joined BY ID onto the deduped candidate pairs just before
+    the verify — the same narrow-join-then-attach shape as the linkage
+    scorer (scoring.attach_texts), cutting bucket-join shuffle bytes by
+    ~(bands x dim)."""
     sig = lsh_signature_udf(dim, n_planes, seed)
     signed = emb.select(F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("sig"))
     chunk_bits = n_planes // bands
     mask = (1 << chunk_bits) - 1
     chunks = signed.select(
-        id_col, vec_col,
+        id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("chunk"),
         F.col("sig"),
     ).withColumn("chunk_val", F.expr(f"shiftright(sig, cast(chunk as int) * {chunk_bits}) & {mask}"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "chunk", "chunk_val")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "chunk", "chunk_val")
-    return (
+    a = chunks.select(F.col(id_col).alias("id_a"), "chunk", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), "chunk", "chunk_val")
+    cands = (
         a.join(b, ["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
