@@ -32,7 +32,7 @@ WORKER_SRC = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
-from bench import build_corpus, hard_pairs
+from bench import ensure_corpus, hard_pairs
 from liblevenshtein_spark import LinkConfig
 from liblevenshtein_spark.operators.canonicalize import canonicalize
 from liblevenshtein_spark.operators.scoring import attach_texts, score_attached
@@ -50,7 +50,7 @@ spark = build_session(
     }},
 )
 conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="segments")
-transcripts = build_corpus(spark, sf_dir).localCheckpoint(eager=True)
+transcripts = spark.read.parquet(ensure_corpus(spark, sf_dir)).localCheckpoint(eager=True)
 canonical = canonicalize(transcripts).localCheckpoint(eager=True)
 hpairs, hentities = hard_pairs(canonical, variants=variants)
 # checkpoint the JOINED frame: the timed quantity is pairs SCORED per sec
