@@ -120,12 +120,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--target-pairs", type=int, default=1_500_000)
-    ap.add_argument("--score-partitions", type=int, default=128)
+    ap.add_argument("--target-pairs", type=int, default=3_000_000)
+    # None -> 2 x cores: Spark pays a fixed ~0.1-0.2 s Python-runner setup
+    # PER TASK (even with reused workers — measured, BASELINE.md "task-grain
+    # sizing"); a partition count proportional to cores keeps waves-per-core
+    # constant so that fixed cost cancels out of N-vs-4N throughput ratios,
+    # and tasks stay multi-second so it is amortized anyway
+    ap.add_argument("--score-partitions", type=int, default=None)
     ap.add_argument("--score-iterations", type=int, default=2)
-    ap.add_argument("--hard-variants", type=int, default=24)
+    ap.add_argument("--hard-variants", type=int, default=96)
     ap.add_argument("--arrow-batch", type=int, default=3072)
     args = ap.parse_args()
+    if args.score_partitions is None:
+        args.score_partitions = 2 * args.cpus
 
     spark = build_session(
         app_name="liblevenshtein-spark-bench",
@@ -199,8 +206,8 @@ def main() -> None:
     t0 = time.time()
     hp = (
         heavy_pairs(canonical, args.target_pairs)
-        .repartition(args.score_partitions)  # fixed task count: scaling runs
-        .localCheckpoint(eager=True)         # compare core counts, not plans
+        .repartition(args.score_partitions)  # 2 x cores: constant waves/core
+        .localCheckpoint(eager=True)         # across scaling configs
     )
     n_heavy = hp.count()
 

@@ -57,7 +57,10 @@ def synth_media(documents: DataFrame) -> DataFrame:
 
 def real_decode(payload: bytes, kind: str):
     """The production decode hook. Requires codec libraries absent from this
-    container."""
+    container. To use real codecs, pass a decoder with this signature to
+    `decode_media(media, decoder=...)` — the plumbing (schema, batching,
+    column pruning, nullable-int typing) is decoder-agnostic and tested with
+    an injected mock codec (tests/test_multimodal.py)."""
     raise NotImplementedError(
         "real media decoding requires PIL/torchaudio/pyav; wire them in here"
     )
@@ -76,14 +79,21 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     return meta
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas decode: one Arrow batch in, one metadata batch out.
-    Columns are pruned to (doc_id, kind, payload) regardless of input."""
+    Columns are pruned to (doc_id, kind, payload) regardless of input.
+
+    `decoder(payload: bytes, kind: str) -> dict` with keys n_bytes / sha1_8
+    / width / height / duration_ms plugs in the real codec; defaults to the
+    deterministic stub (`_fake_decode`). The callable is shipped to
+    executors by cloudpickle — any importable or closure-defined decoder
+    works."""
+    decode = decoder if decoder is not None else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                _fake_decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             out = pd.DataFrame(metas)
             out.insert(0, "kind", pdf["kind"].values)

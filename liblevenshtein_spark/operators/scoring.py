@@ -106,7 +106,7 @@ def score_attached(with_texts: DataFrame, conf: LinkConfig,
     def score(batches):
         from ..kernels.banded import batch_banded_distance_arrow
 
-        for batch in batches:
+        for batch in _prefetched(batches):
             d = batch_banded_distance_arrow(
                 batch.column(text_a), batch.column(text_b), n, algorithm
             )
@@ -116,6 +116,49 @@ def score_attached(with_texts: DataFrame, conf: LinkConfig,
             )
 
     return feasible.mapInArrow(score, out_schema)
+
+
+def _prefetched(batches, depth: int = 2):
+    """Optionally double-buffer the JVM->Python Arrow feed: a daemon thread
+    drains the input iterator (whose next() blocks on socket read + IPC
+    decode) into a small bounded queue, so deserializing batch k+1 overlaps
+    the kernel's compute on batch k.
+
+    DEFAULT OFF, by measurement (BASELINE.md "Arrow feed overlap"): when
+    Python workers >= cores — Spark's normal one-worker-per-task-slot layout
+    — a worker blocked on its socket read already yields its core to another
+    worker's kernel compute, so per-worker pipelining is redundant and the
+    extra thread costs 4-9% on the kernel-bound workload. Opt in with
+    LEVSPARK_PREFETCH=1 for deployments with more cores than workers
+    (oversized executors, GPU-adjacent decode stages)."""
+    import os
+
+    if os.environ.get("LEVSPARK_PREFETCH", "0") != "1":
+        yield from batches
+        return
+
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def reader():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(e)
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def score_pairs_pandas(

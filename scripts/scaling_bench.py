@@ -68,7 +68,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--target-pairs", type=int, default=3_000_000)
-    ap.add_argument("--hard-variants", type=int, default=48)
+    ap.add_argument("--hard-variants", type=int, default=96)
     ap.add_argument("--skip-small", action="store_true", help="skip the local[2]/local[8] pair")
     ap.add_argument("--attempts", type=int, default=2, help="runs per config; best kept")
     args = ap.parse_args()

@@ -99,3 +99,43 @@ def test_sample_frames_stub_plumbing(spark):
     for doc_id, idxs in per_doc.items():
         want = min(6, durations[doc_id] // 5000 + 1)
         assert sorted(idxs) == list(range(want))
+
+
+def test_injected_codec_drops_in(spark):
+    """A 'real' codec with the documented (payload, kind) -> meta signature
+    must drop into decode_media without any plumbing change: here a mock
+    codec that actually parses a tiny header format (width/height/duration
+    encoded in the first bytes) — proving the stub boundary is the only
+    thing that moves when PIL/pyav are available."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_spark.operators.multimodal import decode_media
+
+    def header_codec(payload: bytes, kind: str) -> dict:
+        w, h, dur = struct.unpack("<HHI", payload[:8])
+        return {
+            "n_bytes": len(payload),
+            "sha1_8": payload[8:16].decode("ascii"),
+            "width": w if kind in ("image", "video") else None,
+            "height": h if kind in ("image", "video") else None,
+            "duration_ms": dur if kind in ("audio", "video") else None,
+        }
+
+    rows = [
+        (1, "image", struct.pack("<HHI", 640, 480, 0) + b"aaaaaaaa" + b"px"),
+        (2, "audio", struct.pack("<HHI", 0, 0, 90_000) + b"bbbbbbbb"),
+        (3, "video", struct.pack("<HHI", 1920, 1080, 5_000) + b"cccccccc"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, kind string, payload binary")
+    got = {r.doc_id: r.asDict() for r in decode_media(media, decoder=header_codec).collect()}
+    assert got[1]["width"] == 640 and got[1]["height"] == 480
+    assert got[1]["duration_ms"] is None and got[1]["sha1_8"] == "aaaaaaaa"
+    assert got[2]["duration_ms"] == 90_000 and got[2]["width"] is None
+    assert got[3] == {"doc_id": 3, "kind": "video", "n_bytes": 16,
+                      "sha1_8": "cccccccc", "width": 1920, "height": 1080,
+                      "duration_ms": 5_000}
+    # default decoder unchanged (driver entry relies on it)
+    base = decode_media(media.filter(F.col("doc_id") == 1)).collect()[0]
+    assert base.n_bytes == 18
