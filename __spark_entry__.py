@@ -5,12 +5,14 @@ entry(spark)   — flagship: full record-linkage pipeline (canonicalize ->
                  corpus derived from sf0.001 documents; returns the cluster
                  assignment DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2.4 P1-P10 +
-                 A3 transduce variants).
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible entry;
-                 transposition / merge_and_split transduce are rows-only
-                 (DuckDB's damerau_levenshtein is the UNRESTRICTED variant;
-                 the reference's — and ours — is restricted; covered by
-                 naive-recursion oracles in pytest instead).
+                 A3 transduce variants + the training-data toolkit).
+oracle_sql()   — DuckDB-equivalent SQL for EVERY entry (no rows-only
+                 entries): the restricted transduce variants use an
+                 edit-lattice-BFS recursive CTE mirroring the
+                 naive-recursion oracles (DuckDB's damerau_levenshtein is
+                 the unrestricted variant, ours is restricted), and the
+                 LSH ANN oracle embeds the seeded hyperplanes as SQL
+                 literals so the whole scale path is recomputed in SQL.
 """
 
 from __future__ import annotations

@@ -221,6 +221,19 @@ def q_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_score_pairs(spark, sf_dir).filter(F.col("distance") <= 2)
 
 
+def q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 option: normalized similarity 1 - d / max(len) attached to the
+    scored pairs (operators.scoring.normalized_similarity), rounded for
+    hash-stable float rendering."""
+    from .operators.scoring import normalized_similarity
+
+    scored = q_score_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint")
+    return normalized_similarity(scored, canon).withColumn(
+        "similarity", F.round("similarity", 4)
+    )
+
+
 def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
@@ -467,6 +480,14 @@ LINKAGE_ORACLES: dict[str, str] = {
     "candidate_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
     "score_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
     "scored_resume": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
+    "similarity": DUCK_TRANSCRIPTS + """
+SELECT s.id_a, s.id_b, s.distance,
+       round(CASE WHEN greatest(ca.fp_len, cb.fp_len) = 0 THEN 1.0
+             ELSE 1.0 - CAST(s.distance AS DOUBLE) / greatest(ca.fp_len, cb.fp_len)
+             END, 4) AS similarity
+FROM scored s
+JOIN canonical2 ca ON ca.conv_id = s.id_a
+JOIN canonical2 cb ON cb.conv_id = s.id_b""",
     "matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
     "clusters": DUCK_TRANSCRIPTS + """,
 nodes AS (SELECT conv_id FROM canonical2),
@@ -510,6 +531,7 @@ LINKAGE_QUERIES = {
     "candidate_pairs": q_candidate_pairs,
     "score_pairs": q_score_pairs,
     "scored_resume": q_scored_resume,
+    "similarity": q_similarity,
     "matches": q_matches,
     "clusters": q_clusters,
     "topk_candidates": q_topk,
@@ -555,6 +577,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED fingerprint (lowercased,
+    non-alphanumerics stripped) — catches whitespace/punctuation-only dups
+    the byte-exact variant misses."""
+    return dedup.exact_dedup(_docs(spark, sf_dir), normalized=True)
 
 
 NGRAM_DF_CAP = 20  # stop-shingle guard ACTIVE in the registered entry
@@ -843,6 +872,15 @@ WITH keyed AS (SELECT doc_id, md5(text) AS dup_group FROM documents),
 groups AS (SELECT dup_group, min(doc_id) AS canonical_id FROM keyed GROUP BY dup_group)
 SELECT k.doc_id, k.dup_group, g.canonical_id, k.doc_id = g.canonical_id AS is_canonical
 FROM keyed k JOIN groups g USING (dup_group)""",
+    "dedup_exact_norm": """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS dup_group
+  FROM documents
+),
+groups AS (SELECT dup_group, min(doc_id) AS canonical_id FROM keyed GROUP BY dup_group)
+SELECT k.doc_id, k.dup_group, g.canonical_id, k.doc_id = g.canonical_id AS is_canonical
+FROM keyed k JOIN groups g USING (dup_group)""",
     # the oracle computes jaccard over ALL shingle-sharing pairs then
     # restricts to the capped candidate set — value-identical to the capped
     # Spark plan (the cap only prunes PAIR GENERATION, not the values)
@@ -972,6 +1010,7 @@ DATA_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

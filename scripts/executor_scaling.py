@@ -57,7 +57,7 @@ hpairs, hentities = hard_pairs(canonical, variants=variants)
 # (the scoring stage proper); the join is measured by the e2e bench
 attached = (
     attach_texts(hpairs, hentities)
-    .repartition(128)
+    .repartition(workers * cores * 2)  # 2 waves/core at every cluster size
     .localCheckpoint(eager=True)
 )
 n = attached.count()
@@ -93,7 +93,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--variants", type=int, default=24)
+    ap.add_argument("--variants", type=int, default=96)
     ap.add_argument("--attempts", type=int, default=2)
     args = ap.parse_args()
 
