@@ -81,7 +81,15 @@ spark.stop()
 def measure(workers: int, cores: int, sf_dir: str, variants: int) -> dict:
     src = WORKER_SRC.format(repo=REPO, workers=workers, cores=cores,
                             sf_dir=sf_dir, variants=variants)
-    out = subprocess.run([sys.executable, "-c", src], capture_output=True,
+    cmd = [sys.executable, "-c", src]
+    total = workers * cores
+    host = os.cpu_count() or total
+    if total < host:
+        # pin the whole tree (driver JVM + worker JVMs + Python workers) to
+        # exactly the cluster slice's cores — an unpinned 1-executor run
+        # free-rides on the idle cores and inflates the small-N baseline
+        cmd = ["taskset", "-c", f"0-{total - 1}", *cmd]
+    out = subprocess.run(cmd, capture_output=True,
                          text=True, cwd=REPO, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     r = json.loads(line)
@@ -94,7 +102,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--variants", type=int, default=96)
-    ap.add_argument("--attempts", type=int, default=2)
+    ap.add_argument("--attempts", type=int, default=3)
     args = ap.parse_args()
 
     best = {}
