@@ -97,10 +97,11 @@ def main() -> None:
                   "1 pinned process per core, best-of-%d" % args.attempts,
         "tput": best,
     }
-    pairs = sorted(best)
-    for lo, hi in zip(pairs, pairs[1:]):
-        if hi == 4 * lo:
-            result[f"efficiency_{lo}_to_{hi}"] = round(best[hi] / (4 * best[lo]), 3)
+    sizes = sorted(best)
+    for lo in sizes:
+        for hi in sizes:
+            if hi == 4 * lo:
+                result[f"efficiency_{lo}_to_{hi}"] = round(best[hi] / (4 * best[lo]), 3)
     with open(os.path.join(REPO, "BENCH_KERNEL_CONTROL.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -13,9 +13,9 @@ different things a real cluster keeps separate:
 * local[8] -> local[32] (the task brief's suggested proxy): at 32 threads
   the single shared JVM triples its thread count per task (task + Arrow
   writer + Python worker) and all workers share one L3/DRAM — resources a
-  real 4N-executor cluster scales along with the cores. A pure-numpy
-  32-process control (scripts in BENCH_SCALING.json note) shows the
-  hardware's own 8->32 ceiling for the kernel is ~0.75-0.85.
+  real 4N-executor cluster scales along with the cores. The per-core numpy
+  control (scripts/kernel_control.py, BENCH_KERNEL_CONTROL.json) puts the
+  hardware's own 8->32 ceiling for the kernel at 0.66-0.72.
 * local[2] -> local[8]: both configs run un-contended on shared hardware,
   so this isolates the engine's SOFTWARE scaling (task scheduling, driver,
   shuffle, skew) — the thing executor scale-out actually stresses and the
@@ -126,7 +126,7 @@ def main() -> None:
     p = result["pairs"]
     rows = {
         r"\| measured: pairs/sec @ local\[8\] \|[^\n]*":
-            "| measured: pairs/sec @ local[8] | {:,.0f} mixed / {:,.0f} kernel-bound | sf{}, seed=42, fixed 128-task pair set | `BENCH_SCALING.json` |".format(
+            "| measured: pairs/sec @ local[8] | {:,.0f} mixed / {:,.0f} kernel-bound | sf{}, seed=42, 2x-cores score partitions | `BENCH_SCALING.json` |".format(
                 r8["pairs_scored_per_sec"], r8["hard_pairs_scored_per_sec"], r8["sf"]),
         r"\| measured: pairs/sec @ local\[32\] \|[^\n]*":
             "| measured: pairs/sec @ local[32] | {:,.0f} mixed / {:,.0f} kernel-bound | same input + plan, 4x cores | `BENCH_SCALING.json` |".format(
