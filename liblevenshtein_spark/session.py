@@ -71,6 +71,14 @@ def build_session(
         # Arrow transport for pandas UDFs (the only JVM<->Python crossings).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark's 10 MB broadcast default is far below what this engine's
+        # executors carry: the scoring stage re-joins texts BY ID onto the
+        # (much larger) pair stream, and broadcasting an entity text table
+        # of up to ~128 MB avoids shuffling the pair stream twice —
+        # measured 7x on a 209k-entity / 629k-pair smoke (BASELINE.md
+        # "attach-join strategy"). Beyond the threshold AQE falls back to
+        # sort-merge, which is the correct plan at billions of entities.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

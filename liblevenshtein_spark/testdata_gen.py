@@ -69,12 +69,14 @@ def gen_transcript_rows(
     max_edits: int = 2,
     algorithm: str = "standard",
     seed: int = 42,
+    max_dups: int = 2,
 ):
     """Rows (conv_id, turn_idx, role, text, tool, ts) for n_base base
     conversations plus planted near-duplicates (1..max_edits unit edits of
-    the chosen variant applied inside single turns). Returns (rows,
-    planted) where planted maps dup conv_id -> (base conv_id, n_edits
-    upper bound)."""
+    the chosen variant applied inside single turns; 1..max_dups duplicates
+    per duplicated conversation — the default 2 preserves the historical
+    fixture stream). Returns (rows, planted) where planted maps dup
+    conv_id -> (base conv_id, n_edits upper bound)."""
     rng = random.Random(seed)
     rows, planted = [], {}
     for b in range(n_base):
@@ -89,7 +91,7 @@ def gen_transcript_rows(
                 _EPOCH + dt.timedelta(seconds=b * 1000 + t),
             ))
         if rng.random() < dup_fraction:
-            n_dups = rng.randint(1, 2)
+            n_dups = rng.randint(1, max_dups)
             for d in range(n_dups):
                 dup_id = f"conv_{b:05d}_dup{d}"
                 n_edits = rng.randint(1, max_edits)
