@@ -93,10 +93,22 @@ def segment_keys(col: str, k: int, hashed: bool = False) -> Column:
 
 def probe_keys(col: str, k: int, n: int, hashed: bool = False) -> Column:
     """array of probe keys: for every candidate partner length
-    lv in [len-n, len+n], every segment index i and every alignment shift
-    d in [-n, n], the substring of this string where partner-segment i would
-    sit — keyed (i, lv, substr) to match `segment_keys` of the partner
-    (hashed=True mirrors segment_keys' xxhash64 bigint form)."""
+    lv in [len-n, len+n] and every segment index i, the substrings of this
+    string where partner-segment i could sit — keyed (i, lv, substr) to
+    match `segment_keys` of the partner (hashed=True mirrors segment_keys'
+    xxhash64 bigint form).
+
+    The alignment shift d is NOT the naive [-n, n]: it uses PassJoin's
+    multi-match-aware substring selection (Li, Deng & Feng, "PassJoin: a
+    partition-based method for similarity joins", PVLDB 5(3), §4.2) —
+    d ∈ [max(-i, Δ - (k-1-i)), min(i, Δ + (k-1-i))] with Δ = len - lv:
+    at most i errors can shift the match left of partner-segment i's
+    position, and the remaining k-1-i partitions bound the right shift
+    through the length difference. Completeness is collective (SOME
+    feasible partition of a within-n partner matches inside its window,
+    not every one) and is gated by the recall=1.0 tests in
+    tests/test_blocking.py. For equal lengths this cuts shifts per segment
+    from 2n+1 to min(i, k-1-i)*2+1 — ~2x fewer probe rows at k=3."""
     if n < 0:
         raise ValueError("n must be >= 0")
     L = f"length({col})"
@@ -106,8 +118,13 @@ def probe_keys(col: str, k: int, n: int, hashed: bool = False) -> Column:
     sub = f"substring({col}, {start} + d + 1, {seglen})"
     key = (f"xxhash64(i, lv, {sub})" if hashed
            else f"concat_ws('|', i, lv, {sub})")
+    delta = f"({L} - lv)"
+    lo_d = f"greatest(-i, {delta} - ({k} - 1 - i), -{n})"
+    hi_d = f"least(i, {delta} + ({k} - 1 - i), {n})"
     inner = (
-        f"filter(transform(sequence(-{n}, {n}), d -> "
+        f"filter(transform("
+        f"CASE WHEN {lo_d} <= {hi_d} THEN sequence({lo_d}, {hi_d}) "
+        f"ELSE array() END, d -> "
         f"CASE WHEN {start} + d >= 0 AND {start} + d + {seglen} <= {L} "
         f"THEN {key} END), "
         f"key -> key IS NOT NULL)"

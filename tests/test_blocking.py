@@ -98,3 +98,41 @@ def test_hot_key_salting_equivalence(spark):
     salted = LinkConfig(algorithm="standard", max_distance=1, blocking_scheme="segments",
                         hot_key_threshold=5)
     assert _spark_pairs(spark, items, base) == _spark_pairs(spark, items, salted)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_multi_match_aware_window_boundaries(spark, n):
+    """Adversarial gate for the PassJoin multi-match-aware probe window:
+    pairs built by editing exactly at segment boundaries (where an
+    off-by-one in the d-window silently loses recall) across many lengths,
+    including inserts/deletes that shift every later segment."""
+    import random
+
+    rng = random.Random(13)
+    items = []
+    pid = 0
+    for L in list(range(3, 40)) + [63, 64, 65, 100, 101]:
+        base = "".join(rng.choice("abcdef") for _ in range(L))
+        items.append((f"b{pid:04d}", base))
+        k = n + 1  # segments for the standard scheme
+        bounds = sorted({(i * L) // k for i in range(k)} | {L - 1, 0})
+        for which, pos in enumerate(bounds):
+            s = base
+            for e in range(n):
+                p = min(pos + e, len(s) - 1)
+                op = rng.choice(["del", "ins", "sub"])
+                if op == "del" and len(s) > 1:
+                    s = s[:p] + s[p + 1:]
+                elif op == "ins":
+                    s = s[:p] + rng.choice("xyz") + s[p:]
+                else:
+                    s = s[:p] + rng.choice("xyz") + s[p + 1:]
+            items.append((f"e{pid:04d}_{which}", s))
+        pid += 1
+
+    conf = LinkConfig(algorithm="standard", max_distance=n,
+                      blocking_scheme="segments", hot_key_threshold=10_000)
+    got = _spark_pairs(spark, items, conf)
+    want = brute_force_pairs(items, n, "standard")
+    assert len(want) > 50
+    assert want <= got, f"missed {sorted(want - got)[:10]}"
