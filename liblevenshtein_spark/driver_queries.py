@@ -180,6 +180,17 @@ def q_block_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_keys(spark, sf_dir)
 
 
+def q_block_keys_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 q-gram option: positional q-gram blocking keys over the documents
+    table (high-recall heuristic scheme; the completeness-gated schemes are
+    deletions/segments)."""
+    from .functions.blocking import qgram_keys
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(qgram_keys("text", q=3, pos_bucket=8)).alias("block_key")
+    ).distinct()
+
+
 def q_block_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = _sig_keys(spark, sf_dir)
     return (
@@ -473,6 +484,17 @@ LINKAGE_ORACLES: dict[str, str] = {
     "transcripts": DUCK_TRANSCRIPTS + "SELECT conv_id, turn_idx, role, text, tool FROM transcripts",
     "canonicalize": DUCK_TRANSCRIPTS + "SELECT conv_id, n_turns, fingerprint, fp_len FROM canonical2",
     "block_keys": DUCK_TRANSCRIPTS + "SELECT conv_id, block_key FROM sig_keys",
+    "block_keys_qgram": """
+SELECT DISTINCT doc_id,
+       CASE WHEN length(text) < 3 THEN '0|' || text
+            ELSE CAST(CAST((p - 1) // 8 AS INT) AS VARCHAR) || '|' || substring(text, CAST(p AS INT), 3)
+       END AS block_key
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - 1, 2))) AS p
+  FROM documents
+)
+WHERE length(text) >= 3 OR p = 1""",
     "block_metrics": DUCK_TRANSCRIPTS + (
         "SELECT block_key, CAST(count(*) AS INT) AS n_records FROM sig_keys "
         "GROUP BY block_key HAVING count(*) > 1"
@@ -527,6 +549,7 @@ LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
     "block_keys": q_block_keys,
+    "block_keys_qgram": q_block_keys_qgram,
     "block_metrics": q_block_metrics,
     "candidate_pairs": q_candidate_pairs,
     "score_pairs": q_score_pairs,
