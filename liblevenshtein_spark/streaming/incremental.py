@@ -47,6 +47,7 @@ from ..sources.tables import TRANSCRIPTS_SCHEMA
 __all__ = [
     "stream_transcripts",
     "start_incremental_linkage",
+    "compact_state",
     "matches_from_sink",
     "clusters_from_sink",
     "stream_turn_metrics",
@@ -170,6 +171,39 @@ def start_incremental_linkage(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> dict:
+    """Rewrite the append-only linkage state deduplicated: replayed batches
+    append duplicate (conv_id, block_key) / (conv_id, ...) rows, and a
+    long-running stream pays for them in every cross join. Run this
+    offline (stream stopped) — it atomically replaces dict_keys/ and
+    entities/ with deduped copies and returns before/after row counts.
+
+    At cluster scale this is the Iceberg rewrite-data-files maintenance
+    job; here it is a parquet rewrite via a temp dir + directory swap."""
+    import shutil
+    import tempfile
+
+    out = {}
+    for sub, keys in (("dict_keys", ["conv_id", "block_key"]),
+                      ("entities", ["conv_id"])):
+        path = os.path.join(state_dir, sub)
+        df = _read_or_none(spark, path)
+        if df is None:
+            continue
+        before = df.count()
+        tmp = tempfile.mkdtemp(prefix=f"compact_{sub}_",
+                               dir=os.path.dirname(path.rstrip("/")))
+        deduped = df.dropDuplicates(keys)
+        deduped.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        out[sub] = {"before": before, "after": after}
+    return out
 
 
 def matches_from_sink(spark: SparkSession, state_dir: str) -> DataFrame:

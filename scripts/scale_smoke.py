@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-base", type=int, default=30_000)
     ap.add_argument("--variants", type=int, default=11)
+    # skew stress: N extra conversations sharing ONE fingerprint — every
+    # blocking key they produce is hot (count >> hot_key_threshold), forcing
+    # the salted grid path to carry a C(N,2) true-duplicate clique through
+    # score -> match -> CC without a straggler task or OOM
+    ap.add_argument("--hot-convs", type=int, default=0)
     args = ap.parse_args()
 
     spark = build_session(
@@ -66,7 +71,17 @@ def main() -> None:
 
     t: dict[str, float] = {}
     t0 = time.time()
-    transcripts = spark.read.parquet(cache).localCheckpoint(eager=True)
+    transcripts = spark.read.parquet(cache)
+    if args.hot_convs:
+        boiler = [
+            (f"hot_{i:06d}", j, "user",
+             "please run the tool and report status", "", None)
+            for i in range(args.hot_convs) for j in range(3)
+        ]
+        transcripts = transcripts.unionByName(
+            spark.createDataFrame(boiler, TRANSCRIPTS_SCHEMA)
+        )
+    transcripts = transcripts.localCheckpoint(eager=True)
     transcripts.count()
     t["load"] = round(time.time() - t0, 1)
 
@@ -105,6 +120,9 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    if args.hot_convs:  # skew run: report only, keep the standard row
+        spark.stop()
+        return
     row = ("| measured: 12x-scale pipeline smoke | {e:,} entities -> {p:,} blocked pairs -> "
            "{m:,} matches -> {c:,} clusters in ~{tot:.0f} s (block {b:.0f} / score {s:.0f} / CC {cc:.0f}) "
            "| local[{cpu}], dense near-dup corpus ({v} planted variants/entity), full pipeline, no spill/OOM "

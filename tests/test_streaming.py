@@ -174,3 +174,47 @@ def test_inconsistent_state_fails_loudly(spark, tmp_path):
     with pytest.raises(pyspark.errors.exceptions.base.PySparkException) as ei:
         q.awaitTermination(timeout=600)
     assert "inconsistent linkage state" in str(ei.value)
+
+
+def test_compact_state_dedups_and_preserves_results(spark, tmp_path):
+    """After replayed batches bloat the append-only state, compact_state
+    must shrink dict_keys/entities to their deduped row counts WITHOUT
+    changing the match set, and the stream must keep working against the
+    compacted state."""
+    from liblevenshtein_spark.streaming import compact_state
+
+    rows, _ = gen_transcript_rows(n_base=10, dup_fraction=0.5, max_edits=2, seed=21)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("append").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)  # replay -> duplicate state
+
+    state = str(tmp_path / "state")
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state)
+    q.awaitTermination(timeout=600)
+    before = {(r.id_a, r.id_b, r.distance)
+              for r in matches_from_sink(spark, state).collect()}
+
+    stats = compact_state(spark, state)
+    assert stats["dict_keys"]["after"] < stats["dict_keys"]["before"]
+    assert stats["entities"]["after"] < stats["entities"]["before"]
+    n_conv = df.select("conv_id").distinct().count()
+    assert stats["entities"]["after"] == n_conv
+
+    after = {(r.id_a, r.id_b, r.distance)
+             for r in matches_from_sink(spark, state).collect()}
+    assert after == before
+
+    # new data arriving after compaction still links against old state
+    rows2, _ = gen_transcript_rows(n_base=10, dup_fraction=0.5, max_edits=2, seed=21)
+    extra = (spark.createDataFrame(rows2, TRANSCRIPTS_SCHEMA)
+             .withColumn("conv_id", F.concat(F.lit("re_"), F.col("conv_id"))))
+    extra.coalesce(1).write.mode("append").parquet(src)
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state)
+    q.awaitTermination(timeout=600)
+    m = matches_from_sink(spark, state)
+    # re_X is a copy of X -> every original conv matches its re_ twin
+    cross = m.filter(F.col("id_b").startswith("re_") | F.col("id_a").startswith("re_"))
+    assert cross.count() >= n_conv
