@@ -90,14 +90,28 @@ def main() -> None:
     n_entities = canonical.count()
     t["canonicalize"] = round(time.time() - t0, 1)
 
+    # exact-duplicate contraction (plans.pipeline.exact_groups): boilerplate
+    # conversations collapse to one representative before the quadratic
+    # stages; the cluster partition is provably identical (test_pipeline)
     t0 = time.time()
-    build, probe = block_keys(canonical, conf)
+    from liblevenshtein_spark.plans.pipeline import exact_groups
+
+    membership = exact_groups(canonical).localCheckpoint(eager=True)
+    reps = canonical.join(
+        membership.filter(F.col("conv_id") == F.col("_rep")).select("conv_id"),
+        "conv_id",
+    ).localCheckpoint(eager=True)
+    n_reps = reps.count()
+    t["contract"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    build, probe = block_keys(reps, conf)
     pairs = candidate_pairs(build, probe, conf).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     t["block"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    scored = score_pairs(pairs, canonical, conf).localCheckpoint(eager=True)
+    scored = score_pairs(pairs, reps, conf).localCheckpoint(eager=True)
     scored.count()
     t["score"] = round(time.time() - t0, 1)
 
@@ -107,7 +121,10 @@ def main() -> None:
     t["match"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    clusters = assign_clusters(canonical, matches.select("id_a", "id_b"))
+    rep_clusters = assign_clusters(reps, matches.select("id_a", "id_b"))
+    clusters = membership.join(
+        rep_clusters.withColumnRenamed("conv_id", "_rep"), "_rep"
+    ).select("conv_id", "cluster_id")
     n_clusters = clusters.select("cluster_id").distinct().count()
     t["cluster_cc"] = round(time.time() - t0, 1)
 
@@ -115,7 +132,7 @@ def main() -> None:
     result = {
         "metric": "scale_smoke_sec", "value": total, "unit": "sec",
         "stages": t, "cpus": args.cpus,
-        "rows": {"entities": n_entities, "blocked_pairs": n_pairs,
+        "rows": {"entities": n_entities, "reps": n_reps, "blocked_pairs": n_pairs,
                  "matches": n_matches, "clusters": n_clusters},
     }
     print(json.dumps(result))

@@ -149,3 +149,33 @@ def test_score_pairs_preserves_id_types_and_passthrough(spark):
     ]
     rows = {(r.id_a, r.id_b, r.bucket, r.distance) for r in out.collect()}
     assert rows == {(1, 2, 7, 1)}  # (1,3) fails the native length-band filter
+
+
+def test_contract_exact_preserves_clusters(spark):
+    """contract_exact=True must yield the IDENTICAL cluster partition while
+    scoring only representatives (corpus planted with exact duplicates and
+    near-duplicates of duplicated entities)."""
+    from pyspark.sql import functions as F
+
+    rows, _ = gen_transcript_rows(n_base=25, dup_fraction=0.6, max_edits=2, seed=5)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    # exact copies of every conversation (x2 for some) -> exact groups
+    copy1 = df.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_x1")))
+    copy2 = (df.filter(F.xxhash64("conv_id") % 2 == 0)
+             .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_x2"))))
+    full = df.unionByName(copy1).unionByName(copy2)
+
+    conf = LinkConfig(algorithm="standard", max_distance=2, hot_key_threshold=500)
+    plain = run_linkage(full, conf, contract_exact=False)
+    contracted = run_linkage(full, conf, contract_exact=True)
+
+    want = {(r.conv_id, r.cluster_id) for r in plain.clusters.collect()}
+    got = {(r.conv_id, r.cluster_id) for r in contracted.clusters.collect()}
+    assert got == want
+
+    # the contracted run scored strictly fewer pairs (no within-group pairs)
+    assert contracted.scored.count() < plain.scored.count()
+    # and rep-level matches are a subset of the member-level set
+    rep_m = {(r.id_a, r.id_b) for r in contracted.matches.collect()}
+    all_m = {(r.id_a, r.id_b) for r in plain.matches.collect()}
+    assert rep_m <= all_m and len(rep_m) > 0
