@@ -241,27 +241,32 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame,
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """(id, simhash): `bits`-bit SimHash over distinct whitespace tokens —
-    bit b is the sign of the vote sum over token-hash bits. Pure exprs:
-    explode tokens x bits, shift/mask, vote-sum, reassemble."""
+    bit b is the sign of the vote sum over token-hash bits. Pure exprs.
+
+    Shape: the per-token ±1 votes for all `bits` positions are one array
+    row reduced by `bits` columnar sum aggregates (map-side combine), so
+    the shuffle carries docs-x-tokens rows, not docs x tokens x bits —
+    the same reshape as minhash_signatures. The final value is assembled
+    with shiftleft exprs (two's-complement-exact for bit 63, matching the
+    previous row-exploded implementation and the DuckDB oracle)."""
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", portable_hash64(F.lit("sim"), F.col("tok")))
-    votes = (
-        toks.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .withColumn("vote", F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1"))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .withColumn("contrib", F.expr("shiftleft(cast(bitval as bigint), cast(bit as int))"))
+    votes_arr = F.array(*[
+        F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1") for b in range(bits)
+    ])
+    wide = (
+        toks.select(F.col(id_col), votes_arr.alias("_v"))
         .groupBy(id_col)
-        .agg(F.sum("contrib").alias("simhash"))
+        .agg(*[F.sum(F.col("_v")[b]).alias(f"_v{b}") for b in range(bits)])
     )
+    contribs = [
+        F.expr(f"shiftleft(cast((_v{b} > 0) as bigint), {b})") for b in range(bits)
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return wide.select(F.col(id_col), total.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
