@@ -132,6 +132,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     recall/cost trade)."""
     sh = doc_shingles(df, id_col, text_col, n)
     if df_cap is not None:
+        # materialize once: the stop-shingle filter, pair generation and
+        # per-pair verify each consume the shingle set — without this the
+        # tokenize+explode lineage re-runs ~6x (candidate_pairs had the
+        # same bug; measured on the 100k-doc dedup smoke)
+        sh = sh.localCheckpoint(eager=True)
         return jaccard_for_pairs(sh, _pair_candidates(sh, id_col, df_cap),
                                  threshold, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -157,7 +162,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       n_perms: int = 16, shingle_n: int = 3) -> DataFrame:
+                       n_perms: int = 16, shingle_n: int = 3,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(id, perm, minhash): n_perms MinHash values per doc over its word
     shingles, using the portable md5-based hash family h_p(s) =
     hash64(p | s). Docs with zero shingles have no signature.
@@ -167,8 +173,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     so the shuffle carries docs-x-shingles rows — NOT docs x shingles x
     perms: at 100k docs / 32 perms that is 5M rows instead of 160M
     (measured ~4x on the dedup smoke). The (id, perm, minhash) long form
-    is re-derived by posexplode after the aggregate."""
-    sh = doc_shingles(df, id_col, text_col, shingle_n)
+    is re-derived by posexplode after the aggregate.
+
+    `shingles` short-circuits shingle generation with a precomputed
+    (id, shingle) frame (minhash_lsh_pairs shares one materialized set
+    between signatures and verify)."""
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, shingle_n)
     hashes = F.array(*[
         portable_hash64(F.lit(str(p)), F.col("shingle")) for p in range(n_perms)
     ])
@@ -194,7 +204,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     (jaccard_for_pairs) — verifying against the full shingle-sharing pair
     stream would cost more than not using LSH at all. Returns
     (id_a, id_b, jaccard)."""
-    sig = minhash_signatures(df, id_col, text_col, n_perms, shingle_n)
+    sh = doc_shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    sig = minhash_signatures(df, id_col, text_col, n_perms, shingle_n, shingles=sh)
     rows_per_band = n_perms // bands
     band_keys = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
@@ -213,7 +224,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = doc_shingles(df, id_col, text_col, shingle_n)
     return jaccard_for_pairs(sh, cands, threshold, id_col)
 
 
