@@ -628,6 +628,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, bands=4, max_hamming=3)
 
 
+CONTAINMENT_THRESHOLD = 0.2  # value distribution is bimodal at this sf
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=CONTAINMENT_THRESHOLD,
+        df_cap=NGRAM_DF_CAP,
+    )
+
+
+EVAL_MOD = 25   # doc_id % EVAL_MOD == 0 -> eval/benchmark split
+DECON_NGRAM = 5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % EVAL_MOD == 0 act as
+    the held-out benchmark; every other doc is scored for 5-gram overlap
+    against the broadcast eval shingle set."""
+    from .operators.corpus_quality import contamination
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return contamination(train, evalset, n=DECON_NGRAM)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus_quality import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup group assignment (keep-one-per-group) over the MinHash-LSH
     pair set: transitive CC + min-id canonical."""
@@ -922,6 +954,78 @@ SELECT j.id_a, j.id_b, j.jaccard
 FROM jac j JOIN candp c ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.5""",
     "dedup_minhash_lsh": DUCK_MINHASH + "SELECT id_a, id_b, jaccard FROM mh_pairs",
+    # containment over the SAME capped candidate set as dedup_ngram_jaccard;
+    # intersections exact (stop shingles still count), denominator = smaller set
+    "dedup_containment": DUCK_SHINGLES + f""",
+nostop AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY shingle
+        HAVING count(*) <= {NGRAM_DF_CAP}) f USING (shingle)
+),
+candp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nostop a JOIN nostop b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(i.n_inter / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM candp c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE round(i.n_inter / least(sa.n_sh, sb.n_sh), 4) >= {CONTAINMENT_THRESHOLD}""",
+    "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {DECON_NGRAM - 1}), ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {DECON_NGRAM - 2})) AS i
+        FROM toks WHERE len(toks) >= {DECON_NGRAM})
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(z.n_sh, 0) AS INT) AS n_shingles,
+       CAST(coalesce(h.n_hit, 0) AS INT) AS n_contaminated,
+       round(coalesce(h.n_hit, 0) / greatest(coalesce(z.n_sh, 0), 1), 4) AS contamination,
+       coalesce(h.n_hit, 0) > 0 AS is_contaminated
+FROM documents d
+LEFT JOIN sizes z USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> 0""",
+    "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+pt AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_dist, max(c) AS top_tok
+       FROM tc GROUP BY doc_id),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM toks WHERE len(toks) >= 2)
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+pg AS (SELECT doc_id, max(c) AS top_gram FROM gc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(pt.n_tok, 0) AS INT) AS n_tokens,
+       CAST(coalesce(pt.n_dist, 0) AS INT) AS n_distinct_tokens,
+       round((coalesce(pt.n_tok, 0) - coalesce(pt.n_dist, 0))
+             / greatest(coalesce(pt.n_tok, 0), 1), 4) AS dup_token_frac,
+       round(coalesce(pt.top_tok, 0) / greatest(coalesce(pt.n_tok, 0), 1), 4) AS top_token_frac,
+       CAST(coalesce(pg.top_gram, 0) AS INT) AS top_bigram_count,
+       round(2 * coalesce(pg.top_gram, 0) / greatest(coalesce(pt.n_tok, 0), 1), 4) AS top_bigram_frac
+FROM documents d
+LEFT JOIN pt USING (doc_id)
+LEFT JOIN pg USING (doc_id)""",
     "dedup_groups": DUCK_MINHASH + """,
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM mh_pairs
@@ -1037,7 +1141,10 @@ DATA_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_containment": q_dedup_containment,
     "dedup_groups": q_dedup_groups,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_topk,
     "embed_lsh_ann": q_embed_lsh_ann,

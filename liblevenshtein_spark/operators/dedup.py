@@ -25,8 +25,8 @@ from ..functions.text import normalized_fingerprint, portable_hash64, tokens
 
 __all__ = [
     "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_for_pairs",
-    "jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash", "simhash_pairs", "dedup_groups",
+    "jaccard_pairs", "containment_pairs", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash", "simhash_pairs", "dedup_groups",
 ]
 
 
@@ -225,6 +225,43 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .distinct()
     )
     return jaccard_for_pairs(sh, cands, threshold, id_col)
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8,
+                      df_cap: int | None = None) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT >= threshold:
+    |A ∩ B| / min(|A|, |B|) — catches subset/prefix duplication (a short
+    doc embedded in a longer one) that symmetric Jaccard under-scores,
+    the standard complement to Jaccard in training-corpus dedup.
+
+    Candidates come from the same capped shared-shingle blocking as
+    jaccard_pairs (`df_cap` demotes boilerplate shingles from PAIR
+    GENERATION only; intersection counts stay exact). Returns
+    (id_a, id_b, containment)."""
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    cands = _pair_candidates(sh, id_col, df_cap)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "id_a").join(zb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
 
 
 def dedup_groups(docs: DataFrame, pairs: DataFrame,
