@@ -660,6 +660,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+SAMPLE_RATE = 0.25
+MIX_WEIGHTS = {f"src{i}": (1.0, 0.5, 0.2, 0.0)[i % 4] for i in range(20)}
+N_SHARDS = 8
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import sample_corpus
+
+    return sample_corpus(_docs(spark, sf_dir), SAMPLE_RATE).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mix_corpus
+
+    return mix_corpus(_docs(spark, sf_dir), MIX_WEIGHTS).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir), N_SHARDS)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup group assignment (keep-one-per-group) over the MinHash-LSH
     pair set: transitive CC + min-id canonical."""
@@ -998,6 +1025,22 @@ FROM documents d
 LEFT JOIN sizes z USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {EVAL_MOD} <> 0""",
+    "corpus_sample": f"""
+SELECT doc_id, source, lang FROM documents
+WHERE CAST(('0x' || substring(md5('sample' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      < {int(round(SAMPLE_RATE * 10000))}""",
+    "corpus_mix": """
+SELECT doc_id, source, lang FROM documents
+WHERE CAST(('0x' || substring(md5('mix' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      < (CASE source """ + " ".join(
+        f"WHEN '{s}' THEN {int(round(r * 10000))}"
+        for s, r in sorted(MIX_WEIGHTS.items())
+    ) + " ELSE 0 END)",
+    "shard_assign": """
+SELECT CAST(CAST(('0x' || substring(md5('shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1""",
     "repetition_stats": """
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
@@ -1145,6 +1188,9 @@ DATA_QUERIES = {
     "dedup_groups": q_dedup_groups,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "corpus_sample": q_corpus_sample,
+    "corpus_mix": q_corpus_mix,
+    "shard_assign": q_shard_assign,
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_topk,
     "embed_lsh_ann": q_embed_lsh_ann,
