@@ -660,6 +660,46 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub over a deterministically PII-planted corpus: every
+    5th doc gets an email, a URL, and a long digit run appended (the
+    synthetic documents contain none), so the regex pass has real work and
+    its non-match passthrough is exercised on the other 80%."""
+    from .functions.text import scrub_columns
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), did, F.lit("@example.com see "),
+                    F.lit("https://ex.com/p"), did,
+                    F.lit(" id 90210"), did,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", *scrub_columns("text"))
+
+
+QUALITY_MIN_SCORE = 0.85
+QUALITY_MIN_TOKENS = 20
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: the filter stage a pipeline runs between scoring and
+    sampling — keep docs above the composite-score and token floors."""
+    stats = _docs(spark, sf_dir).select("doc_id", *quality_columns("text"))
+    return stats.filter(
+        (F.col("quality_score") >= QUALITY_MIN_SCORE)
+        & (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
 SAMPLE_RATE = 0.25
 MIX_WEIGHTS = {f"src{i}": (1.0, 0.5, 0.2, 0.0)[i % 4] for i in range(20)}
 N_SHARDS = 8
@@ -891,8 +931,7 @@ mh_pairs AS (
 )
 """
 
-DATA_ORACLES: dict[str, str] = {
-    "text_stats": """
+TEXT_STATS_SQL = """
 SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
@@ -912,7 +951,40 @@ SELECT doc_id,
          THEN (length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))
               / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
          ELSE 0.0 END) / 8.0, 1.0), 4) AS quality_score
-FROM documents""",
+FROM documents"""
+
+# scrubbed-text SQL built from the SAME SCRUB_PATTERNS constants as the
+# Spark side (sequential replace; independent counts on the original text)
+from .functions.text import SCRUB_PATTERNS as _SCRUB  # noqa: E402
+
+_scrub_expr = "text"
+for _, _pat, _repl in _SCRUB:
+    _scrub_expr = f"regexp_replace({_scrub_expr}, '{_pat}', '{_repl}', 'g')"
+_scrub_counts = ",\n  ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+    for name, pat, _ in _SCRUB
+)
+TEXT_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com see https://ex.com/p' || CAST(doc_id AS VARCHAR)
+                || ' id 90210' || CAST(doc_id AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  {_scrub_expr} AS scrubbed,
+  {_scrub_counts}
+FROM planted"""
+
+DATA_ORACLES: dict[str, str] = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_scrub": TEXT_SCRUB_SQL,
+    "quality_filter": f"""
+SELECT doc_id, n_tokens, quality_score FROM ({TEXT_STATS_SQL})
+WHERE quality_score >= {QUALITY_MIN_SCORE} AND n_tokens >= {QUALITY_MIN_TOKENS}""",
     "lang_id": DUCK_TOKENS + """
 SELECT doc_id,
   CAST(len(list_intersect(list_distinct(toks), ['the','and','of','to','a','in','is','it','you','that'])) AS INT) AS score_en,
@@ -1176,6 +1248,8 @@ FROM documents""",
 
 DATA_QUERIES = {
     "text_stats": q_text_stats,
+    "text_scrub": q_text_scrub,
+    "quality_filter": q_quality_filter,
     "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens", "token_count", "portable_hash64", "quality_columns",
     "lang_scores", "lang_id", "normalized_fingerprint", "STOPWORDS",
+    "SCRUB_PATTERNS", "scrub_columns",
     "BPE_ISH_PATTERN", "bpe_ish_tokens", "bpe_ish_token_count",
 ]
 
@@ -110,6 +111,34 @@ def lang_id() -> Column:
     for lang in reversed(_LANG_ORDER):
         expr = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# PII-style scrub patterns (ASCII-class regexes valid in both Java regex
+# and RE2, so Spark and DuckDB agree): applied in order — URLs first (they
+# may embed '@'), then emails, then long digit runs (ids/phones).
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("longnum", r"\b[0-9]{6,}\b", "<NUM>"),
+]
+
+
+def scrub_columns(col: str) -> list[Column]:
+    """Scrubbed text + per-pattern match counts (counts are measured
+    independently on the ORIGINAL text; replacement is sequential in
+    SCRUB_PATTERNS order). Pure native regexp exprs — the standard
+    PII-redaction pass of a training-data pipeline, JVM-side at scale."""
+    out = []
+    scrubbed = F.col(col)
+    for _, pat, repl in SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out.append(scrubbed.alias("scrubbed"))
+    for name, pat, _ in SCRUB_PATTERNS:
+        out.append(
+            F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+            .cast("int").alias(f"n_{name}")
+        )
+    return out
 
 
 def normalized_fingerprint(col: str) -> Column:
