@@ -571,7 +571,7 @@ LINKAGE_QUERIES = {
 # ---------------------------------------------------------------------------
 
 from .functions.text import lang_id, lang_scores, normalized_fingerprint, quality_columns  # noqa: E402
-from .operators import ann, dedup, multimodal  # noqa: E402
+from .operators import analytics, ann, dedup, multimodal  # noqa: E402
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +808,32 @@ JOIN embeddings eb ON eb.vec_id = c.id_b
 WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {threshold}"""
 
 
+def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    """Oracle for ann.semantic_dedup: the full LSH candidate/verify chain
+    (hyperplane literals, _lsh_ann_oracle_sql) wrapped as a pair CTE, then
+    the same recursive-CTE connected-components + min-id keep rule the
+    dedup_groups oracle uses — over vec_ids."""
+    pair_sql = _lsh_ann_oracle_sql(threshold)
+    return f"""
+WITH lsh_pairs AS (
+  SELECT id_a, id_b FROM ({pair_sql})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION ALL SELECT id_b, id_a FROM lsh_pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS vec_id, min(root) AS dup_group,
+       (node = min(root)) AS is_kept
+FROM reach GROUP BY node"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index probed on ALL cells == brute force exactly, so this shares
     the ann_cosine_topk oracle; partial-probe recall is a pytest property
@@ -866,6 +892,41 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media).select(
         "doc_id", "kind", "n_bytes", "width", "height", "duration_ms"
     )
+
+
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style group assignment over the LSH-bucketed cosine pair
+    graph (ann.semantic_dedup): the scale path for embedding dedup, hash-
+    gated end-to-end (hyperplanes + CC both recomputed by the oracle)."""
+    ship_package(spark)
+    return ann.semantic_dedup(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferred near-dup survivor selection: MinHash-LSH pair graph
+    -> CC groups -> keep the highest-quality member (ties -> min doc_id)."""
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_perms=16, bands=4, shingle_n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    scored = docs.select("doc_id", *quality_columns("text")).select(
+        "doc_id", "quality_score"
+    )
+    return dedup.keep_best_groups(scored, pairs)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.event_gap_stats(ev)
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.corpus_rollup(_docs(spark, sf_dir))
 
 
 DUCK_TOKENS = """
@@ -1244,6 +1305,74 @@ SELECT doc_id,
   CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(64 + (octet_length(encode(text)) // 2) % 480 AS INT) END AS height,
   CASE WHEN doc_id % 3 IN (1, 2) THEN CAST(250 + octet_length(encode(text)) % 60000 AS INT) END AS duration_ms
 FROM documents""",
+    "embed_semdedup": _semdedup_oracle_sql(threshold=0.35),
+    "dedup_keep_best": DUCK_MINHASH + f""",
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION ALL SELECT id_b, id_a FROM mh_pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+grp AS (
+  SELECT node AS doc_id, min(root) AS dup_group FROM reach GROUP BY node
+),
+q AS (SELECT doc_id, quality_score FROM ({TEXT_STATS_SQL})),
+ranked AS (
+  SELECT g.doc_id, g.dup_group, q.quality_score,
+         row_number() OVER (
+           PARTITION BY g.dup_group
+           ORDER BY q.quality_score DESC, g.doc_id ASC
+         ) AS rn
+  FROM grp g JOIN q ON q.doc_id = g.doc_id
+)
+SELECT doc_id, dup_group, quality_score, (rn = 1) AS is_kept FROM ranked""",
+    "tfidf_terms": DUCK_TOKENS + f""",
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+nd AS (SELECT count(*) AS n FROM documents),
+dfq AS (
+  SELECT term,
+         CAST(round(ln((nd.n + 1) / (count(*) + 1.0)) * {analytics.IDF_SCALE}) AS BIGINT) AS idf_1e4
+  FROM tf, nd GROUP BY term, nd.n
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS INT) AS tf, dfq.idf_1e4,
+         CAST(tf.tf * dfq.idf_1e4 AS BIGINT) AS tfidf_1e4
+  FROM tf JOIN dfq USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_1e4 DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, idf_1e4, tfidf_1e4, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3""",
+    "event_gap_stats": """
+WITH g AS (
+  SELECT user_id, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS INT) AS n_events,
+       CAST(coalesce(sum(gap_us), 0) AS BIGINT) AS sum_gap_us,
+       CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM g GROUP BY user_id""",
+    "corpus_rollup": """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       CAST(grouping(lang) * 2 + grouping(source) AS INT) AS grouping_lvl,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)""",
 }
 
 DATA_QUERIES = {
@@ -1272,4 +1401,9 @@ DATA_QUERIES = {
     "event_sessions": q_event_sessions,
     "event_json_stats": q_event_json_stats,
     "multimodal_meta": q_multimodal_meta,
+    "embed_semdedup": q_embed_semdedup,
+    "dedup_keep_best": q_dedup_keep_best,
+    "tfidf_terms": q_tfidf_terms,
+    "event_gap_stats": q_event_gap_stats,
+    "corpus_rollup": q_corpus_rollup,
 }

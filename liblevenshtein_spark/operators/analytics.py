@@ -1,0 +1,115 @@
+"""Corpus/event analytics operators rounding out the relational surface
+(SURVEY.md §2.4 checklist): per-document TF-IDF top terms (two-level
+aggregation + ranking window), per-user event-gap statistics (lag frame
+window), and a source/language ROLLUP aggregate (grouping sets).
+
+All pure DataFrame operators — zero UDFs — with exact DuckDB oracles
+(driver_queries.py). Float-bearing intermediates are pinned to integers
+(micro-scaled IDF, epoch-millis gaps, integer cents) so value hashing is
+stable across engines.
+
+Scale notes (1000-executor framing):
+* tfidf_topk shuffles (doc, term) then (term) keyed rows, both with
+  map-side partial aggregation; the document-frequency side collapses to
+  |vocab| rows and broadcasts back onto the tf stream, so the corpus-sized
+  stream shuffles exactly once. The ranking window partitions by doc —
+  per-partition state is one document's vocabulary.
+* event_gap_stats is one window (partitioned by user, sorted by time) plus
+  one hash agg; at 10^12 events the user-id partitioning is the natural
+  layout and gap computation is a single pass.
+* corpus_rollup is a plain grouping-sets hash aggregate — partial
+  aggregation covers every grouping set map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup"]
+
+# IDF is ln((N+1)/(df+1)) scaled to 1e4 and rounded to a bigint: exact
+# cross-engine arithmetic after the rounding (a mismatch would need the two
+# engines' ln() to straddle a 0.5e-4 boundary — same vanishing-probability
+# argument as the LSH sign bits, driver_queries._lsh_ann_oracle_sql).
+IDF_SCALE = 10_000
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document (whitespace tokens, the toolkit's
+    shared tokenizer). Returns (id, term, tf, idf_1e4, tfidf_1e4, rank)
+    with integer-scaled scores; rank ties break lexicographically by term.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    dfreq = (
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("_n") + 1) / (F.col("df") + 1)) * IDF_SCALE
+            ).cast("bigint").alias("idf_1e4"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            id_col, "term", F.col("tf").cast("int").alias("tf"), "idf_1e4",
+            (F.col("tf") * F.col("idf_1e4")).cast("bigint").alias("tfidf_1e4"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_1e4"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def event_gap_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics via a lag window over (ts,
+    event_id): (user_id, n_events, sum_gap_us, max_gap_us, sum_value_cents).
+    Gaps are epoch-MICROsecond bigints (the events ts is TIMESTAMP_NTZ; the
+    UTC session timezone makes the cast tz-free, and microseconds avoid the
+    truncation asymmetry of millisecond conversions); values are summed in
+    integer cents (float addition order can't break hash parity)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        events.withColumn("_gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.coalesce(F.sum("_gap_us"), F.lit(0)).cast("bigint").alias("sum_gap_us"),
+            F.coalesce(F.max("_gap_us"), F.lit(0)).cast("bigint").alias("max_gap_us"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+def corpus_rollup(docs: DataFrame) -> DataFrame:
+    """ROLLUP aggregate over (lang, source): per-(lang, source) counts, the
+    per-lang subtotals, and the grand total in one grouping-sets pass.
+    Dimension nulls introduced by the rollup are pinned to '<all>' so the
+    output is total-order hashable."""
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            # grouping() is only legal inside the grouping-sets aggregate
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("int").alias("grouping_lvl"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "grouping_lvl", "n_docs", "sum_chars",
+        )
+    )

@@ -22,7 +22,7 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "cosine", "brute_force_topk", "cosine_dup_pairs",
     "lsh_signature_udf", "lsh_ann_pairs",
-    "ivf_centroids", "ivf_index", "ivf_topk",
+    "ivf_centroids", "ivf_index", "ivf_topk", "semantic_dedup",
 ]
 
 
@@ -253,4 +253,40 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate GROUP assignment: LSH-bucketed
+    candidate generation (lsh_ann_pairs — the scale path, no cross join),
+    cosine-verified pairs >= threshold, transitive closure via large-star/
+    small-star connected components, minimum member id kept as the group's
+    canonical vector. Returns (id, dup_group, is_kept); singletons keep
+    themselves.
+
+    This is the 'which embeddings survive semantic dedup' step of a
+    training-data pipeline: everything upstream of the CC is bucketed, and
+    the CC itself runs on the (sparse) near-dup pair graph, not the corpus.
+    """
+    from .clustering import assign_clusters
+
+    pairs = lsh_ann_pairs(
+        emb, threshold, id_col, vec_col,
+        dim=dim, n_planes=n_planes, bands=bands, seed=seed,
+    )
+    groups = assign_clusters(
+        emb.select(id_col), pairs.select("id_a", "id_b"), id_col=id_col
+    ).withColumnRenamed("cluster_id", "dup_group")
+    return groups.select(
+        id_col, "dup_group",
+        (F.col(id_col) == F.col("dup_group")).alias("is_kept"),
     )

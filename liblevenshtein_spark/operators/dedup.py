@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_for_pairs",
     "jaccard_pairs", "containment_pairs", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "dedup_groups",
+    "keep_best_groups",
 ]
 
 
@@ -347,4 +348,37 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def keep_best_groups(docs: DataFrame, pairs: DataFrame,
+                     score_col: str = "quality_score",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs -> quality-preferred keep-one-per-group: like
+    dedup_groups, but the survivor is the group member with the HIGHEST
+    score (ties -> minimum id) instead of blindly keeping the minimum id —
+    what a training pipeline actually wants when near-dups differ in
+    quality (truncated vs full page, boilerplate-wrapped vs clean).
+
+    `docs` must carry (id_col, score_col); returns
+    (id, dup_group, score, is_kept). The ranking is a per-group window —
+    groups are near-dup clusters, so partitions are tiny by construction
+    and the window never sees corpus-scale skew."""
+    from pyspark.sql import Window
+
+    from .clustering import assign_clusters
+
+    groups = assign_clusters(
+        docs.select(id_col), pairs.select("id_a", "id_b"), id_col=id_col
+    ).withColumnRenamed("cluster_id", "dup_group")
+    scored = groups.join(docs.select(id_col, score_col), id_col)
+    w = Window.partitionBy("dup_group").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col, "dup_group", score_col,
+            (F.col("_rn") == 1).alias("is_kept"),
+        )
     )

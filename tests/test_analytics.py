@@ -1,0 +1,162 @@
+"""Tests for operators/analytics.py (TF-IDF top-k, event gap stats,
+corpus rollup) and the quality-preferred / semantic dedup group selectors."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from liblevenshtein_spark.operators.analytics import (
+    IDF_SCALE, corpus_rollup, event_gap_stats, tfidf_topk,
+)
+from liblevenshtein_spark.operators.ann import semantic_dedup
+from liblevenshtein_spark.operators.dedup import keep_best_groups
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk
+# ---------------------------------------------------------------------------
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame([
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry durian"),
+    ], "doc_id long, text string")
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    def idf(df_count):
+        return round(math.log((3 + 1) / (df_count + 1)) * IDF_SCALE)
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert top1[0].term == "apple"
+    assert top1[0].tf == 2
+    assert top1[0].idf_1e4 == idf(1)
+    assert top1[0].tfidf_1e4 == 2 * idf(1)
+    assert top1[1].term == "banana"
+    # every doc emits at most k rows, ranks are 1..k
+    for rows in by_doc.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+
+
+def test_tfidf_tie_breaks_lexicographically(spark):
+    docs = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "unrelated")],
+        "doc_id long, text string")
+    out = {r.rank: r.term for r in tfidf_topk(docs, k=2).filter(
+        F.col("doc_id") == 1).collect()}
+    # equal tf and df -> equal score; alpha must outrank zeta
+    assert out == {1: "alpha", 2: "zeta"}
+
+
+# ---------------------------------------------------------------------------
+# event_gap_stats
+# ---------------------------------------------------------------------------
+
+def test_event_gap_stats(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(seconds, micros=0):
+        return t0 + datetime.timedelta(seconds=seconds, microseconds=micros)
+
+    events = spark.createDataFrame([
+        Row(event_id=1, ts=ts(0), user_id=1, value=1.0),
+        Row(event_id=2, ts=ts(10, 500), user_id=1, value=2.5),
+        Row(event_id=3, ts=ts(25), user_id=1, value=0.0),
+        Row(event_id=4, ts=ts(0), user_id=2, value=7.0),  # singleton user
+    ])
+    rows = {r.user_id: r for r in event_gap_stats(events).collect()}
+    u1 = rows[1]
+    assert u1.n_events == 3
+    # gaps: 10.0005 s and 14.9995 s -> sum 25 s exactly, max 14.9995 s
+    assert u1.sum_gap_us == 25_000_000
+    assert u1.max_gap_us == 14_999_500
+    assert u1.sum_value_cents == 350
+    u2 = rows[2]
+    assert u2.n_events == 1
+    assert u2.sum_gap_us == 0 and u2.max_gap_us == 0
+
+
+def test_event_gap_ordering_uses_event_id_for_ties(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    events = spark.createDataFrame([
+        Row(event_id=2, ts=t0 + datetime.timedelta(seconds=5), user_id=1, value=0.0),
+        Row(event_id=1, ts=t0 + datetime.timedelta(seconds=5), user_id=1, value=0.0),
+        Row(event_id=3, ts=t0 + datetime.timedelta(seconds=9), user_id=1, value=0.0),
+    ])
+    r = event_gap_stats(events).collect()[0]
+    # ties on ts are ordered by event_id -> gaps 0 and 4 s
+    assert r.sum_gap_us == 4_000_000
+    assert r.max_gap_us == 4_000_000
+
+
+# ---------------------------------------------------------------------------
+# corpus_rollup
+# ---------------------------------------------------------------------------
+
+def test_corpus_rollup_levels(spark):
+    docs = spark.createDataFrame([
+        (1, "en", "web", 10),
+        (2, "en", "web", 20),
+        (3, "en", "books", 5),
+        (4, "de", "web", 7),
+    ], "doc_id long, lang string, source string, n_chars long")
+    rows = corpus_rollup(docs).collect()
+    by_key = {(r.lang, r.source): r for r in rows}
+    # leaf level
+    leaf = by_key[("en", "web")]
+    assert leaf.grouping_lvl == 0 and leaf.n_docs == 2 and leaf.sum_chars == 30
+    # per-lang subtotal
+    en = by_key[("en", "<all>")]
+    assert en.grouping_lvl == 1 and en.n_docs == 3 and en.sum_chars == 35
+    # grand total
+    total = by_key[("<all>", "<all>")]
+    assert total.grouping_lvl == 3 and total.n_docs == 4 and total.sum_chars == 42
+    # rollup (not cube): no (<all>, web) row
+    assert ("<all>", "web") not in by_key
+
+
+# ---------------------------------------------------------------------------
+# keep_best_groups / semantic_dedup
+# ---------------------------------------------------------------------------
+
+def test_keep_best_groups_prefers_quality(spark):
+    docs = spark.createDataFrame([
+        (1, 0.4), (2, 0.9), (3, 0.9), (4, 0.5),
+    ], "doc_id long, quality_score double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in keep_best_groups(docs, pairs).collect()}
+    # {1,2,3} one group: 2 and 3 tie on quality 0.9 -> min id 2 survives
+    assert rows[2].is_kept and not rows[1].is_kept and not rows[3].is_kept
+    assert rows[1].dup_group == rows[2].dup_group == rows[3].dup_group
+    # singleton keeps itself
+    assert rows[4].is_kept
+
+
+def test_semantic_dedup_groups_near_identical_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.standard_normal(dim)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001]),        # same direction
+        (2, [float(x) for x in base + 0.001 * rng.standard_normal(dim)]),
+        (3, [float(x) for x in rng.standard_normal(dim)]),  # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           semantic_dedup(emb, threshold=0.99, dim=dim).collect()}
+    assert got[0].dup_group == got[1].dup_group == got[2].dup_group == 0
+    assert got[0].is_kept and not got[1].is_kept and not got[2].is_kept
+    assert got[3].dup_group == 3 and got[3].is_kept
