@@ -929,6 +929,70 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.corpus_rollup(_docs(spark, sf_dir))
 
 
+def q_transcripts_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source-connector parity: derived transcripts written as
+    JSON and read back under the ENFORCED canonical schema (inference is a
+    full extra pass at 100 TB) must equal the parquet-derived rows — shares
+    the `transcripts` oracle."""
+    import tempfile
+
+    from .sources.tables import read_transcripts, write_transcripts
+
+    work = tempfile.mkdtemp(prefix="levjson_")
+    t = derive_transcripts(spark, sf_dir).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
+    write_transcripts(t, work + "/t", fmt="json")
+    return read_transcripts(spark, work + "/t", fmt="json").select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through the Structured
+    Streaming engine: the events table is drained as a 2-file stream
+    (maxFilesPerTrigger=1, Trigger.AvailableNow) into a complete-mode
+    windowed aggregate; the result must equal the batch GROUP BY. Window
+    starts are emitted as epoch-microsecond bigints (Spark's 1970-epoch
+    window origin and DuckDB's time_bucket 2000-01-01 origin coincide for
+    divisor-of-a-day widths)."""
+    import tempfile
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="levstreamwin_")
+    src = work + "/src"
+    half = F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(2))
+    for g in range(2):
+        (ev.withColumn("_g", half).filter(F.col("_g") == g).drop("_g")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        # watermarks require TIMESTAMP; the UTC session tz makes the
+        # NTZ cast wall-clock-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+    name = "win_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("win.start").cast("timestamp")).alias("window_start_us"),
+        "event_type", "n_events", "sum_value_cents",
+    )
+
+
 DUCK_TOKENS = """
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks, text
@@ -1373,6 +1437,14 @@ SELECT coalesce(lang, '<all>') AS lang,
        CAST(count(*) AS INT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (lang, source)""",
+    "stream_event_windows": """
+SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS INT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2""",
+    # connector parity: JSON roundtrip must reproduce the parquet-derived rows
+    "transcripts_json": LINKAGE_ORACLES["transcripts"],
 }
 
 DATA_QUERIES = {
@@ -1406,4 +1478,6 @@ DATA_QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "event_gap_stats": q_event_gap_stats,
     "corpus_rollup": q_corpus_rollup,
+    "stream_event_windows": q_stream_event_windows,
+    "transcripts_json": q_transcripts_json,
 }

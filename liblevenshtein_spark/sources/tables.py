@@ -74,3 +74,40 @@ def write_dictionary(df: DataFrame, path: str, key_col: str = "block_key") -> No
 
 def read_dictionary(spark: SparkSession, path: str) -> DataFrame:
     return read_table(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Interchange formats (JSON lines / CSV) — schema-enforced readers/writers
+# ---------------------------------------------------------------------------
+
+def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet",
+                      mode: str = "overwrite") -> None:
+    """Write a transcripts-shaped frame in an interchange format. CSV quotes
+    embedded separators/newlines (multiLine on read restores them)."""
+    w = df.select(*TRANSCRIPTS_SCHEMA.fieldNames()).write.mode(mode)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "json":
+        w.json(path)
+    elif fmt == "csv":
+        # explicit null sentinel: CSV's default writes null and '' both as
+        # empty, destroying the distinction on roundtrip
+        w.options(header=True, escape='"', nullValue="\\N").csv(path)
+    else:
+        raise ValueError(f"unsupported transcripts format {fmt!r}")
+
+
+def read_transcripts(spark: SparkSession, path: str,
+                     fmt: str = "parquet") -> DataFrame:
+    """Read transcripts with the canonical schema ENFORCED (never inferred:
+    schema inference is a full extra pass at 100 TB and can drift types
+    between shards)."""
+    r = spark.read.schema(TRANSCRIPTS_SCHEMA)
+    if fmt == "parquet":
+        return r.parquet(path)
+    if fmt == "json":
+        return r.json(path)
+    if fmt == "csv":
+        return r.options(header=True, escape='"', multiLine=True,
+                         nullValue="\\N", emptyValue="").csv(path)
+    raise ValueError(f"unsupported transcripts format {fmt!r}")
