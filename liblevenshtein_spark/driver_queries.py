@@ -929,6 +929,55 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.corpus_rollup(_docs(spark, sf_dir))
 
 
+def q_stream_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState conversation reassembly through the hard gate:
+    turn events (deterministic synthetic event times) are drained as a
+    3-file stream — two conversation halves plus a far-future flush row that
+    advances the watermark past every quiet period — and the stateful
+    assembler's (conv_id, n_turns, fingerprint) output must equal batch
+    canonicalize (shared canonical2 oracle). The flush conversation itself
+    never times out, so it stays in state and is absent from the output."""
+    import tempfile
+    import uuid
+
+    from .sources.tables import TRANSCRIPTS_SCHEMA
+    from .streaming.stateful import assemble_conversations
+
+    t = derive_transcripts(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("turn_idx"))
+    )
+    work = tempfile.mkdtemp(prefix="levreasm_")
+    src = work + "/src"
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    for g in range(2):
+        (t.withColumn("_g", half).filter(F.col("_g") == g).drop("_g")
+         .select(*TRANSCRIPTS_SCHEMA.fieldNames())
+         .coalesce(1).write.mode("append").parquet(src))
+    flush = spark.createDataFrame(
+        [("_flush", 0, "user", "x", "",
+          __import__("datetime").datetime(2030, 1, 1))],
+        TRANSCRIPTS_SCHEMA,
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    assembled = assemble_conversations(
+        stream, watermark_delay="2 minutes", gap_ms=60_000
+    )
+    name = "reasm_" + uuid.uuid4().hex[:8]
+    q = (
+        assembled.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "conv_id", F.col("n_turns").cast("int").alias("n_turns"), "fingerprint"
+    )
+
+
 def q_transcripts_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source-connector parity: derived transcripts written as
     JSON and read back under the ENFORCED canonical schema (inference is a
@@ -1445,6 +1494,9 @@ SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,
 FROM events GROUP BY 1, 2""",
     # connector parity: JSON roundtrip must reproduce the parquet-derived rows
     "transcripts_json": LINKAGE_ORACLES["transcripts"],
+    # stateful reassembly must reproduce batch canonicalization exactly
+    "stream_reassembly": DUCK_TRANSCRIPTS
+    + "SELECT conv_id, n_turns, fingerprint FROM canonical2",
 }
 
 DATA_QUERIES = {
@@ -1480,4 +1532,5 @@ DATA_QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "stream_event_windows": q_stream_event_windows,
     "transcripts_json": q_transcripts_json,
+    "stream_reassembly": q_stream_reassembly,
 }
