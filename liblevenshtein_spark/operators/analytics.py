@@ -38,13 +38,22 @@ IDF_SCALE = 10_000
 
 
 def tfidf_topk(docs: DataFrame, k: int = 3,
-               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+               id_col: str = "doc_id", text_col: str = "text",
+               materialize_tf: bool = True) -> DataFrame:
     """Top-k TF-IDF terms per document (whitespace tokens, the toolkit's
     shared tokenizer). Returns (id, term, tf, idf_1e4, tfidf_1e4, rank)
     with integer-scaled scores; rank ties break lexicographically by term.
-    """
+
+    The term-frequency aggregate feeds BOTH the document-frequency branch
+    and the scoring join; without materialization Catalyst re-plans the
+    corpus scan + tokenize-explode + (doc, term) shuffle for each branch
+    (verified via explain) — two full corpus passes at 100 TB. With
+    `materialize_tf` the tf frame is computed once (localCheckpoint; at
+    production scale, a persisted table) and both branches read it."""
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=True)
     n_docs = docs.agg(F.count("*").alias("_n"))
     dfreq = (
         tf.groupBy("term").agg(F.count("*").alias("df"))
