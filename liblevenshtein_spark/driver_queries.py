@@ -929,6 +929,11 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.corpus_rollup(_docs(spark, sf_dir))
 
 
+def q_event_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.event_running_totals(ev)
+
+
 def q_stream_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState conversation reassembly through the hard gate:
     turn events (deterministic synthetic event times) are drained as a
@@ -1497,6 +1502,19 @@ FROM events GROUP BY 1, 2""",
     # stateful reassembly must reproduce batch canonicalization exactly
     "stream_reassembly": DUCK_TRANSCRIPTS
     + "SELECT conv_id, n_turns, fingerprint FROM canonical2",
+    "event_running_totals": """
+SELECT event_id, user_id,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+  CAST(count(*) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS running_n,
+  CAST(ntile(4) OVER (
+    PARTITION BY user_id
+    ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC) AS INT)
+    AS value_quartile
+FROM events""",
 }
 
 DATA_QUERIES = {
@@ -1533,4 +1551,5 @@ DATA_QUERIES = {
     "stream_event_windows": q_stream_event_windows,
     "transcripts_json": q_transcripts_json,
     "stream_reassembly": q_stream_reassembly,
+    "event_running_totals": q_event_running_totals,
 }

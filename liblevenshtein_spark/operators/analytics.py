@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup"]
+__all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup",
+           "event_running_totals"]
 
 # IDF is ln((N+1)/(df+1)) scaled to 1e4 and rounded to a bigint: exact
 # cross-engine arithmetic after the rounding (a mismatch would need the two
@@ -121,4 +122,24 @@ def corpus_rollup(docs: DataFrame) -> DataFrame:
             F.coalesce("source", F.lit("<all>")).alias("source"),
             "grouping_lvl", "n_docs", "sum_chars",
         )
+    )
+
+
+def event_running_totals(events: DataFrame, buckets: int = 4) -> DataFrame:
+    """Per-user running totals (cumulative frame: ROWS UNBOUNDED PRECEDING
+    .. CURRENT ROW) plus an ntile value-quartile — the frame-spec and
+    distribution window shapes the rest of the toolkit doesn't exercise.
+    Ordering is (ts, event_id): unique per user, so every window value is
+    deterministic; money stays in integer cents."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * 100).cast("long")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.desc(cents), F.asc("event_id")
+    )
+    return events.select(
+        "event_id", "user_id",
+        F.sum(cents).over(cum).cast("bigint").alias("running_cents"),
+        F.count("*").over(cum).cast("int").alias("running_n"),
+        F.ntile(buckets).over(wv).cast("int").alias("value_quartile"),
     )

@@ -160,3 +160,24 @@ def test_semantic_dedup_groups_near_identical_vectors(spark):
     assert got[0].dup_group == got[1].dup_group == got[2].dup_group == 0
     assert got[0].is_kept and not got[1].is_kept and not got[2].is_kept
     assert got[3].dup_group == 3 and got[3].is_kept
+
+
+def test_event_running_totals(spark):
+    import datetime
+    from liblevenshtein_spark.operators.analytics import event_running_totals
+
+    t0 = datetime.datetime(2024, 1, 1)
+    events = spark.createDataFrame([
+        Row(event_id=1, ts=t0 + datetime.timedelta(seconds=1), user_id=1, value=1.00),
+        Row(event_id=2, ts=t0 + datetime.timedelta(seconds=2), user_id=1, value=3.00),
+        Row(event_id=3, ts=t0 + datetime.timedelta(seconds=3), user_id=1, value=2.00),
+        Row(event_id=4, ts=t0, user_id=2, value=5.00),
+    ])
+    rows = {r.event_id: r for r in event_running_totals(events, buckets=2).collect()}
+    assert [rows[i].running_cents for i in (1, 2, 3)] == [100, 400, 600]
+    assert [rows[i].running_n for i in (1, 2, 3)] == [1, 2, 3]
+    # value order: e2 (300) -> tile 1, e3 (200) -> tile 1, e1 (100) -> tile 2
+    assert rows[2].value_quartile == 1
+    assert rows[3].value_quartile == 1
+    assert rows[1].value_quartile == 2
+    assert rows[4].running_cents == 500 and rows[4].value_quartile == 1
