@@ -894,6 +894,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through the hard gate: source geometry + target
+    geometry (the sha-derived stub thumbnail bytes are dropped — DuckDB has
+    no sha1 — but the mapInPandas path, kind filter, and geometry math are
+    all recomputed by the oracle)."""
+    ship_package(spark)
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.resize_media(media).select(
+        "doc_id", "kind", "src_width", "src_height", "width", "height"
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing through the hard gate: one row per sampled
+    timestamp per video, cap + stride recomputed by the oracle."""
+    ship_package(spark)
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.sample_frames(media).select("doc_id", "frame_idx", "ts_ms")
+
+
 def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style group assignment over the LSH-bucketed cosine pair
     graph (ann.semantic_dedup): the scale path for embedding dedup, hash-
@@ -1423,6 +1443,21 @@ SELECT doc_id,
   CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(64 + (octet_length(encode(text)) // 2) % 480 AS INT) END AS height,
   CASE WHEN doc_id % 3 IN (1, 2) THEN CAST(250 + octet_length(encode(text)) % 60000 AS INT) END AS duration_ms
 FROM documents""",
+    "multimodal_resize": """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+  CAST(64 + octet_length(encode(text)) % 640 AS INT) AS src_width,
+  CAST(64 + (octet_length(encode(text)) // 2) % 480 AS INT) AS src_height,
+  CAST(32 AS INT) AS width,
+  CAST(32 AS INT) AS height
+FROM documents WHERE doc_id % 3 IN (0, 2)""",
+    "multimodal_frames": """
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS ts_ms
+FROM (
+  SELECT doc_id,
+         unnest(range(0, least(32, (250 + octet_length(encode(text)) % 60000) // 1000 + 1))) AS i
+  FROM documents WHERE doc_id % 3 = 2
+)""",
     "embed_semdedup": _semdedup_oracle_sql(threshold=0.35),
     "dedup_keep_best": DUCK_MINHASH + f""",
 edges AS (
@@ -1543,6 +1578,8 @@ DATA_QUERIES = {
     "event_sessions": q_event_sessions,
     "event_json_stats": q_event_json_stats,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "embed_semdedup": q_embed_semdedup,
     "dedup_keep_best": q_dedup_keep_best,
     "tfidf_terms": q_tfidf_terms,
