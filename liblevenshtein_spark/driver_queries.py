@@ -571,7 +571,7 @@ LINKAGE_QUERIES = {
 # ---------------------------------------------------------------------------
 
 from .functions.text import lang_id, lang_scores, normalized_fingerprint, quality_columns  # noqa: E402
-from .operators import analytics, ann, dedup, multimodal  # noqa: E402
+from .operators import analytics, ann, dedup, multimodal, temporal  # noqa: E402
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +952,38 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return analytics.event_running_totals(ev)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most recent
+    at-or-before click by the same user (operators/temporal.asof_join —
+    single-shuffle union + last-ignoring-nulls window; the DuckDB oracle is
+    a NATIVE `ASOF LEFT JOIN`, a genuinely independent implementation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+def q_events_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: per error event, count/sum the same user's
+    clicks in the preceding hour (operators/temporal.range_join_agg —
+    two-bucket band join; the oracle is DuckDB's raw inequality join)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.range_join_agg(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        window_us=3_600_000_000,
+    )
+
+
+def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level exact dedup across the derived transcript corpus
+    (dedup.dedup_turns): planted near-duplicate conversations share long
+    turn prefixes, so cross-conversation duplicate turns exist by
+    construction; first occurrence in (conv_id, turn_idx) order wins."""
+    return dedup.dedup_turns(derive_transcripts(spark, sf_dir))
 
 
 def q_stream_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1569,49 @@ FROM events GROUP BY 1, 2""",
     # stateful reassembly must reproduce batch canonicalization exactly
     "stream_reassembly": DUCK_TRANSCRIPTS
     + "SELECT conv_id, n_turns, fingerprint FROM canonical2",
+    # independent oracle: DuckDB's NATIVE ASOF JOIN (vs the union+window
+    # re-expression on the Spark side). Inclusive at-or-before semantics
+    # on both sides; no (user_id, ts) ties exist in the events tables, so
+    # the tie convention can't bite.
+    "events_asof": """
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+build AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS probe_id,
+       epoch_us(p.ts) AS probe_us,
+       CAST(coalesce(b.event_id, -1) AS BIGINT) AS match_id,
+       CAST(coalesce(epoch_us(p.ts) - epoch_us(b.ts), -1) AS BIGINT) AS lag_us
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    # oracle = the raw inequality join the bucketed band join re-expresses
+    "events_range_agg": """
+WITH probe AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error'
+),
+build AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS probe_id, p.us AS probe_us,
+       CAST(count(b.us) AS INT) AS n_in_range,
+       CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS sum_cents
+FROM probe p LEFT JOIN build b
+  ON p.user_id = b.user_id
+ AND b.us >= p.us - 3600000000 AND b.us < p.us
+GROUP BY p.event_id, p.us""",
+    "dedup_turns": DUCK_TRANSCRIPTS + """
+, keyed AS (
+  SELECT conv_id, turn_idx, lower(text) AS norm FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CAST(count(*) OVER (PARTITION BY norm) AS INT) AS n_occurrences,
+       (row_number() OVER (
+          PARTITION BY norm ORDER BY conv_id, turn_idx) > 1) AS is_dup
+FROM keyed""",
     "event_running_totals": """
 SELECT event_id, user_id,
   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
@@ -1589,4 +1664,7 @@ DATA_QUERIES = {
     "transcripts_json": q_transcripts_json,
     "stream_reassembly": q_stream_reassembly,
     "event_running_totals": q_event_running_totals,
+    "events_asof": q_events_asof,
+    "events_range_agg": q_events_range_agg,
+    "dedup_turns": q_dedup_turns,
 }

@@ -27,7 +27,7 @@ __all__ = [
     "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_for_pairs",
     "jaccard_pairs", "containment_pairs", "minhash_signatures",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "dedup_groups",
-    "keep_best_groups",
+    "keep_best_groups", "dedup_turns",
 ]
 
 
@@ -348,6 +348,46 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_turns(turns: DataFrame, conv_col: str = "conv_id",
+                idx_col: str = "turn_idx", text_col: str = "text") -> DataFrame:
+    """Sub-record (turn/paragraph) exact dedup across a transcript corpus:
+    every distinct normalized turn text keeps its FIRST occurrence in
+    (conv_id, turn_idx) order; later occurrences are flagged — the
+    transcript analogue of Common-Crawl-style duplicated-paragraph removal
+    (boilerplate greetings, repeated tool dumps, templated system turns).
+
+    Returns one row per input turn: (conv_id, turn_idx, n_occurrences,
+    is_dup). Downstream, `filter(~is_dup)` + canonicalize rebuilds the
+    deduplicated fingerprints.
+
+    Scale shape: one hash aggregate keyed by the normalized-text hash
+    (map-side combine collapses each executor's duplicates before the
+    shuffle — exactly the skew pattern of boilerplate: hot text, huge
+    partial counts, tiny post-agg rows) + one equi join back. The keeper is
+    `min(struct(conv_id, turn_idx))` inside the aggregate, NOT a
+    per-text-group window: a row_number window would funnel every copy of a
+    hot boilerplate turn through one task. Text rides the shuffle alongside
+    its 64-bit hash so equal hashes never merge distinct texts."""
+    norm = F.lower(F.col(text_col))
+    keyed = turns.select(
+        F.col(conv_col), F.col(idx_col),
+        F.xxhash64(norm).alias("_h"), norm.alias("_norm"),
+    )
+    groups = keyed.groupBy("_h", "_norm").agg(
+        F.min(F.struct(conv_col, idx_col)).alias("_keep"),
+        F.count("*").cast("int").alias("n_occurrences"),
+    )
+    return keyed.join(groups, ["_h", "_norm"]).select(
+        conv_col, idx_col, "n_occurrences",
+        (
+            ~(
+                (F.col(conv_col) == F.col(f"_keep.{conv_col}"))
+                & (F.col(idx_col) == F.col(f"_keep.{idx_col}"))
+            )
+        ).alias("is_dup"),
     )
 
 
