@@ -1099,6 +1099,57 @@ def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the turn stream is drained as a 2-file
+    stream (split by a hash of (conv_id, turn_idx) so copies of the same
+    turn text land in DIFFERENT micro-batches) through streaming
+    `dropDuplicates` keyed on the normalized-text group — the keyed-state
+    dedup operator a streaming ingest pipeline runs ahead of storage. Only
+    the dedup key rides the stream (which physical row survives a
+    micro-batch is not deterministic; the key set is), and the surviving
+    group set joins back to the batch-computed canonical mapping — so the
+    oracle checks BOTH that streaming state deduped across batches (row
+    count = distinct groups) and the canonical attribution."""
+    import tempfile
+    import uuid
+
+    turns = derive_transcripts(spark, sf_dir)
+    grouped = turns.select(
+        "conv_id", "turn_idx", F.md5(F.lower("text")).alias("dup_group")
+    )
+    work = tempfile.mkdtemp(prefix="levstreamdedup_")
+    src = work + "/src"
+    half = F.pmod(
+        F.xxhash64(F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string"))),
+        F.lit(2),
+    )
+    for g in range(2):
+        (grouped.withColumn("_g", half).filter(F.col("_g") == g).drop("_g")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (
+        spark.readStream.schema(grouped.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select("dup_group")
+        .dropDuplicates(["dup_group"])
+    )
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    canonical = grouped.groupBy("dup_group").agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("_keep"),
+        F.count("*").cast("int").alias("n_occurrences"),
+    )
+    return spark.table(name).join(canonical, "dup_group").select(
+        "dup_group",
+        F.col("_keep.conv_id").alias("canonical_conv"),
+        F.col("_keep.turn_idx").alias("canonical_turn"),
+        "n_occurrences",
+    )
+
+
 DUCK_TOKENS = """
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks, text
@@ -1603,6 +1654,20 @@ FROM probe p LEFT JOIN build b
   ON p.user_id = b.user_id
  AND b.us >= p.us - 3600000000 AND b.us < p.us
 GROUP BY p.event_id, p.us""",
+    "stream_dedup": DUCK_TRANSCRIPTS + """
+, keyed AS (
+  SELECT conv_id, turn_idx, md5(lower(text)) AS dup_group FROM transcripts
+),
+ranked AS (
+  SELECT dup_group, conv_id, turn_idx,
+         row_number() OVER (
+           PARTITION BY dup_group ORDER BY conv_id, turn_idx) AS rn,
+         count(*) OVER (PARTITION BY dup_group) AS n_occ
+  FROM keyed
+)
+SELECT dup_group, conv_id AS canonical_conv, turn_idx AS canonical_turn,
+       CAST(n_occ AS INT) AS n_occurrences
+FROM ranked WHERE rn = 1""",
     "dedup_turns": DUCK_TRANSCRIPTS + """
 , keyed AS (
   SELECT conv_id, turn_idx, lower(text) AS norm FROM transcripts
@@ -1667,4 +1732,5 @@ DATA_QUERIES = {
     "events_asof": q_events_asof,
     "events_range_agg": q_events_range_agg,
     "dedup_turns": q_dedup_turns,
+    "stream_dedup": q_stream_dedup,
 }
