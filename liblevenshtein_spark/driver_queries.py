@@ -465,6 +465,61 @@ def q_stream_linkage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule headline metric through the hard gate: pairwise
+    precision/recall/F1 of the blocked pipeline's match set against the
+    FULL brute-force truth — every entity pair within distance 2, computed
+    with NO blocking — so blocking recall losses (not just scoring errors)
+    would surface as fn > 0 here.
+
+    Truth generation is still scale-shaped: distance<=2 implies
+    |fp_len diff|<=2, so each entity explodes to five (len+delta) keys and
+    the truth pair stream is an EQUI-join on exact target length — a
+    length-banded exhaustive scan, not a cross join. The kernel scores the
+    banded pairs with the same mapInArrow path as the pipeline."""
+    ship_package(spark)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
+    left = canon.select(
+        F.col("conv_id").alias("id_a"),
+        F.col("fingerprint").alias("fp_a"),
+        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
+    )
+    right = canon.select(
+        F.col("conv_id").alias("id_b"),
+        F.col("fingerprint").alias("fp_b"),
+        F.col("fp_len").alias("_lk"),
+    )
+    dist = distance_udf(2, "standard")
+    truth = (
+        left.join(right, "_lk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
+        .filter(F.col("distance") <= 2)
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
+    )
+    preds = q_matches(spark, sf_dir).select("id_a", "id_b", F.lit(1).alias("_p"))
+    conf = truth.join(preds, ["id_a", "id_b"], "full_outer")
+    both = F.col("_t").isNotNull() & F.col("_p").isNotNull()
+    agg = conf.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+
+    def ratio(num, den, name):
+        return F.when(den == 0, F.lit(0)).otherwise(
+            F.floor(F.lit(10000.0) * num / den + F.lit(0.5))
+        ).cast("bigint").alias(name)
+
+    return agg.select(
+        "tp", "fp", "fn",
+        ratio(tp, tp + fp, "precision_1e4"),
+        ratio(tp, tp + fn, "recall_1e4"),
+        ratio(2 * tp, 2 * tp + fp + fn, "f1_1e4"),
+    )
+
+
 def _sig_block_keys(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Sig-prefix deletion blocking (the scheme of q_block_keys) as a
     streaming block_fn, so streaming and batch share one DuckDB oracle."""
@@ -543,6 +598,26 @@ WHERE levenshtein(q.query_term, d.term) <= 1""",
     "transduce_merge_split": _bfs_transduce_sql(1, "merge_and_split"),
     "dictionary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
     "stream_linkage_matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
+    "eval_pairwise_f1": DUCK_TRANSCRIPTS + """
+, truth AS (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM canonical2 ca JOIN canonical2 cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+),
+conf AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL AND m.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN t.id_a IS NULL THEN 1 END), 0) AS BIGINT) AS fp,
+    CAST(coalesce(sum(CASE WHEN m.id_a IS NULL THEN 1 END), 0) AS BIGINT) AS fn
+  FROM truth t FULL OUTER JOIN matches m
+    ON t.id_a = m.id_a AND t.id_b = m.id_b
+)
+SELECT tp, fp, fn,
+  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fp) + 0.5) END AS BIGINT) AS precision_1e4,
+  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fn) + 0.5) END AS BIGINT) AS recall_1e4,
+  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE floor(10000.0 * 2 * tp / (2 * tp + fp + fn) + 0.5) END AS BIGINT) AS f1_1e4
+FROM conf""",
 }
 
 LINKAGE_QUERIES = {
@@ -563,6 +638,7 @@ LINKAGE_QUERIES = {
     "transduce_merge_split": q_transduce_merge_split,
     "dictionary_roundtrip": q_dictionary_roundtrip,
     "stream_linkage_matches": q_stream_linkage_matches,
+    "eval_pairwise_f1": q_eval_pairwise_f1,
 }
 
 
