@@ -28,6 +28,7 @@ from .functions.blocking import deletion_neighborhood
 from .operators.canonicalize import canonicalize
 from .operators.topk import topk_candidates
 from .operators.clustering import assign_clusters
+from .operators.metrics import pairwise_confusion
 from .operators.scoring import distance_udf
 from .operators.transduce import compile_dictionary, transduce
 from .session import ship_package
@@ -495,29 +496,9 @@ def q_eval_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
         .filter(F.col("distance") <= 2)
-        .select("id_a", "id_b", F.lit(1).alias("_t"))
     )
-    preds = q_matches(spark, sf_dir).select("id_a", "id_b", F.lit(1).alias("_p"))
-    conf = truth.join(preds, ["id_a", "id_b"], "full_outer")
-    both = F.col("_t").isNotNull() & F.col("_p").isNotNull()
-    agg = conf.agg(
-        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("tp"),
-        F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0)).cast("bigint").alias("fp"),
-        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).cast("bigint").alias("fn"),
-    )
-    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
-
-    def ratio(num, den, name):
-        return F.when(den == 0, F.lit(0)).otherwise(
-            F.floor(F.lit(10000.0) * num / den + F.lit(0.5))
-        ).cast("bigint").alias(name)
-
-    return agg.select(
-        "tp", "fp", "fn",
-        ratio(tp, tp + fp, "precision_1e4"),
-        ratio(tp, tp + fn, "recall_1e4"),
-        ratio(2 * tp, 2 * tp + fp + fn, "f1_1e4"),
-    )
+    preds = q_matches(spark, sf_dir)
+    return pairwise_confusion(truth, preds)
 
 
 def _sig_block_keys(canon: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -8,7 +8,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["block_stats", "score_distribution", "reduction_ratio", "hot_keys"]
+__all__ = [
+    "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
+    "pairwise_confusion",
+]
+
+
+def pairwise_confusion(truth: DataFrame, preds: DataFrame) -> DataFrame:
+    """Pairwise-linkage evaluation (the BASELINE.json headline metric):
+    truth and preds are canonical-ordered (id_a, id_b) pair sets; returns a
+    single row (tp, fp, fn, precision_1e4, recall_1e4, f1_1e4) with the
+    ratios integer-scaled for hash-stable cross-engine comparison.
+
+    One full-outer hash join on the pair key, then a single global
+    aggregate — no collect, no cross join; scales with |truth ∪ preds|."""
+    t = truth.select("id_a", "id_b").withColumn("_t", F.lit(1))
+    p = preds.select("id_a", "id_b").withColumn("_p", F.lit(1))
+    conf = t.join(p, ["id_a", "id_b"], "full_outer")
+    both = F.col("_t").isNotNull() & F.col("_p").isNotNull()
+    agg = conf.agg(
+        F.coalesce(F.sum(F.when(both, 1).otherwise(0)), F.lit(0)).cast("bigint").alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0)), F.lit(0)).cast("bigint").alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)), F.lit(0)).cast("bigint").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+
+    def ratio(num, den, name):
+        return F.when(den == 0, F.lit(0)).otherwise(
+            F.floor(F.lit(10000.0) * num / den + F.lit(0.5))
+        ).cast("bigint").alias(name)
+
+    return agg.select(
+        "tp", "fp", "fn",
+        ratio(tp, tp + fp, "precision_1e4"),
+        ratio(tp, tp + fn, "recall_1e4"),
+        ratio(2 * tp, 2 * tp + fp + fn, "f1_1e4"),
+    )
 
 
 def block_stats(keys: DataFrame) -> DataFrame:

@@ -56,3 +56,32 @@ def test_topk_candidates(spark):
     }
     # ties broken by candidate asc: ab(1) then ac(1)
     assert got == {("q1", "ab", 1), ("q1", "ac", 2), ("q2", "zz", 1)}
+
+
+def test_pairwise_confusion_planted_misses(spark):
+    """The eval operator itself must detect degraded predictions: one
+    missed truth pair (fn), one spurious prediction (fp), two hits (tp)."""
+    from liblevenshtein_spark.operators.metrics import pairwise_confusion
+
+    truth = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "e")], ["id_a", "id_b"])
+    preds = spark.createDataFrame(
+        [("a", "b"), ("d", "e"), ("x", "y")], ["id_a", "id_b"])
+    row = pairwise_confusion(truth, preds).collect()[0]
+    assert (row.tp, row.fp, row.fn) == (2, 1, 1)
+    assert row.precision_1e4 == 6667  # 2/3 rounded
+    assert row.recall_1e4 == 6667
+    assert row.f1_1e4 == 6667
+
+
+def test_pairwise_confusion_perfect_and_empty(spark):
+    from liblevenshtein_spark.operators.metrics import pairwise_confusion
+
+    t = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    perfect = pairwise_confusion(t, t).collect()[0]
+    assert (perfect.tp, perfect.fp, perfect.fn) == (1, 0, 0)
+    assert perfect.f1_1e4 == 10000
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    zero = pairwise_confusion(empty, empty).collect()[0]
+    assert (zero.tp, zero.fp, zero.fn) == (0, 0, 0)
+    assert (zero.precision_1e4, zero.recall_1e4, zero.f1_1e4) == (0, 0, 0)
