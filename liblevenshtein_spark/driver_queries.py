@@ -681,6 +681,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: docs with doc_id % 4 == 0 arrive as the
+    new batch; the rest are the already-indexed corpus, represented ONLY by
+    their persisted (id, band_key) LSH index — the new batch is deduped
+    against corpus + itself without re-shingling old docs (verify
+    re-shingles just the candidate rows). Oracle = the full-corpus MinHash
+    pair set restricted to pairs touching a new doc."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    stored = dedup.minhash_band_keys(old, n_perms=16, bands=4, shingle_n=3)
+    return dedup.incremental_minhash_pairs(
+        new, stored, docs, n_perms=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, bands=4, max_hamming=3)
 
@@ -1392,6 +1408,8 @@ SELECT j.id_a, j.id_b, j.jaccard
 FROM jac j JOIN candp c ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.5""",
     "dedup_minhash_lsh": DUCK_MINHASH + "SELECT id_a, id_b, jaccard FROM mh_pairs",
+    "dedup_incremental": DUCK_MINHASH
+    + "SELECT id_a, id_b, jaccard FROM mh_pairs WHERE id_a % 4 = 0 OR id_b % 4 = 0",
     # containment over the SAME capped candidate set as dedup_ngram_jaccard;
     # intersections exact (stop shingles still count), denominator = smaller set
     "dedup_containment": DUCK_SHINGLES + f""",
@@ -1760,6 +1778,7 @@ DATA_QUERIES = {
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_containment": q_dedup_containment,
     "dedup_groups": q_dedup_groups,

@@ -26,7 +26,8 @@ from ..functions.text import normalized_fingerprint, portable_hash64, tokens
 __all__ = [
     "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_for_pairs",
     "jaccard_pairs", "containment_pairs", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash", "simhash_pairs", "dedup_groups",
+    "minhash_lsh_pairs", "minhash_band_keys", "incremental_minhash_pairs",
+    "simhash", "simhash_pairs", "dedup_groups",
     "keep_best_groups", "dedup_turns",
 ]
 
@@ -206,17 +207,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     stream would cost more than not using LSH at all. Returns
     (id_a, id_b, jaccard)."""
     sh = doc_shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=True)
-    sig = minhash_signatures(df, id_col, text_col, n_perms, shingle_n, shingles=sh)
-    rows_per_band = n_perms // bands
-    band_keys = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))).alias("sig"))
-        .select(
-            F.col(id_col),
-            F.concat_ws("|", F.col("band").cast("string"), F.array_join("sig", ",")).alias("band_key"),
-        )
-    )
+    band_keys = minhash_band_keys(df, id_col, text_col, n_perms, bands,
+                                  shingle_n, shingles=sh)
     a = band_keys.select(F.col(id_col).alias("id_a"), "band_key")
     b = band_keys.select(F.col(id_col).alias("id_b"), "band_key")
     cands = (
@@ -225,6 +217,67 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select("id_a", "id_b")
         .distinct()
     )
+    return jaccard_for_pairs(sh, cands, threshold, id_col)
+
+
+def minhash_band_keys(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n_perms: int = 16, bands: int = 4, shingle_n: int = 3,
+                      shingles: DataFrame | None = None) -> DataFrame:
+    """(id, band_key): the LSH bucket keys — the PERSISTABLE dedup index.
+    At ingest scale this table is what a pipeline stores per corpus
+    partition (n_perms/bands strings per doc, no shingles, no raw text) so
+    a later batch can be deduped against the corpus without touching it."""
+    sig = minhash_signatures(df, id_col, text_col, n_perms, shingle_n,
+                             shingles=shingles)
+    rows_per_band = n_perms // bands
+    return (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))).alias("sig"))
+        .select(
+            F.col(id_col),
+            F.concat_ws("|", F.col("band").cast("string"), F.array_join("sig", ",")).alias("band_key"),
+        )
+    )
+
+
+def incremental_minhash_pairs(new_docs: DataFrame, stored_index: DataFrame,
+                              corpus: DataFrame,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              n_perms: int = 16, bands: int = 4,
+                              shingle_n: int = 3,
+                              threshold: float = 0.5) -> DataFrame:
+    """Dedup an incoming batch against an already-indexed corpus — the
+    100 TB ingest path: only the NEW docs are shingled and hashed;
+    `stored_index` is the persisted (id, band_key) table from
+    minhash_band_keys. Candidates come from probing new band keys against
+    stored ∪ new keys (new×old and new×new duplicates; old×old pairs were
+    already found when the old batches landed). The exact-Jaccard verify
+    re-shingles ONLY candidate docs — `corpus` (id, text) is semi-joined on
+    the candidate ids first, so the old corpus is never re-scanned beyond
+    the matched rows. Equivalent to minhash_lsh_pairs(old ∪ new) restricted
+    to pairs touching a new doc (pytest-gated)."""
+    new_keys = minhash_band_keys(new_docs, id_col, text_col, n_perms, bands,
+                                 shingle_n)
+    all_keys = stored_index.unionByName(new_keys)
+    probe = new_keys.select(F.col(id_col).alias("_ida"), "band_key")
+    build = all_keys.select(F.col(id_col).alias("_idb"), "band_key")
+    cands = (
+        probe.join(build, "band_key")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    sub = corpus.join(cand_ids, id_col, "left_semi")
+    sh = doc_shingles(sub, id_col, text_col, shingle_n)
     return jaccard_for_pairs(sh, cands, threshold, id_col)
 
 
