@@ -253,6 +253,20 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(entities, matches)
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 depth: entity-cluster size histogram — the first thing an ER
+    operator inspects (a mega-cluster here means blocking or threshold
+    drift). Two tiny aggs over the cluster assignment; output is
+    O(max cluster size) rows."""
+    clusters = q_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("int").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -561,6 +575,26 @@ reach AS (
   ) SELECT * FROM r
 )
 SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node""",
+    "cluster_stats": DUCK_TRANSCRIPTS + """,
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS INT) AS size FROM assign GROUP BY cluster_id
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY size""",
     "topk_candidates": DUCK_TRANSCRIPTS + """
 SELECT query_id, candidate, distance, rank FROM (
   SELECT id_a AS query_id, id_b AS candidate, distance,
@@ -613,6 +647,7 @@ LINKAGE_QUERIES = {
     "similarity": q_similarity,
     "matches": q_matches,
     "clusters": q_clusters,
+    "cluster_stats": q_cluster_stats,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_transposition": q_transduce_transposition,
