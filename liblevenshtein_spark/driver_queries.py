@@ -267,6 +267,25 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER's final step — the golden record: one row per entity cluster with
+    the min-id representative and merged stats over members. One hash agg
+    over (assignment ⋈ canonical); the survivor rule (min id) is the same
+    deterministic keeper used across the dedup suite."""
+    clusters = q_clusters(spark, sf_dir)
+    canon = _canonical(spark, sf_dir).select("conv_id", "n_turns", "fp_len")
+    return (
+        clusters.join(canon, "conv_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("int").alias("n_members"),
+            F.min("conv_id").alias("rep_conv"),
+            F.sum("n_turns").cast("bigint").alias("total_turns"),
+            F.max("fp_len").cast("int").alias("max_fp_len"),
+        )
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -595,6 +614,29 @@ sizes AS (
   SELECT cluster_id, CAST(count(*) AS INT) AS size FROM assign GROUP BY cluster_id
 )
 SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY size""",
+    "cluster_canonical": DUCK_TRANSCRIPTS + """,
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT a.cluster_id,
+       CAST(count(*) AS INT) AS n_members,
+       min(a.conv_id) AS rep_conv,
+       CAST(sum(c.n_turns) AS BIGINT) AS total_turns,
+       CAST(max(c.fp_len) AS INT) AS max_fp_len
+FROM assign a JOIN canonical2 c ON c.conv_id = a.conv_id
+GROUP BY a.cluster_id""",
     "topk_candidates": DUCK_TRANSCRIPTS + """
 SELECT query_id, candidate, distance, rank FROM (
   SELECT id_a AS query_id, id_b AS candidate, distance,
@@ -648,6 +690,7 @@ LINKAGE_QUERIES = {
     "matches": q_matches,
     "clusters": q_clusters,
     "cluster_stats": q_cluster_stats,
+    "cluster_canonical": q_cluster_canonical,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_transposition": q_transduce_transposition,
