@@ -213,6 +213,20 @@ def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candidate_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's skew machinery through the hard gate: the real candidate_pairs
+    operator with hot_key_threshold=4, so every key with >4 members routes
+    through hot-key detection + the salted g_b × g_p grid join while the
+    rest take the cold path — and the union must reproduce EXACTLY the
+    plain equi-join pair set (same oracle as candidate_pairs). Salting is a
+    physical decomposition; any difference in the logical result is a bug."""
+    from .operators.candidates import candidate_pairs as candidate_pairs_op
+
+    keys = _sig_keys(spark, sf_dir)
+    conf = LinkConfig(algorithm="standard", max_distance=2, hot_key_threshold=4)
+    return candidate_pairs_op(keys, keys, conf).select("id_a", "id_b")
+
+
 def q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     pairs = q_candidate_pairs(spark, sf_dir)
@@ -569,6 +583,7 @@ WHERE length(text) >= 3 OR p = 1""",
         "GROUP BY block_key HAVING count(*) > 1"
     ),
     "candidate_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
+    "candidate_pairs_salted": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
     "score_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
     "scored_resume": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
     "similarity": DUCK_TRANSCRIPTS + """
@@ -684,6 +699,7 @@ LINKAGE_QUERIES = {
     "block_keys_qgram": q_block_keys_qgram,
     "block_metrics": q_block_metrics,
     "candidate_pairs": q_candidate_pairs,
+    "candidate_pairs_salted": q_candidate_pairs_salted,
     "score_pairs": q_score_pairs,
     "scored_resume": q_scored_resume,
     "similarity": q_similarity,
