@@ -267,6 +267,18 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(entities, matches)
 
 
+def q_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8's kernel-distance histogram (operators.metrics.score_distribution)
+    over the scored candidate pairs — sentinel bucket (n+1) included, so
+    threshold drift and band-cap saturation are visible in one tiny agg."""
+    from .operators.metrics import score_distribution
+
+    scored = q_score_pairs(spark, sf_dir)
+    return score_distribution(scored).select(
+        "distance", F.col("n_pairs").cast("bigint").alias("n_pairs")
+    )
+
+
 def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 depth: entity-cluster size histogram — the first thing an ER
     operator inspects (a mega-cluster here means blocking or threshold
@@ -585,6 +597,8 @@ WHERE length(text) >= 3 OR p = 1""",
     "candidate_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
     "candidate_pairs_salted": DUCK_TRANSCRIPTS + "SELECT id_a, id_b FROM cand_pairs",
     "score_pairs": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
+    "score_distribution": DUCK_TRANSCRIPTS
+    + "SELECT distance, CAST(count(*) AS BIGINT) AS n_pairs FROM scored GROUP BY distance",
     "scored_resume": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM scored",
     "similarity": DUCK_TRANSCRIPTS + """
 SELECT s.id_a, s.id_b, s.distance,
@@ -701,6 +715,7 @@ LINKAGE_QUERIES = {
     "candidate_pairs": q_candidate_pairs,
     "candidate_pairs_salted": q_candidate_pairs_salted,
     "score_pairs": q_score_pairs,
+    "score_distribution": q_score_distribution,
     "scored_resume": q_scored_resume,
     "similarity": q_similarity,
     "matches": q_matches,
