@@ -454,6 +454,21 @@ def q_transduce_merge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
 
 
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee consumption pattern (spelling correction,
+    README.md:26-33): transduce each near-miss query against the word
+    dictionary at n=2 and keep the 3 best suggestions per query, ranked by
+    (distance, candidate) — A3 transduce composed with P10 top-k, the
+    distributed analogue of lazily taking the first few candidates (A6)."""
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    out = transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+    return topk_candidates(out.select("query_id", "candidate", "distance"), k=3).select(
+        "query_id", "candidate", "distance", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_scored_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 checkpoint ledger through the hard gate: score the candidate pairs
     in bucketed waves with an INJECTED CRASH after wave 2, then resume — the
@@ -683,6 +698,16 @@ WHERE levenshtein(q.query_term, d.term) <= 1""",
     "transduce_transposition": _bfs_transduce_sql(2, "transposition"),
     "transduce_merge_split": _bfs_transduce_sql(1, "merge_and_split"),
     "dictionary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
+    "spell_suggest": DUCK_WORDS + """
+SELECT query_id, candidate, distance, rank FROM (
+  SELECT q.query_id, d.term AS candidate,
+         CAST(levenshtein(q.query_term, d.term) AS INT) AS distance,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY levenshtein(q.query_term, d.term) ASC, d.term ASC) AS INT) AS rank
+  FROM queries q CROSS JOIN dict d
+  WHERE levenshtein(q.query_term, d.term) <= 2
+) WHERE rank <= 3""",
     "stream_linkage_matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
     "eval_pairwise_f1": DUCK_TRANSCRIPTS + """
 , truth AS (
@@ -727,6 +752,7 @@ LINKAGE_QUERIES = {
     "transduce_transposition": q_transduce_transposition,
     "transduce_merge_split": q_transduce_merge_split,
     "dictionary_roundtrip": q_dictionary_roundtrip,
+    "spell_suggest": q_spell_suggest,
     "stream_linkage_matches": q_stream_linkage_matches,
     "eval_pairwise_f1": q_eval_pairwise_f1,
 }
