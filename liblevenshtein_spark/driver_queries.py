@@ -1194,6 +1194,40 @@ def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_turns(derive_transcripts(spark, sf_dir))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking (W=64, S=48) over the documents table —
+    the context-window split a training pipeline runs before sequence
+    packing. Narrow plan: scan → tokenize → posexplode grid → slice; zero
+    shuffles (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def q_corpus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no distinct pre-scan): per-source
+    rows, per-language count columns."""
+    return analytics.corpus_pivot(_docs(spark, sf_dir))
+
+
+def q_corpus_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt direction: wide per-source stats back to tidy
+    (source, metric, value) rows."""
+    return analytics.corpus_unpivot(_docs(spark, sf_dir))
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank deciles of n_chars via the value-histogram
+    decomposition (no approx_percentile, no global row sort)."""
+    return analytics.length_deciles(_docs(spark, sf_dir))
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 per-vector quantization of the embeddings table; the
+    full quantized lattice rides the hash via qvec_csv."""
+    return ann.quantize_embeddings(_emb(spark, sf_dir))
+
+
 def q_stream_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState conversation reassembly through the hard gate:
     turn events (deterministic synthetic event times) are drained as a
@@ -1900,6 +1934,84 @@ SELECT event_id, user_id,
     ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC) AS INT)
     AS value_quartile
 FROM events""",
+    # same chunk grid as operators/chunking.py: W=64, S=48, starts
+    # 0..(nb-1)*S with nb-1 = ceil((n-W)/S) = (n-W+S-1) // S for n > W
+    "doc_chunks": DUCK_TOKENS + """,
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+grid AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0,
+           CASE WHEN n <= 64 THEN 0 ELSE ((n - 64 + 47) // 48) * 48 END,
+           48)) AS start_tok
+  FROM sized
+),
+chunks AS (
+  SELECT doc_id, CAST(start_tok // 48 AS INT) AS chunk_idx,
+         CAST(start_tok AS INT) AS start_tok,
+         list_slice(toks, start_tok + 1, start_tok + 64) AS chunk
+  FROM grid
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks""",
+    "corpus_pivot": """
+SELECT source,
+  CAST(count(*) FILTER (WHERE lang = 'de') AS INT) AS n_de,
+  CAST(count(*) FILTER (WHERE lang = 'en') AS INT) AS n_en,
+  CAST(count(*) FILTER (WHERE lang = 'es') AS INT) AS n_es,
+  CAST(count(*) FILTER (WHERE lang = 'fr') AS INT) AS n_fr,
+  CAST(count(*) FILTER (WHERE lang = 'zh') AS INT) AS n_zh
+FROM documents GROUP BY source""",
+    "corpus_unpivot": """
+WITH wide AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY source
+)
+SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL SELECT source, 'sum_chars', sum_chars FROM wide
+UNION ALL SELECT source, 'n_langs', n_langs FROM wide""",
+    # exact nearest-rank deciles over the n_chars value histogram —
+    # rank = ceil(p*n/10) in integer arithmetic, identical to the Spark plan
+    "length_deciles": """
+WITH hist AS (SELECT n_chars AS value, count(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (
+  SELECT value, cnt, sum(cnt) OVER (
+    ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT count(*) AS n FROM documents),
+dec AS (
+  SELECT d AS decile, CAST((d * n + 9) // 10 AS BIGINT) AS rank
+  FROM (SELECT unnest(generate_series(1, 9)) AS d), tot
+)
+SELECT CAST(decile AS INT) AS decile, rank, CAST(value AS BIGINT) AS value
+FROM cum JOIN dec ON cum.cum >= dec.rank AND cum.cum - cum.cnt < dec.rank""",
+    # int8 symmetric quantization: identical double-precision expression
+    # shape as ann.quantize_embeddings (cast-to-double first, then
+    # x*127.0/scale, round half away from zero)
+    "embed_quantize": """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+sc AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM base),
+qv AS (
+  SELECT vec_id, scale, len(dv) AS n_dims,
+    CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+         ELSE list_transform(dv, x -> CAST(round(x * 127.0 / scale) AS INT))
+    END AS q
+  FROM sc
+)
+SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+  CAST(round(scale * 1000000) AS BIGINT) AS scale_1e6,
+  CAST(list_sum(q) AS BIGINT) AS sum_q,
+  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS qvec_csv
+FROM qv""",
 }
 
 DATA_QUERIES = {
@@ -1944,4 +2056,9 @@ DATA_QUERIES = {
     "events_range_agg": q_events_range_agg,
     "dedup_turns": q_dedup_turns,
     "stream_dedup": q_stream_dedup,
+    "doc_chunks": q_doc_chunks,
+    "corpus_pivot": q_corpus_pivot,
+    "corpus_unpivot": q_corpus_unpivot,
+    "length_deciles": q_length_deciles,
+    "embed_quantize": q_embed_quantize,
 }

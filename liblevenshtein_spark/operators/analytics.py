@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 __all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup",
-           "event_running_totals"]
+           "event_running_totals", "corpus_pivot", "corpus_unpivot",
+           "length_deciles", "PIVOT_LANGS"]
 
 # IDF is ln((N+1)/(df+1)) scaled to 1e4 and rounded to a bigint: exact
 # cross-engine arithmetic after the rounding (a mismatch would need the two
@@ -122,6 +123,79 @@ def corpus_rollup(docs: DataFrame) -> DataFrame:
             F.coalesce("source", F.lit("<all>")).alias("source"),
             "grouping_lvl", "n_docs", "sum_chars",
         )
+    )
+
+
+# Explicit pivot-column list: passing values to pivot() fixes the output
+# schema without a distinct-scan job, keeps the plan a single hash aggregate
+# (one shuffle on the row key), and makes the schema data-independent — at
+# 100 TB an implicit pivot would first run a full distinct over the pivot
+# column and fall over on high cardinality.
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def corpus_pivot(docs: DataFrame, langs: list[str] | None = None) -> DataFrame:
+    """Per-source language breakdown as a wide table: one row per source,
+    one n_<lang> count column per configured language (unseen combinations
+    pinned to 0 so the frame is dense and hashable)."""
+    langs = PIVOT_LANGS if langs is None else langs
+    wide = docs.groupBy("source").pivot("lang", langs).count()
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(f"`{l}`"), F.lit(0)).cast("int").alias(f"n_{l}")
+          for l in langs],
+    )
+
+
+def corpus_unpivot(docs: DataFrame) -> DataFrame:
+    """The melt direction: aggregate per-source stats wide, then `unpivot`
+    back to tidy (source, metric, value) rows — the relational surface's
+    UNPIVOT/MELT shape. All measures are bigint so the value column needs no
+    lossy common-type promotion."""
+    wide = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return wide.unpivot(
+        ids=["source"], values=["n_docs", "sum_chars", "n_langs"],
+        variableColumnName="metric", valueColumnName="value",
+    )
+
+
+def length_deciles(docs: DataFrame, col: str = "n_chars",
+                   q: int = 10) -> DataFrame:
+    """EXACT distribution deciles of an integer column via a value
+    histogram — not approx_percentile (non-deterministic across engines) and
+    not a global sort of the raw rows. The corpus collapses to one row per
+    distinct value (map-side combined groupBy), the cumulative window runs
+    over that tiny frame, and each decile p picks the value at rank
+    ceil(p*n/q) — nearest-rank semantics, exact integers end to end.
+
+    At 100 TB the only corpus-sized operation is the histogram aggregate
+    (|distinct lengths| output rows); the window + decile join are
+    negligible. Returns (decile:int, rank:bigint, value:bigint)."""
+    hist = docs.groupBy(F.col(col).alias("value")).agg(
+        F.count("*").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "value", "cnt", F.sum("cnt").over(w).alias("cum"))
+    total = docs.agg(F.count("*").alias("n"))
+    deciles = (
+        docs.sparkSession.range(1, q)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(total))
+        # nearest-rank: ceil(p*n/q) in exact integer arithmetic
+        .select("decile",
+                F.expr(f"CAST((decile * n + {q} - 1) DIV {q} AS BIGINT)")
+                .alias("rank"))
+    )
+    return (
+        cum.join(F.broadcast(deciles),
+                 (F.col("cum") >= F.col("rank"))
+                 & (F.col("cum") - F.col("cnt") < F.col("rank")))
+        .select("decile", "rank", F.col("value").cast("bigint").alias("value"))
     )
 
 

@@ -23,7 +23,44 @@ __all__ = [
     "cosine", "brute_force_topk", "cosine_dup_pairs",
     "lsh_signature_udf", "lsh_ann_pairs",
     "ivf_centroids", "ivf_index", "ivf_topk", "semantic_dedup",
+    "quantize_embeddings",
 ]
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector — the storage/serving format a
+    vector index ships at scale (4x smaller than float32, SIMD-friendly).
+
+    scale = max(|x|) over the vector (computed in double), q_i =
+    round(x_i * 127 / scale) as int8-range ints. Zero vectors quantize to
+    all-zero with scale 0. Entirely native expressions (transform /
+    array_max / aggregate) — a narrow per-row map, no shuffle, so the plan
+    is scan → project at any scale.
+
+    Determinism: every float32 input casts exactly to double, both engines
+    evaluate x*127.0/scale in IEEE double with identical association, and
+    ties at .5 round away from zero in both Spark and DuckDB; random-valued
+    embeddings hit an exact .5 boundary with vanishing probability (same
+    argument as the LSH sign bits, driver_queries._lsh_ann_oracle_sql).
+
+    Returns (vec_id, n_dims:int, scale_1e6:bigint, sum_q:bigint,
+    qvec_csv:string — the comma-joined int8 lattice, content-pinning the
+    whole quantized vector for the oracle hash)."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(dv, F.abs))
+    qv = F.when(scale == 0, F.transform(dv, lambda x: F.lit(0))).otherwise(
+        F.transform(dv, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    )
+    return emb.select(
+        id_col,
+        F.size(vec_col).cast("int").alias("n_dims"),
+        F.round(scale * 1_000_000).cast("bigint").alias("scale_1e6"),
+        F.aggregate(qv, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("sum_q"),
+        F.array_join(F.transform(qv, lambda x: x.cast("string")), ",")
+        .alias("qvec_csv"),
+    )
 
 
 def cosine(a: str | Column, b: str | Column, digits: int | None = 4) -> Column:

@@ -1,0 +1,74 @@
+"""Fixed-token-window document chunking — the standard pre-tokenization
+split a training pipeline applies before packing sequences (context-window
+chunks with overlap, e.g. The Pile / RefinedWeb preprocessing).
+
+Pure native DataFrame code: tokenize (the toolkit's shared whitespace
+tokenizer, functions/text.tokens), compute the chunk-start grid with integer
+arithmetic, `posexplode` the grid, and `slice` each window out of the token
+array. No UDFs, no shuffle at all — chunking is embarrassingly row-parallel,
+so the physical plan is a single narrow Generate+Project over the scan and
+survives any scale-up untouched (the only data movement is whatever the
+caller's sink repartitioning asks for).
+
+Chunk-grid semantics (window W, stride S < W, n tokens):
+* n == 0 -> no chunks (empty/whitespace docs are dropped, matching the
+  quality-filter stage's floor).
+* n <= W -> exactly one chunk [0, n).
+* else   -> starts 0, S, 2S, ..., (nb-1)*S with nb = 1 + ceil((n-W)/S),
+  computed as (n - W + S - 1) DIV S in exact integer arithmetic; the last
+  window is short iff (n-W) % S != 0, and every token is covered because
+  (nb-1)*S + W >= n.
+
+The DuckDB oracle (driver_queries.DATA_ORACLES['doc_chunks']) mirrors the
+same grid with generate_series + list_slice; chunk text is emitted both raw
+(chunk_text) and as md5 (chunk_hash) so the gate pins exact content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["chunk_documents", "CHUNK_WINDOW", "CHUNK_STRIDE"]
+
+# Defaults sized for readability at test scale; production values (e.g.
+# 2048/1920) only change the literals — the plan shape is identical.
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(docs: DataFrame, window: int = CHUNK_WINDOW,
+                    stride: int = CHUNK_STRIDE,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    Returns (doc_id, chunk_idx:int, start_tok:int, n_chunk_tokens:int,
+    chunk_text:string, chunk_hash:string md5). Deterministic: the grid is
+    integer arithmetic and the tokenizer is shared with every other text
+    operator, so chunk boundaries are reproducible across runs/engines.
+    """
+    if not (0 < stride < window):
+        raise ValueError(f"need 0 < stride < window, got {stride}/{window}")
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    n_blocks = F.when(F.col("_n") <= window, F.lit(1)).otherwise(
+        F.expr(f"1 + CAST((_n - {window} + {stride} - 1) DIV {stride} AS INT)")
+    )
+    grid = F.sequence(F.lit(0), (n_blocks - 1) * stride, F.lit(stride))
+    out = (
+        toked.filter(F.col("_n") > 0)
+        .select(id_col, "_toks", F.posexplode(grid).alias("chunk_idx", "start_tok"))
+        .withColumn("_chunk", F.slice("_toks", F.col("start_tok") + 1, window))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.size("_chunk").cast("int").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+            F.md5(F.array_join("_chunk", " ")).alias("chunk_hash"),
+        )
+    )
+    return out

@@ -1,0 +1,173 @@
+"""Tests for operators/chunking.py (fixed-token-window document chunking)
+plus the round-2 analytics additions (pivot/unpivot, exact deciles) and
+int8 embedding quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_spark.operators.analytics import (
+    corpus_pivot, corpus_unpivot, length_deciles,
+)
+from liblevenshtein_spark.operators.ann import quantize_embeddings
+from liblevenshtein_spark.operators.chunking import chunk_documents
+
+
+def _doc(i, n_tokens):
+    return (i, " ".join(f"t{i}w{j}" for j in range(n_tokens)))
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+def test_chunk_grid_shapes(spark):
+    docs = spark.createDataFrame(
+        [_doc(1, 10), _doc(2, 64), _doc(3, 65), _doc(4, 100), _doc(5, 160),
+         (6, ""), (7, "   ")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, window=64, stride=48)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    by_doc = {}
+    for (d, _), r in rows.items():
+        by_doc.setdefault(d, []).append(r)
+    # empty / whitespace-only docs emit no chunks
+    assert 6 not in by_doc and 7 not in by_doc
+    # n <= W: exactly one chunk of n tokens
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 10
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 64
+    # n = 65: starts 0, 48 — tail chunk is short (17 tokens)
+    assert sorted(r.start_tok for r in by_doc[3]) == [0, 48]
+    assert {r.start_tok: r.n_chunk_tokens for r in by_doc[3]}[48] == 17
+    # n = 100: starts 0, 48 — second chunk covers 48..99 (52 tokens)
+    assert {r.start_tok: r.n_chunk_tokens for r in by_doc[4]} == {0: 64, 48: 52}
+    # n = 160: ceil((160-64)/48) = 2 extra starts -> 0, 48, 96
+    assert sorted(r.start_tok for r in by_doc[5]) == [0, 48, 96]
+
+
+def test_chunk_full_coverage_and_content(spark):
+    """Every token appears in at least one chunk; chunk text is the exact
+    token-slice join and consecutive chunks overlap by W - S tokens."""
+    n = 137
+    docs = spark.createDataFrame([_doc(9, n)], "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, window=64, stride=48).collect(),
+                  key=lambda r: r.chunk_idx)
+    toks = [f"t9w{j}" for j in range(n)]
+    covered = set()
+    for r in rows:
+        expect = toks[r.start_tok:r.start_tok + 64]
+        assert r.chunk_text.split(" ") == expect
+        assert r.n_chunk_tokens == len(expect)
+        covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+    assert covered == set(range(n))
+    # chunk_idx is the start/stride grid position
+    assert [r.start_tok for r in rows] == [48 * r.chunk_idx for r in rows]
+
+
+def test_chunk_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([_doc(1, 3)], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=16, stride=16)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=16, stride=0)
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    docs = spark.createDataFrame([_doc(1, 100)], "doc_id long, text string")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_pivot / corpus_unpivot
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _corpus(spark):
+    return spark.createDataFrame([
+        (1, "a", "en", "web", 10),
+        (2, "b", "en", "web", 20),
+        (3, "c", "de", "web", 30),
+        (4, "d", "fr", "wiki", 40),
+        (5, "e", "zh", "wiki", 50),
+    ], _DOCS_SCHEMA)
+
+
+def test_corpus_pivot_counts(spark):
+    out = {r.source: r for r in corpus_pivot(_corpus(spark)).collect()}
+    assert out["web"].n_en == 2 and out["web"].n_de == 1 and out["web"].n_fr == 0
+    assert out["wiki"].n_fr == 1 and out["wiki"].n_zh == 1 and out["wiki"].n_en == 0
+
+
+def test_corpus_unpivot_tidy(spark):
+    out = {(r.source, r.metric): r.value
+           for r in corpus_unpivot(_corpus(spark)).collect()}
+    assert out[("web", "n_docs")] == 3
+    assert out[("web", "sum_chars")] == 60
+    assert out[("web", "n_langs")] == 2
+    assert out[("wiki", "n_langs")] == 2
+    assert len(out) == 6
+
+
+# ---------------------------------------------------------------------------
+# length_deciles
+# ---------------------------------------------------------------------------
+
+def test_length_deciles_exact_nearest_rank(spark):
+    # values 1..20: decile d has rank ceil(d*20/10) = 2d -> value 2d
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "web", i) for i in range(1, 21)], _DOCS_SCHEMA)
+    out = {r.decile: (r.rank, r.value)
+           for r in length_deciles(docs).collect()}
+    assert out == {d: (2 * d, 2 * d) for d in range(1, 10)}
+
+
+def test_length_deciles_with_duplicates(spark):
+    # 10 copies of 5 and one 100: n=11, rank(d) = ceil(11d/10)
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "web", 5) for i in range(10)]
+        + [(10, "x", "en", "web", 100)], _DOCS_SCHEMA)
+    out = {r.decile: r.value for r in length_deciles(docs).collect()}
+    assert all(out[d] == 5 for d in range(1, 10))  # rank <= 10 for d <= 9
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings
+# ---------------------------------------------------------------------------
+
+def test_quantize_hand_computed(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0]), (3, [3.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    # scale=2 -> q = round([63.5, -127, 31.75]) = [64, -127, 32]
+    assert out[1].qvec_csv == "64,-127,32"
+    assert out[1].sum_q == 64 - 127 + 32
+    assert out[1].scale_1e6 == 2_000_000
+    assert out[1].n_dims == 3
+    # zero vector -> all-zero lattice, scale 0
+    assert out[2].qvec_csv == "0,0" and out[2].scale_1e6 == 0
+    # single component quantizes to the extreme
+    assert out[3].qvec_csv == "127"
+
+
+def test_quantize_bounds_and_reconstruction(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16).astype("float32")])
+            for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = quantize_embeddings(emb).collect()
+    raw = dict(vecs)
+    for r in rows:
+        q = [int(s) for s in r.qvec_csv.split(",")]
+        assert all(-127 <= v <= 127 for v in q)
+        scale = r.scale_1e6 / 1e6
+        # dequantized values within half a lattice step of the original
+        step = scale / 127
+        for orig, qi in zip(raw[r.vec_id], q):
+            assert abs(qi * step - orig) <= step / 2 + 1e-4
