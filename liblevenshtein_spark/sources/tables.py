@@ -66,6 +66,34 @@ def write_table(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    bucket_by: list[str],
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write — the parquet stand-in for
+    Iceberg's `bucket(N, col)` partition transform.
+
+    Why it matters at 100 TB: a self-join or repeated join on the bucket key
+    (the pipeline's candidate-pairs equi-join on block_key, or any entity-id
+    join against a bucketed dictionary) reads co-located buckets and skips
+    the shuffle entirely — Catalyst plans a sort-merge join with NO Exchange
+    on either side (proved in tests/test_storage.py by asserting the
+    physical plan is Exchange-free). Amortized once at write time instead of
+    per-query; `sort_by` additionally pre-sorts bucket files so single-file
+    buckets skip the Sort too."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def write_dictionary(df: DataFrame, path: str, key_col: str = "block_key") -> None:
     """Persist the 'compiled dictionary' (entity table with blocking keys) —
     the Spark-native A1+A5 of SURVEY.md §2.2."""
