@@ -1204,6 +1204,21 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard concatenate-and-split sequence packing (capacity 128):
+    where each document lands in the packed training stream
+    (operators/chunking.pack_sequences)."""
+    from .operators.chunking import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-accuracy audit: sketch estimate vs exact Jaccard
+    (+ integer-scaled absolute error) on the LSH candidate set."""
+    return dedup.minhash_estimate_pairs(_docs(spark, sf_dir))
+
+
 def q_corpus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT with an explicit value list (no distinct pre-scan): per-source
     rows, per-language count columns."""
@@ -1991,6 +2006,41 @@ dec AS (
 )
 SELECT CAST(decile AS INT) AS decile, rank, CAST(value AS BIGINT) AS value
 FROM cum JOIN dec ON cum.cum >= dec.rank AND cum.cum - cum.cnt < dec.rank""",
+    # same per-shard cumulative-offset packing grid as pack_sequences
+    "seq_pack": DUCK_TOKENS + """,
+sized AS (
+  SELECT d.source AS shard, t.doc_id, len(t.toks) AS n
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE len(t.toks) > 0
+),
+cum AS (
+  SELECT shard, doc_id, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+  FROM sized
+)
+SELECT shard, doc_id, CAST(n AS INT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset_in_shard,
+       CAST(off // 128 AS INT) AS first_seq,
+       CAST((off + n - 1) // 128 AS INT) AS last_seq,
+       CAST((off + n - 1) // 128 - off // 128 AS INT) AS n_boundary_splits
+FROM cum""",
+    # sketch estimate (matching components / 16) vs exact jaccard per LSH
+    # candidate; collision-only candidates coalesce to jaccard 0.0
+    "dedup_minhash_est": DUCK_MINHASH + """,
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(count(*) FILTER (WHERE sa.minhash = sb.minhash) AS INT) AS est_16
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+  GROUP BY c.id_a, c.id_b
+)
+SELECT e.id_a, e.id_b, e.est_16,
+       coalesce(j.jaccard, 0.0) AS jaccard,
+       CAST(round(abs(e.est_16 / 16.0 - coalesce(j.jaccard, 0.0)) * 10000) AS BIGINT)
+         AS abs_err_1e4
+FROM est e LEFT JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b""",
     # int8 symmetric quantization: identical double-precision expression
     # shape as ann.quantize_embeddings (cast-to-double first, then
     # x*127.0/scale, round half away from zero)
@@ -2057,6 +2107,8 @@ DATA_QUERIES = {
     "dedup_turns": q_dedup_turns,
     "stream_dedup": q_stream_dedup,
     "doc_chunks": q_doc_chunks,
+    "seq_pack": q_seq_pack,
+    "dedup_minhash_est": q_dedup_minhash_est,
     "corpus_pivot": q_corpus_pivot,
     "corpus_unpivot": q_corpus_unpivot,
     "length_deciles": q_length_deciles,

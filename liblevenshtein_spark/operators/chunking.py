@@ -26,17 +26,63 @@ same grid with generate_series + list_slice; chunk text is emitted both raw
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["chunk_documents", "CHUNK_WINDOW", "CHUNK_STRIDE"]
+__all__ = ["chunk_documents", "pack_sequences",
+           "CHUNK_WINDOW", "CHUNK_STRIDE", "SEQ_CAPACITY"]
 
 # Defaults sized for readability at test scale; production values (e.g.
 # 2048/1920) only change the literals — the plan shape is identical.
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48
+SEQ_CAPACITY = 128
+
+
+def pack_sequences(docs: DataFrame, capacity: int = SEQ_CAPACITY,
+                   shard_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Concatenate-and-split sequence packing (the standard GPT-style
+    training layout): within each shard, documents are laid end to end in
+    deterministic `id_col` order and the token stream is cut every
+    `capacity` tokens. Emits, per non-empty document, where it lands:
+    global shard offset, the first/last training sequence it touches, and
+    how many sequence boundaries cut through it.
+
+    Packing is sequential by nature; the scalable decomposition is the same
+    one production packers use — pack WITHIN shards (here `shard_col`), so
+    the cumulative-offset window partitions by shard and the per-partition
+    state is one running sum. No corpus-global ordering anywhere.
+
+    Returns (shard, doc_id, n_tokens:int, offset_in_shard:bigint,
+    first_seq:int, last_seq:int, n_boundary_splits:int)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    sized = (
+        docs.select(
+            F.col(shard_col).alias("shard"), F.col(id_col),
+            F.size(tokens(text_col)).alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    off = (F.sum("_n").over(w) - F.col("_n")).cast("bigint")
+    return (
+        sized.select(
+            "shard", id_col,
+            F.col("_n").cast("int").alias("n_tokens"),
+            off.alias("offset_in_shard"))
+        .select(
+            "shard", id_col, "n_tokens", "offset_in_shard",
+            F.expr(f"CAST(offset_in_shard DIV {capacity} AS INT)")
+            .alias("first_seq"),
+            F.expr(
+                f"CAST((offset_in_shard + n_tokens - 1) DIV {capacity} AS INT)"
+            ).alias("last_seq"))
+        .withColumn("n_boundary_splits",
+                    (F.col("last_seq") - F.col("first_seq")).cast("int"))
+    )
 
 
 def chunk_documents(docs: DataFrame, window: int = CHUNK_WINDOW,

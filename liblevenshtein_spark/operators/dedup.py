@@ -241,6 +241,60 @@ def minhash_band_keys(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n_perms: int = 16,
+                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Estimator-accuracy audit for the MinHash sketch: for every LSH
+    candidate pair, the sketch's Jaccard estimate (matching signature
+    components / n_perms) side by side with the exact Jaccard, plus the
+    absolute error in 1e-4 units — the number a pipeline owner watches to
+    size n_perms before trusting sketch-only dedup at full scale.
+
+    Cost shape matches minhash_lsh_pairs: one shingle materialization
+    shared by signatures and the exact verify, candidates from the band
+    bucket join, and the component-match count is a (pair, perm) equi-join
+    on the n_perms-row signature frames — everything downstream of blocking
+    is proportional to |candidates|, never corpus².
+
+    Returns (id_a, id_b, est_16:int, jaccard, abs_err_1e4:bigint); pairs
+    whose exact intersection is empty (pure hash-collision candidates)
+    report jaccard 0.0."""
+    sh = doc_shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    sig = minhash_signatures(df, id_col, text_col, n_perms, shingle_n,
+                             shingles=sh)
+    band_keys = minhash_band_keys(df, id_col, text_col, n_perms, bands,
+                                  shingle_n, shingles=sh)
+    a = band_keys.select(F.col(id_col).alias("id_a"), "band_key")
+    b = band_keys.select(F.col(id_col).alias("id_b"), "band_key")
+    cands = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), "perm",
+                    F.col("minhash").alias("_mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "perm",
+                    F.col("minhash").alias("_mh_b"))
+    est = (
+        cands.join(sa, "id_a").join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("_mh_a") == F.col("_mh_b")).cast("int"))
+             .cast("int").alias("est_16"))
+    )
+    exact = jaccard_for_pairs(sh, cands, threshold=0.0, id_col=id_col)
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "est_16",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            F.round(F.abs(F.col("est_16") / n_perms
+                          - F.coalesce("jaccard", F.lit(0.0))) * 10_000)
+            .cast("bigint").alias("abs_err_1e4"),
+        )
+    )
+
+
 def incremental_minhash_pairs(new_docs: DataFrame, stored_index: DataFrame,
                               corpus: DataFrame,
                               id_col: str = "doc_id", text_col: str = "text",

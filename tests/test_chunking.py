@@ -171,3 +171,91 @@ def test_quantize_bounds_and_reconstruction(spark):
         step = scale / 127
         for orig, qi in zip(raw[r.vec_id], q):
             assert abs(qi * step - orig) <= step / 2 + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def _pack_corpus(spark):
+    # shard A: 100 + 50 + 30 tokens; shard B: 200 tokens; plus an empty doc
+    rows = [
+        (1, " ".join(f"a{j}" for j in range(100)), "en", "A", 0),
+        (2, " ".join(f"b{j}" for j in range(50)), "en", "A", 0),
+        (3, " ".join(f"c{j}" for j in range(30)), "en", "A", 0),
+        (4, " ".join(f"d{j}" for j in range(200)), "en", "B", 0),
+        (5, "", "en", "B", 0),
+    ]
+    return spark.createDataFrame(rows, _DOCS_SCHEMA)
+
+
+def test_pack_sequences_offsets_and_splits(spark):
+    from liblevenshtein_spark.operators.chunking import pack_sequences
+
+    out = {r.doc_id: r for r in pack_sequences(_pack_corpus(spark), capacity=128).collect()}
+    assert 5 not in out  # empty doc dropped
+    # shard A in doc_id order: offsets 0, 100, 150
+    assert (out[1].offset_in_shard, out[2].offset_in_shard,
+            out[3].offset_in_shard) == (0, 100, 150)
+    # doc 1 spans tokens [0,100) -> entirely in seq 0
+    assert (out[1].first_seq, out[1].last_seq, out[1].n_boundary_splits) == (0, 0, 0)
+    # doc 2 spans [100,150) -> crosses the seq 0/1 boundary at 128
+    assert (out[2].first_seq, out[2].last_seq, out[2].n_boundary_splits) == (0, 1, 1)
+    # doc 3 spans [150,180) -> entirely in seq 1
+    assert (out[3].first_seq, out[3].last_seq) == (1, 1)
+    # shard B restarts at offset 0; 200 tokens -> crosses one boundary
+    assert (out[4].offset_in_shard, out[4].first_seq, out[4].last_seq) == (0, 0, 1)
+
+
+def test_pack_sequences_token_conservation(spark):
+    """Sum of tokens equals last offset + last doc's tokens per shard, and
+    sequence ids tile the stream without gaps."""
+    from liblevenshtein_spark.operators.chunking import pack_sequences
+
+    out = pack_sequences(_pack_corpus(spark), capacity=64).collect()
+    for shard in ("A", "B"):
+        rows = sorted((r for r in out if r.shard == shard),
+                      key=lambda r: r.offset_in_shard)
+        total = sum(r.n_tokens for r in rows)
+        assert rows[-1].offset_in_shard + rows[-1].n_tokens == total
+        # consecutive docs abut exactly
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev.offset_in_shard + prev.n_tokens == cur.offset_in_shard
+        # first/last seq are consistent with the offsets
+        for r in rows:
+            assert r.first_seq == r.offset_in_shard // 64
+            assert r.last_seq == (r.offset_in_shard + r.n_tokens - 1) // 64
+
+
+def test_pack_sequences_rejects_bad_capacity(spark):
+    from liblevenshtein_spark.operators.chunking import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(_pack_corpus(spark), capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_pairs
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    from liblevenshtein_spark.operators.dedup import minhash_estimate_pairs
+
+    base = " ".join(f"w{j}" for j in range(40))
+    near = " ".join(f"w{j}" for j in range(39)) + " zz"
+    docs = spark.createDataFrame(
+        [(1, base, "en", "A", 0), (2, base, "en", "A", 0),
+         (3, near, "en", "A", 0), (4, "totally different text here now", "en", "A", 0)],
+        _DOCS_SCHEMA)
+    out = {(r.id_a, r.id_b): r for r in minhash_estimate_pairs(docs).collect()}
+    # identical docs: estimate is exact — 16/16 components match, error 0
+    assert out[(1, 2)].est_16 == 16 and out[(1, 2)].jaccard == 1.0
+    assert out[(1, 2)].abs_err_1e4 == 0
+    # near-dup pair surfaces with a high estimate and bounded error
+    for pair in [(1, 3), (2, 3)]:
+        if pair in out:
+            r = out[pair]
+            assert r.est_16 >= 10 and r.jaccard > 0.8
+            assert r.abs_err_1e4 == round(abs(r.est_16 / 16 - r.jaccard) * 10000)
+    # the unrelated doc never becomes a candidate
+    assert not any(4 in p for p in out)
