@@ -27,7 +27,7 @@ from .config import LinkConfig
 from .functions.blocking import deletion_neighborhood
 from .operators.canonicalize import canonicalize
 from .operators.topk import topk_candidates
-from .operators.clustering import assign_clusters
+from .operators.clustering import assign_clusters, fold_clusters
 from .operators.metrics import pairwise_confusion
 from .operators.scoring import distance_udf
 from .operators.transduce import compile_dictionary, transduce
@@ -265,6 +265,23 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
     entities = _canonical(spark, sf_dir).select("conv_id")
     return assign_clusters(entities, matches)
+
+
+def q_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC fold through the hard gate: the match edges are split
+    deterministically (xxhash64 parity) into a 'historical' half and a
+    'new ingest batch' half; the historical half is clustered, then the
+    assignment — not the historical edges — is folded with the new batch
+    via clustering.fold_clusters. The result must equal full-history CC
+    (shares the `clusters` oracle verbatim), proving assignment-as-star-
+    forest folding is lossless. At 10^12-turn scale this is what each
+    ingest batch runs instead of re-clustering the whole match history."""
+    ship_package(spark)
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    is_new = F.xxhash64("id_a", "id_b") % 2 == 0
+    prior = assign_clusters(entities, matches.filter(~is_new))
+    return fold_clusters(entities, prior, matches.filter(is_new))
 
 
 def q_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +748,10 @@ SELECT tp, fp, fn,
 FROM conf""",
 }
 
+# Incremental folding is a physical re-plan of CC, not a semantic change:
+# the gate is exact equality with full-history clustering.
+LINKAGE_ORACLES["clusters_incremental"] = LINKAGE_ORACLES["clusters"]
+
 LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
@@ -745,6 +766,7 @@ LINKAGE_QUERIES = {
     "similarity": q_similarity,
     "matches": q_matches,
     "clusters": q_clusters,
+    "clusters_incremental": q_clusters_incremental,
     "cluster_stats": q_cluster_stats,
     "cluster_canonical": q_cluster_canonical,
     "topk_candidates": q_topk,
@@ -1241,6 +1263,30 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 per-vector quantization of the embeddings table; the
     full quantized lattice rides the hash via qvec_csv."""
     return ann.quantize_embeddings(_emb(spark, sf_dir))
+
+
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): all four grouping sets in one pass —
+    ROLLUP's missing per-source slice (analytics.corpus_cube)."""
+    return analytics.corpus_cube(_docs(spark, sf_dir))
+
+
+def q_event_hop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping window aggregate (30-minute windows every 10
+    minutes) per event type — the overlapping-window shape tumbling
+    (stream_event_windows) and session (event_sessions) entries don't
+    cover (analytics.event_hop_windows)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.event_hop_windows(ev)
+
+
+def q_event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar functions through the hard gate: from_json ->
+    map<string,bigint> -> explode(map) -> per-key aggregate; the oracle
+    re-derives the map entries with positional regexp extraction
+    (analytics.event_props_map)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.event_props_map(ev)
 
 
 def q_stream_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2062,6 +2108,37 @@ SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
   CAST(list_sum(q) AS BIGINT) AS sum_q,
   array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS qvec_csv
 FROM qv""",
+    "corpus_cube": """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       CAST(grouping(lang) * 2 + grouping(source) AS INT) AS grouping_lvl,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)""",
+    # hopping windows: every event lands in exactly window/slide = 3
+    # epoch-aligned windows (its own 10-minute bucket and the two before),
+    # since ts < bucket + slide <= (bucket - 2*slide) + window
+    "event_hop_windows": """
+SELECT CAST(epoch_us(time_bucket(INTERVAL '10 minutes', ts)) - k * 600000000 AS BIGINT)
+         AS window_start_us,
+       event_type,
+       CAST(count(*) AS INT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events, (SELECT unnest(range(0, 3)) AS k) ks
+GROUP BY 1, 2""",
+    # positional zip of keys/values re-derives the flat integer-valued JSON
+    # object generically — key discovery itself is gated, not hardcoded
+    "event_props_map": """
+WITH entries AS (
+  SELECT unnest(regexp_extract_all(props, '"([^"]+)"\\s*:', 1)) AS key,
+         CAST(unnest(regexp_extract_all(props, ':\\s*(-?\\d+)', 1)) AS BIGINT) AS val
+  FROM events
+)
+SELECT key, CAST(count(*) AS INT) AS n_events,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(min(val) AS BIGINT) AS min_val,
+       CAST(max(val) AS BIGINT) AS max_val
+FROM entries GROUP BY key""",
 }
 
 DATA_QUERIES = {
@@ -2113,4 +2190,7 @@ DATA_QUERIES = {
     "corpus_unpivot": q_corpus_unpivot,
     "length_deciles": q_length_deciles,
     "embed_quantize": q_embed_quantize,
+    "corpus_cube": q_corpus_cube,
+    "event_hop_windows": q_event_hop_windows,
+    "event_props_map": q_event_props_map,
 }

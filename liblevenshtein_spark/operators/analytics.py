@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup",
+__all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup", "corpus_cube",
            "event_running_totals", "corpus_pivot", "corpus_unpivot",
-           "length_deciles", "PIVOT_LANGS"]
+           "length_deciles", "event_hop_windows", "event_props_map",
+           "PIVOT_LANGS"]
 
 # IDF is ln((N+1)/(df+1)) scaled to 1e4 and rounded to a bigint: exact
 # cross-engine arithmetic after the rounding (a mismatch would need the two
@@ -123,6 +124,78 @@ def corpus_rollup(docs: DataFrame) -> DataFrame:
             F.coalesce("source", F.lit("<all>")).alias("source"),
             "grouping_lvl", "n_docs", "sum_chars",
         )
+    )
+
+
+def corpus_cube(docs: DataFrame) -> DataFrame:
+    """CUBE aggregate over (lang, source): all four grouping sets —
+    per-(lang, source), per-lang, per-source, and the grand total — in one
+    grouping-sets hash aggregate (ROLLUP's missing per-source slice).
+    Same hash-robustness discipline as corpus_rollup: dimension nulls
+    pinned to '<all>', grouping level as an explicit int column."""
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("int").alias("grouping_lvl"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "grouping_lvl", "n_docs", "sum_chars",
+        )
+    )
+
+
+def event_hop_windows(events: DataFrame, window: str = "30 minutes",
+                      slide: str = "10 minutes") -> DataFrame:
+    """Sliding (hopping) window aggregate: per overlapping 30-minute
+    window advancing every 10 minutes, per event type, event count + exact
+    integer-cent value sum. Each event lands in window/slide = 3 windows —
+    Spark's native F.window(slide) fan-out, the one time-window shape the
+    toolkit's tumbling (stream_event_windows) and session (event_sessions)
+    entries don't cover. Window starts are epoch-aligned on both engines;
+    emitted as unix microseconds so the hash never sees a raw timestamp.
+
+    Scale: the fan-out is a narrow ×(window/slide) Generate before the one
+    hash-agg shuffle — partial aggregation still applies map-side, so the
+    shuffle carries ~|windows × types| rows, not ×3 the event stream."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint").alias("sum_value_cents"),
+        )
+        .select(
+            # events ts is NTZ; the UTC session tz makes the cast
+            # wall-clock-preserving (same idiom as stream_event_windows)
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value_cents",
+        )
+    )
+
+
+def event_props_map(events: DataFrame) -> DataFrame:
+    """Map-typed scalar-function coverage: parse the JSON props column into
+    a genuine MapType (from_json -> map<string,bigint>), explode its
+    entries, and aggregate per key — count, sum, min/max. Generic over any
+    flat integer-valued props object (the sandbox fixture happens to carry
+    a single key); the DuckDB oracle re-derives the entries with positional
+    regexp_extract_all + zipped unnest, so key discovery itself is gated.
+
+    Scale: explode(map) is a narrow Generate; the per-key aggregate
+    partially combines map-side and shuffles |keys|-bounded rows."""
+    entries = events.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    )
+    return entries.groupBy("key").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.min("val").cast("bigint").alias("min_val"),
+        F.max("val").cast("bigint").alias("max_val"),
     )
 
 

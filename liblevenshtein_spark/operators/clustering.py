@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["large_star", "small_star", "connected_components", "assign_clusters"]
+__all__ = ["large_star", "small_star", "connected_components", "assign_clusters",
+           "fold_clusters"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -105,3 +106,30 @@ def assign_clusters(entities: DataFrame, matches: DataFrame,
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def fold_clusters(entities: DataFrame, assignment: DataFrame,
+                  new_matches: DataFrame, id_col: str = "conv_id",
+                  max_iterations: int = 50) -> DataFrame:
+    """Incrementally fold a batch of NEW match edges into an existing
+    cluster assignment without replaying the historical edge set.
+
+    The prior assignment (id -> cluster_id, cluster_id = min member id) is
+    itself a star forest that preserves the connectivity of every edge ever
+    folded in, so CC(star(assignment) ∪ new_edges) == CC(all edges ever).
+    At 10^12-turn scale this is the difference between re-clustering the
+    full match history every ingest batch and clustering |entities|-many
+    depth-1 star edges plus the new batch: the stars are already at the
+    large-star/small-star fixpoint shape, so the loop converges in ~2
+    rounds regardless of how deep the original merge chains were. This is
+    the batch twin of streaming/incremental.clusters_from_sink (which
+    recomputes CC from the whole sink).
+
+    Result is identical to assign_clusters(entities, union of all matches)
+    — cluster ids stay the min member id, so folding is associative and
+    idempotent across batches."""
+    prior = assignment.filter(F.col(id_col) != F.col("cluster_id")).select(
+        F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    edges = prior.unionByName(new_matches.select("id_a", "id_b"))
+    return assign_clusters(entities, edges, id_col, max_iterations)

@@ -181,3 +181,73 @@ def test_event_running_totals(spark):
     assert rows[3].value_quartile == 1
     assert rows[1].value_quartile == 2
     assert rows[4].running_cents == 500 and rows[4].value_quartile == 1
+
+
+# ---------------------------------------------------------------------------
+# corpus_cube / event_hop_windows / event_props_map
+# ---------------------------------------------------------------------------
+
+def test_corpus_cube_all_grouping_sets(spark):
+    from liblevenshtein_spark.operators.analytics import corpus_cube
+
+    docs = spark.createDataFrame([
+        (1, "en", "s1", 10), (2, "en", "s2", 20), (3, "de", "s1", 30),
+    ], "doc_id long, lang string, source string, n_chars long")
+    rows = {(r.lang, r.source): r for r in corpus_cube(docs).collect()}
+    # grand total
+    assert rows[("<all>", "<all>")].n_docs == 3
+    assert rows[("<all>", "<all>")].sum_chars == 60
+    assert rows[("<all>", "<all>")].grouping_lvl == 3
+    # per-lang (source rolled up)
+    assert rows[("en", "<all>")].n_docs == 2
+    # per-source slice — the grouping set ROLLUP does not produce
+    assert rows[("<all>", "s1")].n_docs == 2
+    assert rows[("<all>", "s1")].sum_chars == 40
+    assert rows[("<all>", "s1")].grouping_lvl == 2
+    # leaf cells
+    assert rows[("de", "s1")].n_docs == 1
+    # 4 grouping sets: 3 leaves + 2 langs + 2 sources + 1 total
+    assert len(rows) == 8
+
+
+def test_event_hop_windows_fanout_and_alignment(spark):
+    import datetime
+
+    from liblevenshtein_spark.operators.analytics import event_hop_windows
+
+    ts = datetime.datetime(2024, 1, 1, 0, 25, 0)
+    ev = spark.createDataFrame(
+        [(1, ts, 7, "click", 1.25, '{"k": 3}')],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = sorted(event_hop_windows(ev).collect(), key=lambda r: r.window_start_us)
+    starts = [r.window_start_us for r in rows]
+    # one event -> exactly window/slide = 3 overlapping windows, and every
+    # start is epoch-aligned to the 10-minute slide grid spanning 20 minutes
+    assert len(rows) == 3
+    assert [s % 600_000_000 for s in starts] == [0, 0, 0]
+    assert starts[2] - starts[0] == 1_200_000_000
+    # each window contains the event (ts = last start + 5 min):
+    # start <= ts < start + 30 min
+    for s in starts:
+        assert s <= starts[2] + 5 * 60 * 1_000_000 < s + 1_800_000_000
+    for r in rows:
+        assert r.n_events == 1 and r.sum_value_cents == 125
+
+
+def test_event_props_map_per_key(spark):
+    from liblevenshtein_spark.operators.analytics import event_props_map
+
+    ev = spark.createDataFrame(
+        [
+            (1, None, 1, "a", 0.0, '{"k": 3, "j": -2}'),
+            (2, None, 1, "a", 0.0, '{"k": 5}'),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = {r.key: r for r in event_props_map(ev).collect()}
+    assert rows["k"].n_events == 2 and rows["k"].sum_val == 8
+    assert rows["k"].min_val == 3 and rows["k"].max_val == 5
+    assert rows["j"].n_events == 1 and rows["j"].sum_val == -2

@@ -5,7 +5,9 @@ from __future__ import annotations
 
 import random
 
-from liblevenshtein_spark.operators.clustering import assign_clusters, connected_components
+from liblevenshtein_spark.operators.clustering import (
+    assign_clusters, connected_components, fold_clusters,
+)
 
 
 def union_find(nodes, edges):
@@ -73,3 +75,45 @@ def test_component_roots_are_minima(spark):
     stars = connected_components(edges_df)
     for r in stars.collect():  # canonical star edges are (root=min, child)
         assert r.src in ("m1", "m3")
+
+
+# ---------------------------------------------------------------------------
+# fold_clusters — incremental CC
+# ---------------------------------------------------------------------------
+
+def test_fold_clusters_equals_full_history(spark):
+    """Cluster half the edges, fold in the rest via the assignment star
+    forest: result must equal CC over the full edge set — including the
+    case where the new batch MERGES two previously-distinct clusters."""
+    rng = random.Random(17)
+    nodes = [f"f{i:03d}" for i in range(80)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)})
+    old, new = edges[::2], edges[1::2]
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+    old_df = spark.createDataFrame(old, ["id_a", "id_b"])
+    new_df = spark.createDataFrame(new, ["id_a", "id_b"])
+    prior = assign_clusters(nodes_df, old_df)
+    got = {r.conv_id: r.cluster_id for r in fold_clusters(nodes_df, prior, new_df).collect()}
+    assert got == union_find(nodes, edges)
+
+
+def test_fold_clusters_merges_two_clusters(spark):
+    nodes = ["a", "b", "c", "d", "e"]
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+    prior = assign_clusters(
+        nodes_df, spark.createDataFrame([("a", "b"), ("c", "d")], ["id_a", "id_b"])
+    )
+    new_df = spark.createDataFrame([("b", "d")], ["id_a", "id_b"])
+    got = {r.conv_id: r.cluster_id for r in fold_clusters(nodes_df, prior, new_df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
+
+
+def test_fold_clusters_empty_batch_is_identity(spark):
+    nodes = ["x", "y", "z"]
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+    prior = assign_clusters(
+        nodes_df, spark.createDataFrame([("x", "y")], ["id_a", "id_b"])
+    )
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    got = {r.conv_id: r.cluster_id for r in fold_clusters(nodes_df, prior, empty).collect()}
+    assert got == {r.conv_id: r.cluster_id for r in prior.collect()}
