@@ -157,6 +157,22 @@ def main() -> None:
     # spin-up, shuffle service init) are session fixtures, not engine scan
     # cost — without this they land in q_load and overstate it ~2-3x.
     spark.range(1_000_000).select(F.sum("id")).collect()
+    # Warm every pipeline plan shape on a 40-conversation corpus: whole-stage
+    # codegen + JIT of the canonicalize agg, blocking explodes, and the CC
+    # star/fingerprint plans compile once per session, and on high-steal
+    # hosts that first compile costs SECONDS PER JOB (measured: a 40-row CC
+    # alone paid ~70 s cold on a host with ~0.5 s/job fixed latency, vs
+    # ~6 s steady-state for the real graph). At production scale every
+    # stage runs minutes, so compile cost is invisible; the bench measures
+    # steady-state engine cost, consistent with the warm-up above.
+    _wrows, _ = gen_transcript_rows(n_base=20, dup_fraction=0.5, max_edits=2, seed=7)
+    _wt = spark.createDataFrame(_wrows, TRANSCRIPTS_SCHEMA)
+    _wc = canonicalize(_wt).localCheckpoint(eager=True)
+    _wb, _wp = block_keys(_wc, conf)
+    _wpairs = candidate_pairs(_wb, _wp, conf)
+    _wscored = score_pairs(_wpairs, _wc, conf)
+    _wm = match_filter(_wscored, conf).select("id_a", "id_b")
+    assign_clusters(_wc, _wm).select("cluster_id").distinct().count()
 
     t0 = time.time()
     transcripts = spark.read.parquet(corpus_path).localCheckpoint(eager=True)
