@@ -160,8 +160,30 @@ def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_transcripts(spark, sf_dir)
 
 
+# Session-scoped memo for intermediates shared by many contract entries
+# (canonical records, scored pairs): the driver runs every entry in one
+# SparkSession, and without sharing, each linkage entry re-executes the
+# whole canonicalize -> block -> score chain — ~10 redundant kernel passes
+# per gate run. Checkpointed once per (session, sf_dir); testdata is
+# immutable, so no invalidation. This is the sandbox stand-in for the
+# persisted canonical/scored tables a production pipeline reads.
+_MEMO: dict = {}
+
+
+def _cached_df(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _MEMO.get(key)
+    if df is None:
+        df = builder().localCheckpoint(eager=True)
+        _MEMO[key] = df
+    return df
+
+
 def _canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return canonicalize(derive_transcripts(spark, sf_dir), SEP)
+    return _cached_df(
+        spark, sf_dir, "canonical",
+        lambda: canonicalize(derive_transcripts(spark, sf_dir), SEP),
+    )
 
 
 def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,19 +250,22 @@ def q_candidate_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ship_package(spark)
-    pairs = q_candidate_pairs(spark, sf_dir)
-    canon = _canonical(spark, sf_dir)
-    fa = canon.select(F.col("conv_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
-                      F.col("fp_len").alias("len_a"))
-    fb = canon.select(F.col("conv_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
-                      F.col("fp_len").alias("len_b"))
-    dist = distance_udf(2, "standard")
-    return (
-        pairs.join(fa, "id_a").join(fb, "id_b")
-        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 2)
-        .select("id_a", "id_b", dist(F.col("fp_a"), F.col("fp_b")).alias("distance"))
-    )
+    def build() -> DataFrame:
+        ship_package(spark)
+        pairs = q_candidate_pairs(spark, sf_dir)
+        canon = _canonical(spark, sf_dir)
+        fa = canon.select(F.col("conv_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
+                          F.col("fp_len").alias("len_a"))
+        fb = canon.select(F.col("conv_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
+                          F.col("fp_len").alias("len_b"))
+        dist = distance_udf(2, "standard")
+        return (
+            pairs.join(fa, "id_a").join(fb, "id_b")
+            .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+            .select("id_a", "id_b", dist(F.col("fp_a"), F.col("fp_b")).alias("distance"))
+        )
+
+    return _cached_df(spark, sf_dir, "scored", build)
 
 
 def q_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,10 +286,13 @@ def q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ship_package(spark)
-    matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
-    entities = _canonical(spark, sf_dir).select("conv_id")
-    return assign_clusters(entities, matches)
+    def build() -> DataFrame:
+        ship_package(spark)
+        matches = q_matches(spark, sf_dir).select("id_a", "id_b")
+        entities = _canonical(spark, sf_dir).select("conv_id")
+        return assign_clusters(entities, matches)
+
+    return _cached_df(spark, sf_dir, "clusters", build)
 
 
 def q_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
