@@ -9,10 +9,15 @@ rounds over deep merge chains; fold_clusters clusters star(assignment) ∪
 new_edges — the stars are depth-1 by construction, so the edge set is
 |clustered entities| + |new batch| and the loop converges in ~2 rounds.
 
-Graph: seed-deterministic random edges over N string ids (avg degree ~1.2
-→ a giant component with deep chains, the worst case for CC rounds).
-90% of edges are "history", 10% are the new batch. The fold result is
-verified exactly equal to full-history CC before timings are reported.
+Graph (seed-deterministic, ER-shaped): history = C clusters, each a
+PATH of L entities (deep merge chains — the round-count worst case for
+CC) plus `redundancy` extra random intra-cluster edges per entity (near-
+dup match graphs are redundant: every pair under the threshold is an
+edge, so |history edges| >> |entities|). The new batch merges random
+cluster pairs. Full re-cluster pays both costs — the redundant edge
+volume AND the chain depth — every batch; the fold pays neither. Full CC
+runs FIRST (warm-path bias favors it), and the fold result is verified
+exactly equal to full-history CC before timings are reported.
 
 Writes BENCH_FOLD.json and updates the fold row in BASELINE.md.
 Usage: python scripts/fold_bench.py [--n 2000000] [--degree 1.2]
@@ -41,8 +46,11 @@ from liblevenshtein_spark.session import build_session  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--n", type=int, default=2_000_000, help="entities")
-    ap.add_argument("--degree", type=float, default=1.2, help="avg degree")
+    ap.add_argument("--clusters", type=int, default=20_000)
+    ap.add_argument("--path-len", type=int, default=100, help="entities per cluster chain")
+    ap.add_argument("--redundancy", type=int, default=3,
+                    help="extra intra-cluster edges per entity")
+    ap.add_argument("--new-edges", type=int, default=100_000)
     args = ap.parse_args()
 
     spark = build_session(
@@ -54,41 +62,69 @@ def main() -> None:
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "28g"),
         },
     )
-    n, n_edges = args.n, int(args.n * args.degree / 2)
+    C, L = args.clusters, args.path_len
+    n = C * L
 
-    def cid(col):
-        return F.format_string("c%09d", F.pmod(col, F.lit(n)))
+    def node(cl, pos):
+        return F.format_string("c%06d_%04d", cl, pos)
 
-    entities = spark.range(n).select(cid(F.col("id")).alias("conv_id"))
-    entities = entities.repartition(args.cpus * 2).localCheckpoint(eager=True)
-    edges = (
-        spark.range(n_edges)
-        .select(
-            cid(F.xxhash64(F.col("id"), F.lit("a"))).alias("id_a"),
-            cid(F.xxhash64(F.col("id"), F.lit("b"))).alias("id_b"),
-            F.pmod(F.xxhash64(F.col("id"), F.lit("s")), F.lit(10)).alias("_s"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .repartition(args.cpus * 2)
-        .localCheckpoint(eager=True)
+    entities = (
+        spark.range(n)
+        .select(node(F.floor(F.col("id") / L), F.pmod(F.col("id"), F.lit(L))).alias("conv_id"))
+        .repartition(args.cpus * 2).localCheckpoint(eager=True)
     )
-    hist = edges.filter(F.col("_s") != 0).drop("_s").localCheckpoint(eager=True)
-    new = edges.filter(F.col("_s") == 0).drop("_s").localCheckpoint(eager=True)
+    # deep chains: (cl, pos-1) -- (cl, pos)
+    paths = (
+        spark.range(n).filter(F.pmod(F.col("id"), F.lit(L)) != 0)
+        .select(
+            node(F.floor(F.col("id") / L), F.pmod(F.col("id"), F.lit(L)) - 1).alias("id_a"),
+            node(F.floor(F.col("id") / L), F.pmod(F.col("id"), F.lit(L))).alias("id_b"),
+        )
+    )
+    # redundant intra-cluster near-dup edges: random position pairs
+    red = (
+        spark.range(n * args.redundancy)
+        .select(
+            F.floor(F.pmod(F.col("id"), F.lit(n)) / L).alias("_cl"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit("p")), F.lit(L)).alias("_p1"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit("q")), F.lit(L)).alias("_p2"),
+        )
+        .filter(F.col("_p1") != F.col("_p2"))
+        .select(node(F.col("_cl"), F.col("_p1")).alias("id_a"),
+                node(F.col("_cl"), F.col("_p2")).alias("id_b"))
+    )
+    hist = paths.unionByName(red).repartition(args.cpus * 2).localCheckpoint(eager=True)
+    # new ingest batch: merge random cluster pairs at random chain positions
+    new = (
+        spark.range(args.new_edges)
+        .select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit("c1")), F.lit(C)).alias("_c1"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit("c2")), F.lit(C)).alias("_c2"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit("p1")), F.lit(L)).alias("_p1"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit("p2")), F.lit(L)).alias("_p2"),
+        )
+        .filter(F.col("_c1") != F.col("_c2"))
+        .select(node(F.col("_c1"), F.col("_p1")).alias("id_a"),
+                node(F.col("_c2"), F.col("_p2")).alias("id_b"))
+        .repartition(args.cpus).localCheckpoint(eager=True)
+    )
     n_hist, n_new = hist.count(), new.count()
 
     # persisted state a production pipeline already has (untimed)
     prior = assign_clusters(entities, hist).localCheckpoint(eager=True)
     prior.count()
 
+    # full re-cluster FIRST (any warm-path bias favors the baseline)
+    all_edges = hist.unionByName(new)
+    t0 = time.time()
+    full = assign_clusters(entities, all_edges).localCheckpoint(eager=True)
+    full.count()
+    full_sec = round(time.time() - t0, 1)
+
     t0 = time.time()
     folded = fold_clusters(entities, prior, new).localCheckpoint(eager=True)
     folded.count()
     fold_sec = round(time.time() - t0, 1)
-
-    t0 = time.time()
-    full = assign_clusters(entities, edges.drop("_s")).localCheckpoint(eager=True)
-    full.count()
-    full_sec = round(time.time() - t0, 1)
 
     # exactness gate before any number is reported
     diff = (
@@ -113,10 +149,12 @@ def main() -> None:
     row = ("| measured: incremental cluster fold vs full re-cluster | "
            "{n:,} entities, {h:,} historical + {w:,} new edges: fold {f:.0f} s vs "
            "full {u:.0f} s ({x:.1f}x), results exactly equal "
-           "| local[{c}], seed-deterministic random graph (giant component) "
+           "| local[{c}], seed-deterministic ER-shaped graph ({cl:,} clusters, "
+           "{pl}-deep chains, {r}x redundant intra-cluster edges), full run first "
            "| `scripts/fold_bench.py`, `BENCH_FOLD.json` |").format(
         n=n, h=n_hist, w=n_new, f=fold_sec, u=full_sec,
-        x=full_sec / max(fold_sec, 0.1), c=args.cpus)
+        x=full_sec / max(fold_sec, 0.1), c=args.cpus,
+        cl=C, pl=L, r=args.redundancy)
     path = os.path.join(REPO, "BASELINE.md")
     md = open(path).read()
     if "incremental cluster fold" in md:
