@@ -11,6 +11,7 @@ checkpoint, plus watermarked windowed turn-volume metrics.
 from .incremental import (  # noqa: F401
     clusters_from_sink,
     compact_state,
+    fold_clusters_state,
     matches_from_sink,
     start_incremental_linkage,
     stream_transcripts,

@@ -50,6 +50,7 @@ __all__ = [
     "compact_state",
     "matches_from_sink",
     "clusters_from_sink",
+    "fold_clusters_state",
     "stream_turn_metrics",
 ]
 
@@ -214,10 +215,76 @@ def matches_from_sink(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def clusters_from_sink(spark: SparkSession, state_dir: str) -> DataFrame:
     """Entity clusters over everything linked so far (CC is global —
-    recomputed from the match sink on demand, not maintained incrementally)."""
+    recomputed from the match sink on demand; see fold_clusters_state for
+    the incrementally maintained twin)."""
     entities = spark.read.parquet(os.path.join(state_dir, "entities")).select("conv_id")
     matches = matches_from_sink(spark, state_dir).select("id_a", "id_b")
     return assign_clusters(entities.dropDuplicates(["conv_id"]), matches)
+
+
+def fold_clusters_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Incrementally maintained cluster assignment: fold ONLY the match
+    edges appended since the last fold (batch_id high-water mark) into the
+    persisted assignment via operators.clustering.fold_clusters, instead of
+    re-running CC over the whole match sink. Measured 2.1x faster than the
+    full recompute on an ER-shaped 7.9M-edge history (BENCH_FOLD.json) —
+    and the gap grows with history volume, since per-fold cost is
+    ∝ |entities| + |new edges| while clusters_from_sink is ∝ |all edges|.
+
+    Extra state under ``state_dir``:
+      clusters/        assignment parquet (conv_id, cluster_id)
+      clusters_hwm/    1-row parquet: highest folded matches batch_id
+
+    Crash-safe by write order (clusters BEFORE hwm) + fold idempotence:
+    a crash between the two writes makes the next call re-fold an
+    already-folded batch, which is a no-op on the assignment (star-forest
+    folding is idempotent; the same property the test suite gates)."""
+    import shutil
+    import tempfile
+
+    clusters_path = os.path.join(state_dir, "clusters")
+    hwm_path = os.path.join(state_dir, "clusters_hwm")
+    entities = (
+        spark.read.parquet(os.path.join(state_dir, "entities"))
+        .select("conv_id").dropDuplicates(["conv_id"])
+    )
+    matches = spark.read.parquet(os.path.join(state_dir, "matches"))
+
+    hwm_df = _read_or_none(spark, hwm_path)
+    prior = _read_or_none(spark, clusters_path)
+    hwm = -1
+    if hwm_df is not None and prior is not None:
+        hwm = hwm_df.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    new_edges = (
+        matches.filter(F.col("batch_id") > hwm)
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    max_bid = matches.agg(F.coalesce(F.max("batch_id"), F.lit(-1)).alias("b")).collect()[0]["b"]
+
+    if prior is None:
+        assignment = assign_clusters(entities, new_edges)
+    else:
+        from ..operators.clustering import fold_clusters
+
+        assignment = fold_clusters(entities, prior, new_edges)
+    assignment = assignment.localCheckpoint(eager=True)
+
+    # atomic-ish swap (same pattern as compact_state), clusters before hwm
+    parent = os.path.dirname(clusters_path.rstrip("/")) or "."
+    tmp = tempfile.mkdtemp(prefix="clusters_", dir=parent)
+    assignment.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(clusters_path):
+        old = clusters_path + ".old"
+        os.rename(clusters_path, old)
+        os.rename(tmp, clusters_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, clusters_path)
+    spark.createDataFrame([(int(max_bid),)], "batch_id long").write.mode(
+        "overwrite"
+    ).parquet(hwm_path)
+    return spark.read.parquet(clusters_path)
 
 
 def stream_turn_metrics(stream: DataFrame, window: str = "1 minute",

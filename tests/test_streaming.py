@@ -218,3 +218,50 @@ def test_compact_state_dedups_and_preserves_results(spark, tmp_path):
     # re_X is a copy of X -> every original conv matches its re_ twin
     cross = m.filter(F.col("id_b").startswith("re_") | F.col("id_a").startswith("re_"))
     assert cross.count() >= n_conv
+
+
+def test_fold_clusters_state_incremental_maintenance(spark, corpus, tmp_path):
+    """Incrementally maintained assignment (fold_clusters_state) must equal
+    the full recompute (clusters_from_sink) when folded mid-stream and
+    again at the end — and a crash between the clusters and high-water-mark
+    writes (simulated by deleting the hwm) must heal by idempotent re-fold."""
+    import shutil
+
+    from liblevenshtein_spark.streaming import fold_clusters_state
+
+    import glob
+    import os
+    import shutil as sh
+
+    src, df = corpus
+    state = str(tmp_path / "state")
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) >= 2
+    # stage 1: a source dir with only the first file; drain + fold
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    sh.copy(parts[0], src2)
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src2, max_files_per_trigger=1), CONF, state
+    )
+    q.awaitTermination(timeout=600)
+    mid = fold_clusters_state(spark, state)
+    want_mid = clusters_from_sink(spark, state)
+    assert {tuple(r) for r in mid.collect()} == {tuple(r) for r in want_mid.collect()}
+
+    # stage 2: remaining files arrive; resume from the same checkpoint,
+    # fold again — equals full recompute over everything
+    for p in parts[1:]:
+        sh.copy(p, src2)
+    q2 = start_incremental_linkage(
+        stream_transcripts(spark, src2, max_files_per_trigger=1), CONF, state
+    )
+    q2.awaitTermination(timeout=600)
+    got = fold_clusters_state(spark, state)
+    want = clusters_from_sink(spark, state)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # simulated crash: hwm lost after the clusters write -> re-fold is a no-op
+    shutil.rmtree(str(tmp_path / "state" / "clusters_hwm"))
+    healed = fold_clusters_state(spark, state)
+    assert {tuple(r) for r in healed.collect()} == {tuple(r) for r in want.collect()}
