@@ -1144,6 +1144,26 @@ def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType coverage (Spark 4's binary semi-structured type, distinct
+    from the string-path get_json_object in event_json_stats): props is
+    parsed ONCE into a variant (`parse_json`) and fields are extracted with
+    `variant_get` — the shredded-access pattern that, over Parquet variant
+    columns at 100 TB, avoids re-tokenizing JSON text per field. The oracle
+    re-derives the same stats via DuckDB json_extract."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_k"),
+        F.coalesce(F.min("k"), F.lit(0)).cast("bigint").alias("min_k"),
+        F.coalesce(F.max("k"), F.lit(0)).cast("bigint").alias("max_k"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
@@ -2167,6 +2187,16 @@ SELECT key, CAST(count(*) AS INT) AS n_events,
        CAST(min(val) AS BIGINT) AS min_val,
        CAST(max(val) AS BIGINT) AS max_val
 FROM entries GROUP BY key""",
+    "event_variant_stats": """
+WITH k AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS INT) AS n_events,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(min(k), 0) AS BIGINT) AS min_k,
+       CAST(coalesce(max(k), 0) AS BIGINT) AS max_k
+FROM k GROUP BY event_type""",
 }
 
 DATA_QUERIES = {
@@ -2221,4 +2251,5 @@ DATA_QUERIES = {
     "corpus_cube": q_corpus_cube,
     "event_hop_windows": q_event_hop_windows,
     "event_props_map": q_event_props_map,
+    "event_variant_stats": q_event_variant_stats,
 }
