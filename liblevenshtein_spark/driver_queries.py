@@ -1164,6 +1164,20 @@ def q_event_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY … LIMIT through the hard gate (the one sort/limit
+    shape per-group top-k doesn't exercise). Spark plans this as
+    TakeOrderedAndProject — per-partition top-k then a driver merge of
+    k·partitions rows — NOT a global sort shuffle; ties broken by doc_id
+    so the limit boundary is deterministic on both engines."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars", "lang")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
@@ -2197,6 +2211,9 @@ SELECT event_type, CAST(count(*) AS INT) AS n_events,
        CAST(coalesce(min(k), 0) AS BIGINT) AS min_k,
        CAST(coalesce(max(k), 0) AS BIGINT) AS max_k
 FROM k GROUP BY event_type""",
+    "corpus_top_docs": """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
 }
 
 DATA_QUERIES = {
@@ -2252,4 +2269,5 @@ DATA_QUERIES = {
     "event_hop_windows": q_event_hop_windows,
     "event_props_map": q_event_props_map,
     "event_variant_stats": q_event_variant_stats,
+    "corpus_top_docs": q_corpus_top_docs,
 }
