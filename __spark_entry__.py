@@ -43,9 +43,53 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The round-2 driver capture recorded only the FIRST 50 registered entries
+# (CORRECTNESS_r02), leaving the 27 newest without a driver row. Registration
+# order is therefore a deliverable: entries that still need a driver row go
+# FIRST — the one previously-red entry (event_sessions, now re-emitted as
+# epoch-microsecond bigints), then round-3 additions, then the 27 entries the
+# r02 snapshot missed — followed by the 49 already-green ones.
+_PRIORITY = [
+    "event_sessions",
+    "transduce_per_query_n",
+    "multimodal_resize",
+    "multimodal_frames",
+    "embed_semdedup",
+    "dedup_keep_best",
+    "tfidf_terms",
+    "event_gap_stats",
+    "corpus_rollup",
+    "stream_event_windows",
+    "transcripts_json",
+    "stream_reassembly",
+    "event_running_totals",
+    "events_asof",
+    "events_range_agg",
+    "dedup_turns",
+    "stream_dedup",
+    "doc_chunks",
+    "seq_pack",
+    "dedup_minhash_est",
+    "corpus_pivot",
+    "corpus_unpivot",
+    "length_deciles",
+    "embed_quantize",
+    "corpus_cube",
+    "event_hop_windows",
+    "event_props_map",
+    "event_variant_stats",
+    "corpus_top_docs",
+]
+
+
+def _reorder(d: dict) -> dict:
+    front = {k: d[k] for k in _PRIORITY if k in d}
+    return {**front, **{k: v for k, v in d.items() if k not in front}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**dq.LINKAGE_QUERIES, **dq.DATA_QUERIES}
+    return _reorder({**dq.LINKAGE_QUERIES, **dq.DATA_QUERIES})
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**dq.LINKAGE_ORACLES, **dq.DATA_ORACLES}
+    return _reorder({**dq.LINKAGE_ORACLES, **dq.DATA_ORACLES})

@@ -30,7 +30,7 @@ from .operators.topk import topk_candidates
 from .operators.clustering import assign_clusters, fold_clusters
 from .operators.metrics import pairwise_confusion
 from .operators.scoring import distance_udf
-from .operators.transduce import compile_dictionary, transduce
+from .operators.transduce import compile_dictionary, transduce, transduce_per_query
 from .session import ship_package
 
 TURN_WIDTH = 100
@@ -499,6 +499,21 @@ def q_transduce_merge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transduce(_word_queries(d), compile_dictionary(d, conf), conf)
 
 
+def q_transduce_per_query_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's transduce(term, n) overload through the hard gate: every query
+    carries its own distance budget (n = length(query_term) % 3 — a
+    deterministic 0/1/2 mix), the dictionary is compiled once at the batch
+    cap n=2, and per-row probe keys + a per-row post-filter enforce each
+    budget. Oracle: DuckDB levenshtein with the same per-row n."""
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    q = _word_queries(d).select(
+        "query_id", "term", (F.length("term") % 3).cast("int").alias("n")
+    )
+    return transduce_per_query(q, compile_dictionary(d, conf), conf)
+
+
 def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's marquee consumption pattern (spelling correction,
     README.md:26-33): transduce each near-miss query against the word
@@ -742,6 +757,15 @@ WHERE levenshtein(q.query_term, d.term) <= 1""",
     # mirrors kernels/oracles.py move-for-move — see _bfs_transduce_sql.
     "transduce_transposition": _bfs_transduce_sql(2, "transposition"),
     "transduce_merge_split": _bfs_transduce_sql(1, "merge_and_split"),
+    "transduce_per_query_n": DUCK_WORDS + """
+, nq AS (
+  SELECT query_id, query_term, CAST(length(query_term) % 3 AS INT) AS n
+  FROM queries
+)
+SELECT q.query_id, q.query_term, q.n, d.term AS candidate,
+       CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
+FROM nq q CROSS JOIN dict d
+WHERE levenshtein(q.query_term, d.term) <= q.n""",
     "dictionary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
     "spell_suggest": DUCK_WORDS + """
 SELECT query_id, candidate, distance, rank FROM (
@@ -799,6 +823,7 @@ LINKAGE_QUERIES = {
     "cluster_canonical": q_cluster_canonical,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
+    "transduce_per_query_n": q_transduce_per_query_n,
     "transduce_transposition": q_transduce_transposition,
     "transduce_merge_split": q_transduce_merge_split,
     "dictionary_roundtrip": q_dictionary_roundtrip,
@@ -1109,10 +1134,10 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap): Spark's native session_window; the DuckDB oracle is the classic
     gaps-and-islands formulation. Values are summed in exact integer cents
     so float addition order cannot break hash parity, and session bounds are
-    emitted as explicit microsecond ISO strings (raw timestamp columns
-    stringify differently across harness hashers — tz/precision rendering;
-    the events ts is TIMESTAMP_NTZ, so formatting is timezone-free on both
-    engines)."""
+    emitted as epoch-microsecond BIGINTS (the events_asof / event_gap_stats
+    convention — integers hash identically under any normalizer, unlike
+    formatted timestamp strings, which failed the driver hash in r01+r02
+    despite matching the local replica)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -1122,8 +1147,8 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
             "n_events", "sum_value_cents",
         )
     )
@@ -1874,8 +1899,8 @@ s AS (
   FROM m
 )
 SELECT user_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        CAST(count(*) AS INT) AS n_events,
        sum(cents) AS sum_value_cents
 FROM s GROUP BY user_id, sess""",

@@ -18,7 +18,7 @@ from ..config import LinkConfig
 from ..functions.blocking import deletion_neighborhood, probe_keys, segment_keys
 from .scoring import score_attached
 
-__all__ = ["compile_dictionary", "transduce"]
+__all__ = ["compile_dictionary", "transduce", "transduce_per_query"]
 
 
 def _build_keys_col(text_col: str, conf: LinkConfig):
@@ -78,6 +78,81 @@ def transduce(
     out = score_attached(
         cands, conf, text_a="query_term", text_b="candidate", drop_texts=False
     ).filter(F.col("distance") <= conf.max_distance)
+    if not conf.include_distance:
+        out = out.drop("distance")
+    return out
+
+
+def _per_query_probe_keys(text_col: str, n_col: str, conf: LinkConfig):
+    """Probe keys branched per-row on the query's own distance budget —
+    a native CASE over the static key expressions for each n in
+    [0, conf.max_distance]. A query with n=0 emits one exact key instead of
+    the full cap-depth neighborhood, so mixed-n batches prune candidate
+    volume per query rather than paying the batch maximum everywhere."""
+    branch = None
+    for nn in range(conf.max_distance + 1):
+        if conf.blocking_scheme == "deletions":
+            depth = 2 * nn if conf.algorithm == "merge_and_split" else nn
+            keys = deletion_neighborhood(text_col, depth)
+        else:
+            # k stays the compile-time segment count (the dictionary side is
+            # keyed at that k); smaller n only narrows the probe shift/length
+            # windows, and pigeonhole completeness holds for every n <= cap
+            # since at most n <= cap <= k-1 segments can be damaged.
+            keys = probe_keys(text_col, conf.effective_segments, nn)
+        cond = F.col(n_col) == nn
+        branch = F.when(cond, keys) if branch is None else branch.when(cond, keys)
+    return branch
+
+
+def transduce_per_query(
+    queries: DataFrame,
+    compiled_dict: DataFrame,
+    conf: LinkConfig,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    n_col: str = "n",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The reference's `transduce(term, n)` overload (README.md:13-15): each
+    query row carries its own distance budget in `n_col`; NULL falls back to
+    conf.max_distance — the TransducerBuilder defaultMaxDistance role `[PK]`.
+
+    The compiled dictionary's keys only support budgets up to its
+    compile-time conf.max_distance (the deletion depth / segment count is
+    baked into the keys), so per-row budgets are clamped to [0, cap] — the
+    documented contract is "compile the dictionary at the largest n any
+    query batch will ask for". Blocking keys are generated per-row at the
+    row's OWN budget (see _per_query_probe_keys), the kernel bands once at
+    the cap, and the exact distance is post-filtered per row — so an n=0
+    lookup costs an exact-key join probe, not a cap-neighborhood scan.
+
+    Returns (query_id, query_term, n, candidate[, distance])."""
+    default = conf.max_distance
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(term_col).alias("query_term"),
+        F.least(
+            F.greatest(
+                F.coalesce(F.col(n_col).cast("int"), F.lit(default)), F.lit(0)
+            ),
+            F.lit(default),
+        ).alias("n"),
+    )
+    probes = q.select(
+        "query_id", "query_term", "n",
+        F.explode(_per_query_probe_keys("query_term", "n", conf)).alias("block_key"),
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cands = (
+        probes.join(compiled_dict, "block_key")
+        .select("query_id", "query_term", "n", "candidate")
+        .dropDuplicates(["query_id", "candidate"])
+    )
+    out = score_attached(
+        cands, conf, text_a="query_term", text_b="candidate", drop_texts=False
+    ).filter(F.col("distance") <= F.col("n"))
     if not conf.include_distance:
         out = out.drop("distance")
     return out

@@ -9,7 +9,11 @@ import pytest
 
 from liblevenshtein_spark.config import LinkConfig
 from liblevenshtein_spark.kernels.oracles import transduce_brute_force
-from liblevenshtein_spark.operators.transduce import compile_dictionary, transduce
+from liblevenshtein_spark.operators.transduce import (
+    compile_dictionary,
+    transduce,
+    transduce_per_query,
+)
 from liblevenshtein_spark.testdata_gen import gen_dictionary, gen_queries
 
 ALGOS = ["standard", "transposition", "merge_and_split"]
@@ -33,6 +37,37 @@ def test_transduce_parity(spark, algorithm, n):
         (qid, cand, d)
         for qid, term in queries
         for cand, d in transduce_brute_force(term, dictionary, n, algorithm)
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("algorithm", ALGOS)
+@pytest.mark.parametrize("scheme", ["deletions", "segments"])
+def test_transduce_per_query_n_parity(spark, algorithm, scheme):
+    """transduce(term, n) overload: per-row budgets 0/1/2 in one batch must
+    equal brute force at each row's own n (cap = 2); NULL n falls back to the
+    cap (the defaultMaxDistance role) and out-of-range n clamps to it."""
+    cap = 2
+    dictionary = gen_dictionary(150)
+    base = gen_queries(dictionary, n_queries=30, algorithm=algorithm)
+    # deterministic mixed budgets incl. NULL (-> cap) and 99 (-> clamped cap)
+    budgets = [0, 1, 2, None, 99]
+    queries = [(qid, term, budgets[i % len(budgets)])
+               for i, (qid, term) in enumerate(base)]
+    conf = LinkConfig(algorithm=algorithm, max_distance=cap, blocking_scheme=scheme)
+
+    dict_df = spark.createDataFrame([(t,) for t in dictionary], ["term"])
+    q_df = spark.createDataFrame(queries, ["query_id", "term", "n"])
+    got = {
+        (r.query_id, r.candidate, r.distance)
+        for r in transduce_per_query(q_df, compile_dictionary(dict_df, conf), conf).collect()
+    }
+    want = {
+        (qid, cand, d)
+        for qid, term, n in queries
+        for cand, d in transduce_brute_force(
+            term, dictionary, min(n, cap) if n is not None else cap, algorithm
+        )
     }
     assert got == want
 
