@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -174,6 +175,19 @@ def main() -> None:
     _wm = match_filter(_wscored, conf).select("id_a", "id_b")
     assign_clusters(_wc, _wm).select("cluster_id").distinct().count()
 
+    # Self-qualifying capture: warm per-job latency canary. On a healthy
+    # host a warm count() job costs ~0.05 s; co-tenant noise pushes it to
+    # 0.2-0.7 s (measured — see BASELINE.md "host change"), which dominates
+    # the job-count-bound stages (CC). A capture with canary >= 0.15 s is
+    # host-noise-suspect and should not be compared against quiet-window
+    # baselines.
+    _lat = []
+    for _ in range(10):
+        _t = time.time()
+        spark.range(1000).count()
+        _lat.append(time.time() - _t)
+    canary = round(statistics.median(_lat), 3)
+
     t0 = time.time()
     transcripts = spark.read.parquet(corpus_path).localCheckpoint(eager=True)
     n_turn_rows = transcripts.count()
@@ -272,6 +286,8 @@ def main() -> None:
         "pairs_scored_per_sec": pairs_per_sec,
         "hard_pairs_scored_per_sec": hard_pairs_per_sec,
         "cpus": args.cpus,
+        "job_latency_canary_sec": canary,
+        "canary_healthy": canary < 0.15,
         "rows": {
             "turn_rows": n_turn_rows, "entities": n_entities,
             "blocked_pairs": n_blocked_pairs, "scored": n_scored,

@@ -171,7 +171,14 @@ _MEMO: dict = {}
 
 
 def _cached_df(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from stopped sessions: a long-lived process cycling many
+    # SparkSessions would otherwise accumulate dead DataFrame references and
+    # checkpoint metadata without bound
+    stale = [k for k in _MEMO if k[0] != app_id]
+    for k in stale:
+        del _MEMO[k]
+    key = (app_id, sf_dir, name)
     df = _MEMO.get(key)
     if df is None:
         df = builder().localCheckpoint(eager=True)

@@ -199,12 +199,27 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
         deduped = df.dropDuplicates(keys)
         deduped.write.mode("overwrite").parquet(tmp)
         after = spark.read.parquet(tmp).count()
-        old = path + ".old"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        _swap_dir(tmp, path)
         out[sub] = {"before": before, "after": after}
     return out
+
+
+def _swap_dir(tmp: str, path: str) -> None:
+    """Replace `path` with `tmp` via rename. Crash-safe against the stale
+    leftovers a previous interrupted swap can leave behind: a lingering
+    `path + '.old'` from a crash between the two renames would make
+    os.rename(path, old) fail with ENOTEMPTY forever, wedging folds until
+    manual cleanup — so clear it first."""
+    import shutil
+
+    if os.path.exists(path):
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, path)
 
 
 def matches_from_sink(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -238,8 +253,11 @@ def fold_clusters_state(spark: SparkSession, state_dir: str) -> DataFrame:
     Crash-safe by write order (clusters BEFORE hwm) + fold idempotence:
     a crash between the two writes makes the next call re-fold an
     already-folded batch, which is a no-op on the assignment (star-forest
-    folding is idempotent; the same property the test suite gates)."""
-    import shutil
+    folding is idempotent; the same property the test suite gates).
+
+    Run this offline (ingest stream stopped) with a single caller, like
+    compact_state: two overlapping folds — or a fold racing a stream that
+    writes the same state_dir — race on the clusters/hwm directory swaps."""
     import tempfile
 
     clusters_path = os.path.join(state_dir, "clusters")
@@ -270,17 +288,18 @@ def fold_clusters_state(spark: SparkSession, state_dir: str) -> DataFrame:
         assignment = fold_clusters(entities, prior, new_edges)
     assignment = assignment.localCheckpoint(eager=True)
 
-    # atomic-ish swap (same pattern as compact_state), clusters before hwm
+    # atomic-ish swap (same pattern as compact_state), clusters before hwm;
+    # sweep tmp dirs orphaned by a crash mid-write (offline/single-caller
+    # per the docstring, so nothing live matches the prefix)
+    import glob
+    import shutil
+
     parent = os.path.dirname(clusters_path.rstrip("/")) or "."
-    tmp = tempfile.mkdtemp(prefix="clusters_", dir=parent)
+    for stale in glob.glob(os.path.join(parent, ".tmp_clusters_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix=".tmp_clusters_", dir=parent)
     assignment.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(clusters_path):
-        old = clusters_path + ".old"
-        os.rename(clusters_path, old)
-        os.rename(tmp, clusters_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, clusters_path)
+    _swap_dir(tmp, clusters_path)
     spark.createDataFrame([(int(max_bid),)], "batch_id long").write.mode(
         "overwrite"
     ).parquet(hwm_path)

@@ -1,11 +1,17 @@
 """Local replica of the driver's correctness gate: run every
 __spark_entry__.queries() entry at a given sf dir and compare against
 oracle_sql() in DuckDB — row count, column names, and an order-insensitive
-value hash (columns sorted by name, floats rounded)."""
+value hash (columns sorted by name, floats rounded).
+
+Usage: check_contract.py [SF_DIR] [only,names] [--json OUT.json]
+With --json, also writes a machine-readable artifact: per-entry
+rows/schema/hash verdicts PLUS wall-clock seconds, so entry-level perf
+regressions are visible round-over-round."""
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -17,8 +23,14 @@ import duckdb  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from liblevenshtein_spark.session import build_session  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+argv = list(sys.argv[1:])
+JSON_OUT = None
+if "--json" in argv:
+    i = argv.index("--json")
+    JSON_OUT = argv[i + 1]
+    del argv[i:i + 2]
+SF_DIR = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+ONLY = argv[1].split(",") if len(argv) > 1 else None
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -54,6 +66,7 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
@@ -65,9 +78,13 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
+            results[name] = {"err": f"spark: {e}", "sec": round(time.time() - t0, 2)}
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            sec = round(time.time() - t0, 2)
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{sec}s]")
+            results[name] = {"rows_only": True, "spark_rows": len(srows),
+                             "err": None, "sec": sec}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -76,14 +93,21 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
+            results[name] = {"err": f"duckdb: {e}", "sec": round(time.time() - t0, 2)}
             continue
         ok_cols = sorted(c.lower() for c in scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         ok_hash = hash_rows([c.lower() for c in scols], srows) == hash_rows(ocols, orows)
+        sec = round(time.time() - t0, 2)
         status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
-        print(f"{status}  {name}: spark={len(srows)} duck={len(orows)} cols_ok={ok_cols} hash_ok={ok_hash} [{time.time()-t0:.1f}s]")
+        results[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(srows), "oracle_rows": len(orows),
+            "err": None, "sec": sec,
+        }
+        print(f"{status}  {name}: spark={len(srows)} duck={len(orows)} cols_ok={ok_cols} hash_ok={ok_hash} [{sec}s]")
         if not ok_cols:
             print(f"      spark cols: {scols}  duck cols: {rel.columns}")
         if ok_cols and ok_count and not ok_hash:
@@ -94,6 +118,11 @@ def main():
             print(f"      spark-only: {sorted(sset - oset)[:3]}")
             print(f"      duck-only : {sorted(oset - sset)[:3]}")
     print("FAILURES:", failures)
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "failures": failures,
+                       "entries": results}, fh, indent=1)
+        print("wrote", JSON_OUT)
     spark.stop()
     return 1 if failures else 0
 
