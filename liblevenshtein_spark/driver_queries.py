@@ -1211,18 +1211,26 @@ def q_corpus_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode through the hard gate: synth_media generates
+    genuine PNG/WAV/AVI container bytes from doc_id, real_decode PARSES
+    them (IHDR / fmt+data / avih, CRC-checked), and the oracle recomputes
+    the generation formulas from doc_id — proving parse∘generate == formula
+    on every row. n_bytes is decoded but not gated (zlib-compressed PNG
+    sizes are not SQL-recomputable)."""
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.decode_media(media).select(
-        "doc_id", "kind", "n_bytes", "width", "height", "duration_ms"
+        "doc_id", "kind", "width", "height", "duration_ms"
     )
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing through the hard gate: source geometry + target
-    geometry (the sha-derived stub thumbnail bytes are dropped — DuckDB has
-    no sha1 — but the mapInPandas path, kind filter, and geometry math are
-    all recomputed by the oracle)."""
+    """Resize through the hard gate: source geometry parsed from the real
+    PNG IHDR / AVI avih bytes, target geometry fixed. The thumb buffer is a
+    real nearest-neighbor resample of real decoded pixels for images but is
+    dropped from the gated columns (pixel bytes are not SQL-recomputable);
+    the mapInPandas path, kind filter, and parsed geometry are all
+    recomputed by the oracle."""
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.resize_media(media).select(
@@ -1231,11 +1239,16 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing through the hard gate: one row per sampled
-    timestamp per video, cap + stride recomputed by the oracle."""
+    """Frame sampling through the hard gate: duration/fps parsed from the
+    real avih header, frames demuxed from the real movi chunks; frame_len
+    is the demuxed chunk's byte length, which the oracle recomputes from
+    the generation formula — proof the RIFF walk honors chunk sizes and
+    even-byte padding."""
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
-    return multimodal.sample_frames(media).select("doc_id", "frame_idx", "ts_ms")
+    return multimodal.sample_frames(media).select(
+        "doc_id", "frame_idx", "ts_ms", "frame_len"
+    )
 
 
 def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,27 +1930,35 @@ SELECT event_type,
        CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
        CAST(count(DISTINCT user_id) AS INT) AS n_users
 FROM events GROUP BY event_type""",
+    # the formulas below mirror operators/multimodal.py::_gen_payload — the
+    # Spark side PARSES real PNG/WAV/AVI bytes, the oracle recomputes the
+    # generator's doc_id arithmetic
     "multimodal_meta": """
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(64 + octet_length(encode(text)) % 640 AS INT) END AS width,
-  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(64 + (octet_length(encode(text)) // 2) % 480 AS INT) END AS height,
-  CASE WHEN doc_id % 3 IN (1, 2) THEN CAST(250 + octet_length(encode(text)) % 60000 AS INT) END AS duration_ms
+  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT)
+       WHEN doc_id % 3 = 2 THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 2) % 32 AS INT)
+       WHEN doc_id % 3 = 2 THEN CAST(16 + (doc_id // 2) % 48 AS INT) END AS height,
+  CASE WHEN doc_id % 3 = 1 THEN CAST((800 + doc_id % 8000) // 8 AS INT)
+       WHEN doc_id % 3 = 2 THEN CAST((10 + doc_id % 240) * 40 AS INT) END AS duration_ms
 FROM documents""",
     "multimodal_resize": """
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'video' END AS kind,
-  CAST(64 + octet_length(encode(text)) % 640 AS INT) AS src_width,
-  CAST(64 + (octet_length(encode(text)) // 2) % 480 AS INT) AS src_height,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT)
+       ELSE CAST(16 + doc_id % 64 AS INT) END AS src_width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 2) % 32 AS INT)
+       ELSE CAST(16 + (doc_id // 2) % 48 AS INT) END AS src_height,
   CAST(32 AS INT) AS width,
   CAST(32 AS INT) AS height
 FROM documents WHERE doc_id % 3 IN (0, 2)""",
     "multimodal_frames": """
-SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS ts_ms
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS ts_ms,
+       CAST(8 + (doc_id + least(i * 25, 10 + doc_id % 240 - 1)) % 24 AS INT) AS frame_len
 FROM (
   SELECT doc_id,
-         unnest(range(0, least(32, (250 + octet_length(encode(text)) % 60000) // 1000 + 1))) AS i
+         unnest(range(0, least(32, ((10 + doc_id % 240) * 40) // 1000 + 1))) AS i
   FROM documents WHERE doc_id % 3 = 2
 )""",
     "embed_semdedup": _semdedup_oracle_sql(threshold=0.35),

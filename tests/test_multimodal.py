@@ -1,117 +1,220 @@
-"""Multimodal plumbing tests: schema, mapInPandas batching, deterministic
-fake decode, feature extraction shape; the real codec hook stays
-NotImplementedError by design (no media libs in this container)."""
+"""Multimodal tests: real container codecs (PNG/WAV/AVI generation AND
+struct-level parsing), mapInPandas batching, real pixel resample, real
+frame demux — plus hand-built byte fixtures so the parser is not merely
+trusted to share the generator's bugs."""
 
 from __future__ import annotations
 
+import binascii
 import hashlib
+import struct
+import zlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from liblevenshtein_spark.operators import multimodal
 
 
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF))
+
+
+# ---------------------------------------------------------------------------
+# Codec unit tests (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_real_decode_parses_handbuilt_png():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00\x01\x02" + b"\x00\x03\x04"  # filter-0 scanlines
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    meta = multimodal.real_decode(png, "image")
+    assert (meta["width"], meta["height"]) == (2, 2)
+    assert meta["duration_ms"] is None
+    assert multimodal.decode_png_pixels(png).tolist() == [[1, 2], [3, 4]]
+
+
+def test_real_decode_checks_png_crc():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IEND", b""))
+    png[8 + 8 + 13 + 1] ^= 0xFF  # corrupt one IHDR CRC byte
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.real_decode(bytes(png), "image")
+
+
+def test_real_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        multimodal.real_decode(b"definitely not a container", "image")
+    with pytest.raises(ValueError):
+        multimodal.real_decode(b"RIFF\x04\x00\x00\x00XXXX", "audio")
+
+
+def test_real_decode_parses_handbuilt_wav():
+    data = b"\x00\x01" * 8000  # 8000 samples @ 8 kHz 16-bit mono = 1000 ms
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = multimodal.real_decode(wav, "audio")
+    assert meta["duration_ms"] == 1000
+    assert meta["width"] is None and meta["height"] is None
+
+
+def test_png_unfilter_all_five_types():
+    """Encode scanlines with an INDEPENDENT implementation of filters
+    0/Sub/Up/Average/Paeth and confirm decode_png_pixels reverses them."""
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(5, 7), dtype=np.uint8).astype(np.int32)
+    lines = []
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = px[r]
+        prev = px[r - 1] if r else np.zeros(7, dtype=np.int32)
+        out = np.zeros(7, dtype=np.int32)
+        for x in range(7):
+            a = int(cur[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if (x and r) else 0
+            if ftype == 0:
+                out[x] = cur[x]
+            elif ftype == 1:
+                out[x] = (cur[x] - a) & 0xFF
+            elif ftype == 2:
+                out[x] = (cur[x] - b) & 0xFF
+            elif ftype == 3:
+                out[x] = (cur[x] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ftype]) + out.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + _chunk(b"IEND", b""))
+    assert (multimodal.decode_png_pixels(png) == px.astype(np.uint8)).all()
+
+
+def test_generator_roundtrips_through_parser():
+    for doc_id in [0, 3, 6, 1, 4, 7, 2, 5, 8, 997, 998, 999, 123456]:
+        kind, payload = multimodal._gen_payload(doc_id)
+        meta = multimodal.real_decode(payload, kind)
+        k = doc_id % 3
+        if k == 0:
+            assert meta["width"] == 16 + doc_id % 48
+            assert meta["height"] == 16 + (doc_id // 2) % 32
+            px = multimodal.decode_png_pixels(payload)
+            idx = np.arange(px.size, dtype=np.int64)
+            want = ((doc_id * 31 + idx * 7) % 256).astype(np.uint8).reshape(px.shape)
+            assert (px == want).all()
+        elif k == 1:
+            assert meta["duration_ms"] == (800 + doc_id % 8000) // 8
+        else:
+            nf = 10 + doc_id % 240
+            assert meta["width"] == 16 + doc_id % 64
+            assert meta["height"] == 16 + (doc_id // 2) % 48
+            assert meta["duration_ms"] == nf * 40
+            frames = multimodal.demux_avi_frames(payload)
+            assert len(frames) == nf
+            for i, f in enumerate(frames):
+                assert len(f) == 8 + (doc_id + i) % 24
+                assert f == bytes((doc_id * 7 + i * 13 + j) % 256
+                                  for j in range(len(f)))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side plumbing
+# ---------------------------------------------------------------------------
+
 @pytest.fixture(scope="module")
 def media_df(spark):
-    docs = spark.createDataFrame(
-        [(0, "an image payload"), (1, "an audio payload!"), (2, "a video payload!!"),
-         (3, ""), (4, "x" * 1000)],
-        ["doc_id", "text"],
-    )
-    return docs, multimodal.synth_media(docs)
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    return multimodal.synth_media(docs)
 
 
 def test_synth_media_schema_and_kinds(spark, media_df):
-    docs, media = media_df
-    assert media.schema["payload"].dataType.typeName() == "binary"
-    kinds = {r.doc_id: r.kind for r in media.collect()}
-    assert kinds == {0: "image", 1: "audio", 2: "video", 3: "image", 4: "audio"}
+    assert media_df.schema["payload"].dataType.typeName() == "binary"
+    kinds = {r.doc_id: r.kind for r in media_df.collect()}
+    assert kinds == {i: ["image", "audio", "video"][i % 3] for i in range(12)}
 
 
-def test_decode_media_deterministic_meta(spark, media_df):
-    docs, media = media_df
-    texts = {r.doc_id: r.text for r in docs.collect()}
-    out = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
-    assert set(out) == set(texts)
+def test_decode_media_real_parse(spark, media_df):
+    out = {r.doc_id: r for r in multimodal.decode_media(media_df).collect()}
+    payloads = {r.doc_id: bytes(r.payload) for r in media_df.collect()}
+    assert set(out) == set(range(12))
     for doc_id, r in out.items():
-        payload = texts[doc_id].encode()
-        assert r.n_bytes == len(payload)
-        assert r.sha1_8 == hashlib.sha1(payload).hexdigest()[:8]
-        if r.kind in ("image", "video"):
-            assert r.width == 64 + len(payload) % 640
-            assert r.height == 64 + (len(payload) // 2) % 480
-        else:
+        assert r.n_bytes == len(payloads[doc_id])
+        assert r.sha1_8 == hashlib.sha1(payloads[doc_id]).hexdigest()[:8]
+        if r.kind == "image":
+            assert (r.width, r.height) == (16 + doc_id % 48, 16 + (doc_id // 2) % 32)
+            assert r.duration_ms is None
+        elif r.kind == "audio":
             assert r.width is None and r.height is None
-        if r.kind in ("audio", "video"):
-            assert r.duration_ms == 250 + len(payload) % 60000
+            assert r.duration_ms == (800 + doc_id % 8000) // 8
+        else:
+            assert r.duration_ms == (10 + doc_id % 240) * 40
     # repartitioned input -> identical output (batch-shape independence)
-    out2 = {r.doc_id: tuple(r) for r in multimodal.decode_media(media.repartition(4)).collect()}
+    out2 = {r.doc_id: tuple(r) for r in
+            multimodal.decode_media(media_df.repartition(4)).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
 
 
 def test_extract_features_shape(spark, media_df):
-    _, media = media_df
-    rows = multimodal.extract_features(media, dim=8).collect()
-    assert len(rows) == 5
+    rows = multimodal.extract_features(media_df, dim=8).collect()
+    assert len(rows) == 12
     for r in rows:
         assert len(r.features) == 8
         assert all(0.0 <= x <= 1.0 for x in r.features)
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.real_decode(b"\x89PNG", "image")
-
-
-def test_resize_media_stub_plumbing(spark):
-    from liblevenshtein_spark.operators.multimodal import resize_media, synth_media
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
-    media = synth_media(docs)
-    out = resize_media(media, target_w=16, target_h=8).collect()
-    kinds = {r.kind for r in out}
-    assert kinds <= {"image", "video"} and out
-    for r in out:
+def test_resize_media_real_pixel_resample(spark, media_df):
+    out = {r.doc_id: r for r in
+           multimodal.resize_media(media_df, target_w=16, target_h=8).collect()}
+    payloads = {r.doc_id: bytes(r.payload) for r in media_df.collect()}
+    assert set(out) == {i for i in range(12) if i % 3 in (0, 2)}
+    for doc_id, r in out.items():
         assert (r.width, r.height) == (16, 8)
-        assert len(r.thumb) == 16 * 8          # stub pixel buffer shape
-        assert r.src_width is not None and r.src_height is not None
-    # deterministic
-    again = resize_media(media, target_w=16, target_h=8).collect()
-    assert sorted((r.doc_id, bytes(r.thumb)) for r in out) == \
-        sorted((r.doc_id, bytes(r.thumb)) for r in again)
+        assert len(r.thumb) == 16 * 8
+        if r.kind == "image":
+            # independently recompute the nearest-neighbor resample from the
+            # decoded source pixels
+            px = multimodal.decode_png_pixels(payloads[doc_id])
+            sh, sw = px.shape
+            assert (r.src_width, r.src_height) == (sw, sh)
+            ys = np.arange(8) * sh // 8
+            xs = np.arange(16) * sw // 16
+            assert bytes(r.thumb) == px[ys][:, xs].tobytes()
 
 
-def test_sample_frames_stub_plumbing(spark):
-    from liblevenshtein_spark.operators.multimodal import (
-        decode_media, sample_frames, synth_media)
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
-    media = synth_media(docs)
-    frames = sample_frames(media, every_ms=5000, max_frames=6).collect()
-    assert frames and all(r.ts_ms == r.frame_idx * 5000 for r in frames)
-    per_doc = {}
+def test_sample_frames_real_demux(spark, media_df):
+    frames = multimodal.sample_frames(media_df, every_ms=1000, max_frames=32).collect()
+    assert frames and all(r.ts_ms == r.frame_idx * 1000 for r in frames)
+    payloads = {r.doc_id: bytes(r.payload) for r in media_df.collect()
+                if r.kind == "video"}
+    per_doc: dict = {}
     for r in frames:
-        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
-    durations = {r.doc_id: r.duration_ms for r in decode_media(media).collect()
-                 if r.kind == "video"}
-    assert set(per_doc) == set(durations)      # videos only, all of them
-    for doc_id, idxs in per_doc.items():
-        want = min(6, durations[doc_id] // 5000 + 1)
-        assert sorted(idxs) == list(range(want))
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(payloads)
+    for doc_id, rows in per_doc.items():
+        stored = multimodal.demux_avi_frames(payloads[doc_id])
+        nf = len(stored)
+        duration = nf * 40
+        want_n = min(32, duration // 1000 + 1)
+        assert sorted(r.frame_idx for r in rows) == list(range(want_n))
+        for r in rows:
+            fb = stored[min(r.ts_ms // 40, nf - 1)]
+            assert r.frame_len == len(fb)
+            assert r.frame_sha1_8 == hashlib.sha1(fb).hexdigest()[:8]
 
 
 def test_injected_codec_drops_in(spark):
-    """A 'real' codec with the documented (payload, kind) -> meta signature
-    must drop into decode_media without any plumbing change: here a mock
-    codec that actually parses a tiny header format (width/height/duration
-    encoded in the first bytes) — proving the stub boundary is the only
-    thing that moves when PIL/pyav are available."""
-    import struct
-
-    from pyspark.sql import functions as F
-
-    from liblevenshtein_spark.operators.multimodal import decode_media
+    """A codec with the documented (payload, kind) -> meta signature must
+    drop into decode_media without any plumbing change — the production
+    seam for PIL/pyav environments."""
 
     def header_codec(payload: bytes, kind: str) -> dict:
         w, h, dur = struct.unpack("<HHI", payload[:8])
@@ -129,13 +232,21 @@ def test_injected_codec_drops_in(spark):
         (3, "video", struct.pack("<HHI", 1920, 1080, 5_000) + b"cccccccc"),
     ]
     media = spark.createDataFrame(rows, "doc_id long, kind string, payload binary")
-    got = {r.doc_id: r.asDict() for r in decode_media(media, decoder=header_codec).collect()}
+    got = {r.doc_id: r.asDict()
+           for r in multimodal.decode_media(media, decoder=header_codec).collect()}
     assert got[1]["width"] == 640 and got[1]["height"] == 480
     assert got[1]["duration_ms"] is None and got[1]["sha1_8"] == "aaaaaaaa"
     assert got[2]["duration_ms"] == 90_000 and got[2]["width"] is None
     assert got[3] == {"doc_id": 3, "kind": "video", "n_bytes": 16,
                       "sha1_8": "cccccccc", "width": 1920, "height": 1080,
                       "duration_ms": 5_000}
-    # default decoder unchanged (driver entry relies on it)
-    base = decode_media(media.filter(F.col("doc_id") == 1)).collect()[0]
-    assert base.n_bytes == 18
+
+
+def test_default_decoder_is_real_parser(spark):
+    """The default decode path must PARSE bytes, not trust the kind column:
+    a WAV payload labeled 'image' still decodes as audio metadata."""
+    _, wav = multimodal._gen_payload(1)  # doc 1 -> audio WAV
+    media = spark.createDataFrame([(9, "image", wav)],
+                                  "doc_id long, kind string, payload binary")
+    r = multimodal.decode_media(media).collect()[0]
+    assert r.width is None and r.duration_ms == (800 + 1 % 8000) // 8
