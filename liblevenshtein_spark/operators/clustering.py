@@ -68,8 +68,46 @@ def _fingerprint(edges: DataFrame):
     return row["c"], row["h"]
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected sparse edge list, returning
+    the same min-rooted star forest (src=root, dst=child) the distributed
+    loop converges to.
+
+    This is runtime-adaptive physical strategy selection, the same idea as
+    AQE picking a broadcast join from runtime stats: below the edge
+    threshold the iterative loop is pure scheduling overhead (~15 jobs of
+    fixed per-job latency for microseconds of compute), while one bounded
+    collect + one createDataFrame finishes in two jobs with an identical
+    result. Union-by-min preserves the cluster_id = min-member-id contract;
+    Python's code-point string ordering matches Spark's UTF8String binary
+    ordering, so roots agree with least()/greatest() in the distributed
+    path."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    stars = [(find(x), x) for x in parent]
+    stars = [(r, x) for r, x in stars if r != x]
+    return edges.sparkSession.createDataFrame(stars, edges.schema)
+
+
 def connected_components(matches: DataFrame, max_iterations: int = 50,
-                         rounds_per_check: int = 2) -> DataFrame:
+                         rounds_per_check: int = 2,
+                         small_graph_edges: int = 1_000_000) -> DataFrame:
     """matches(id_a, id_b) -> stable edge set (node -> component root).
 
     Alternates large-star / small-star to fixpoint. Lineage is truncated
@@ -79,11 +117,21 @@ def connected_components(matches: DataFrame, max_iterations: int = 50,
     high-steal hosts the per-job fixed latency — not the shuffle bytes —
     dominates iterative CC. Probing every 2nd round halves the job count
     for at most one wasted (idempotent) round past the fixpoint; the
-    plan between checkpoints stays a bounded 2 rounds (4 shuffles) deep."""
+    plan between checkpoints stays a bounded 2 rounds (4 shuffles) deep.
+
+    When the deduped canonical edge set is at most `small_graph_edges`
+    (known from the initial convergence probe, so no extra job), the
+    component roots are resolved with a driver-side union-find instead
+    (see _local_components): the collect is bounded by the threshold
+    (~50-100 MB of id pairs at the 1M default), and at 10^12-turn scale a
+    post-threshold match graph larger than that simply takes the
+    distributed loop. Pass small_graph_edges=0 to force the loop."""
     edges = _canon(
         matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
     sig = _fingerprint(edges)
+    if sig[0] <= small_graph_edges:
+        return _local_components(edges)
     done = 0
     while done < max_iterations:
         for _ in range(min(rounds_per_check, max_iterations - done)):
@@ -99,10 +147,12 @@ def connected_components(matches: DataFrame, max_iterations: int = 50,
 
 def assign_clusters(entities: DataFrame, matches: DataFrame,
                     id_col: str = "conv_id",
-                    max_iterations: int = 50) -> DataFrame:
+                    max_iterations: int = 50,
+                    small_graph_edges: int = 1_000_000) -> DataFrame:
     """(id) x matches -> (id, cluster_id) where cluster_id is the minimum
     member id of the connected component (singletons cluster to themselves)."""
-    stars = connected_components(matches, max_iterations)
+    stars = connected_components(matches, max_iterations,
+                                 small_graph_edges=small_graph_edges)
     # After convergence the canonical edge set is a star forest stored as
     # (root=min, child=max); map each child to its root, min-reduced
     # defensively.
@@ -121,7 +171,8 @@ def assign_clusters(entities: DataFrame, matches: DataFrame,
 
 def fold_clusters(entities: DataFrame, assignment: DataFrame,
                   new_matches: DataFrame, id_col: str = "conv_id",
-                  max_iterations: int = 50) -> DataFrame:
+                  max_iterations: int = 50,
+                  small_graph_edges: int = 1_000_000) -> DataFrame:
     """Incrementally fold a batch of NEW match edges into an existing
     cluster assignment without replaying the historical edge set.
 
@@ -143,4 +194,5 @@ def fold_clusters(entities: DataFrame, assignment: DataFrame,
         F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
     )
     edges = prior.unionByName(new_matches.select("id_a", "id_b"))
-    return assign_clusters(entities, edges, id_col, max_iterations)
+    return assign_clusters(entities, edges, id_col, max_iterations,
+                           small_graph_edges=small_graph_edges)

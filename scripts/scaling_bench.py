@@ -71,9 +71,12 @@ def main() -> None:
     ap.add_argument("--hard-variants", type=int, default=96)
     ap.add_argument("--skip-small", action="store_true", help="skip the local[2]/local[8] pair")
     ap.add_argument("--attempts", type=int, default=2, help="runs per config; best kept")
+    ap.add_argument("--score-iterations", type=int, default=2)
+    ap.add_argument("--out", default="BENCH_SCALING.json")
     args = ap.parse_args()
     extra = ["--target-pairs", str(args.target_pairs),
-             "--hard-variants", str(args.hard_variants)]
+             "--hard-variants", str(args.hard_variants),
+             "--score-iterations", str(args.score_iterations)]
 
     runs = {}
     attempts: dict[int, list] = {}
@@ -120,7 +123,12 @@ def main() -> None:
                              "tput_4n": r8["hard_pairs_scored_per_sec"],
                              "efficiency": eff(r2, r8, "hard_pairs_scored_per_sec")},
         }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    result["workload"] = {
+        "target_pairs": args.target_pairs,
+        "hard_variants": args.hard_variants,
+        "score_iterations": args.score_iterations,
+    }
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(result, f, indent=2)
 
     p = result["pairs"]

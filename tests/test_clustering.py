@@ -31,13 +31,22 @@ def union_find(nodes, edges):
 
 
 def _check(spark, nodes, edges):
+    """Assert BOTH physical CC strategies against the python oracle: the
+    adaptive driver union-find (default threshold) and the distributed
+    large-star/small-star loop (forced via small_graph_edges=0)."""
     nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
     edges_df = spark.createDataFrame(edges or [("__none__", "__none__")], ["id_a", "id_b"])
     if not edges:
         edges_df = edges_df.filter("id_a != id_a")  # empty
-    got = {r.conv_id: r.cluster_id for r in assign_clusters(nodes_df, edges_df).collect()}
     want = union_find(nodes, edges)
-    assert got == want
+    for threshold in (1_000_000, 0):
+        got = {
+            r.conv_id: r.cluster_id
+            for r in assign_clusters(
+                nodes_df, edges_df, small_graph_edges=threshold
+            ).collect()
+        }
+        assert got == want, f"small_graph_edges={threshold}"
 
 
 def test_simple_components(spark):
@@ -72,9 +81,24 @@ def test_component_roots_are_minima(spark):
     nodes = [f"m{i}" for i in range(10)]
     edges = [("m9", "m3"), ("m3", "m7"), ("m1", "m2")]
     edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    stars = connected_components(edges_df)
-    for r in stars.collect():  # canonical star edges are (root=min, child)
-        assert r.src in ("m1", "m3")
+    for threshold in (1_000_000, 0):
+        stars = connected_components(edges_df, small_graph_edges=threshold)
+        for r in stars.collect():  # canonical star edges are (root=min, child)
+            assert r.src in ("m1", "m3")
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The adaptive driver union-find and the distributed loop must emit the
+    SAME star forest (not just the same cluster assignment)."""
+    rng = random.Random(31)
+    nodes = [f"p{i:03d}" for i in range(150)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {(r.src, r.dst) for r in
+             connected_components(edges_df).collect()}
+    dist = {(r.src, r.dst) for r in
+            connected_components(edges_df, small_graph_edges=0).collect()}
+    assert local == dist
 
 
 # ---------------------------------------------------------------------------
