@@ -82,6 +82,10 @@ def _local_components(edges: DataFrame) -> DataFrame:
     Python's code-point string ordering matches Spark's UTF8String binary
     ordering, so roots agree with least()/greatest() in the distributed
     path."""
+    return _union_find_stars(edges.sparkSession, edges.collect(), edges.schema)
+
+
+def _union_find_stars(spark, rows, schema) -> DataFrame:
     parent: dict = {}
 
     def find(x):
@@ -92,7 +96,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in rows:
         ra, rb = find(row[0]), find(row[1])
         if ra == rb:
             continue
@@ -102,7 +106,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
 
     stars = [(find(x), x) for x in parent]
     stars = [(r, x) for r, x in stars if r != x]
-    return edges.sparkSession.createDataFrame(stars, edges.schema)
+    return spark.createDataFrame(stars, schema)
 
 
 def connected_components(matches: DataFrame, max_iterations: int = 50,
@@ -119,19 +123,24 @@ def connected_components(matches: DataFrame, max_iterations: int = 50,
     for at most one wasted (idempotent) round past the fixpoint; the
     plan between checkpoints stays a bounded 2 rounds (4 shuffles) deep.
 
-    When the deduped canonical edge set is at most `small_graph_edges`
-    (known from the initial convergence probe, so no extra job), the
-    component roots are resolved with a driver-side union-find instead
-    (see _local_components): the collect is bounded by the threshold
-    (~50-100 MB of id pairs at the 1M default), and at 10^12-turn scale a
-    post-threshold match graph larger than that simply takes the
-    distributed loop. Pass small_graph_edges=0 to force the loop."""
+    When the deduped canonical edge set is at most `small_graph_edges`,
+    the component roots are resolved with a driver-side union-find instead
+    (see _local_components). The size probe IS the collect: a
+    limit(threshold+1) collect is bounded by the threshold (~50-100 MB of
+    id pairs at the 1M default) and short-circuits via CollectLimit on a
+    larger graph instead of scanning it, and when the graph fits the
+    collected rows are the full edge set — one job decides the strategy
+    AND feeds the union-find. At 10^12-turn scale a post-threshold match
+    graph simply takes the distributed loop. Pass small_graph_edges=0 to
+    force the loop."""
     edges = _canon(
         matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
+    if small_graph_edges > 0:
+        probe = edges.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            return _union_find_stars(edges.sparkSession, probe, edges.schema)
     sig = _fingerprint(edges)
-    if sig[0] <= small_graph_edges:
-        return _local_components(edges)
     done = 0
     while done < max_iterations:
         for _ in range(min(rounds_per_check, max_iterations - done)):
