@@ -279,6 +279,23 @@ def q_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_score_pairs(spark, sf_dir).filter(F.col("distance") <= 2)
 
 
+def q_score_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5's dictionary-encoded scoring twin through the hard gate: the
+    cogroup path (operators.scoring.score_pairs_grouped) ships each distinct
+    fingerprint once per bucket instead of once per pair, the right
+    physical shape when entities appear in many candidate pairs (multi-KB
+    transcript fingerprints at 10^12-turn scale make Arrow transfer, not
+    the DP kernel, the bottleneck). Same oracle as score_pairs — the
+    encoding is a physical decomposition, any logical difference is a bug."""
+    from .operators.scoring import score_pairs_grouped
+
+    ship_package(spark)
+    pairs = q_candidate_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint")
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    return score_pairs_grouped(pairs, canon, conf, n_buckets=32)
+
+
 def q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 option: normalized similarity 1 - d / max(len) attached to the
     scored pairs (operators.scoring.normalized_similarity), rounded for
@@ -2267,6 +2284,8 @@ FROM k GROUP BY event_type""",
     "corpus_top_docs": """
 SELECT doc_id, n_chars, lang FROM documents
 ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+    "score_pairs_grouped": DUCK_TRANSCRIPTS
+    + "SELECT id_a, id_b, distance FROM scored",
 }
 
 DATA_QUERIES = {
@@ -2323,4 +2342,7 @@ DATA_QUERIES = {
     "event_props_map": q_event_props_map,
     "event_variant_stats": q_event_variant_stats,
     "corpus_top_docs": q_corpus_top_docs,
+    # registered LAST on purpose: keeps every previously-registered entry's
+    # position stable under a driver capture that truncates at 50 entries
+    "score_pairs_grouped": q_score_pairs_grouped,
 }
