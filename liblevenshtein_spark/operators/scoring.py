@@ -194,13 +194,22 @@ def score_pairs_grouped(
     instead of once per pair.
 
     `score_pairs` ships (text_a, text_b) per pair, so an entity appearing in
-    k candidate pairs is serialized k times — for multi-KB transcript
-    fingerprints the Arrow transfer, not the DP kernel, becomes the
-    bottleneck (and the dominant cross-boundary traffic at cluster scale).
-    Here pairs are hashed into deterministic buckets; each bucket cogroups
-    its (id_a, id_b) rows with the distinct entity texts it references, and
-    the kernel resolves ids to texts Python-side (shared str objects, no
-    copies). Transfer per bucket = distinct texts + two small id columns."""
+    k candidate pairs is serialized k times. Here pairs are hashed into
+    deterministic buckets; each bucket cogroups its (id_a, id_b) rows with
+    the distinct entity texts it references, and the kernel resolves ids to
+    texts Python-side (shared str objects, no copies). Transfer per bucket
+    = distinct texts + two small id columns.
+
+    Measured A/B (PLANS.md "Grouped vs per-pair scoring"): on the bench
+    heavy workload (~190 pairs/entity) the per-pair mapInArrow path still
+    wins ~1.8x at 210-byte fingerprints AND ~2x at 2 KB — with the
+    length-band prefilter both kernel cost and Arrow transfer scale
+    linearly in text length, so their ratio is length-invariant and the
+    cogroup's two extra shuffles + applyInPandas overhead never pay for
+    themselves on this shape. Kept as the parity-tested alternative
+    physical shape for transfer-bound regimes the sandbox can't produce
+    (e.g. IPC-constrained executors or far wider distance bands); it is
+    NOT the default anywhere."""
     n = conf.max_distance
     algorithm = conf.algorithm
     pb = pairs.select(
