@@ -58,6 +58,19 @@ def main() -> None:
     )
     conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="segments")
 
+    # self-qualifying capture, same convention as bench.py: median warm
+    # per-job latency < 0.15 s or the capture is flagged and BASELINE.md is
+    # NOT patched (a 0.3 s canary turned a 38 s smoke into 165 s once)
+    import statistics
+
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    _lat = []
+    for _ in range(10):
+        _t = time.time()
+        spark.range(1000).count()
+        _lat.append(time.time() - _t)
+    canary = round(statistics.median(_lat), 3)
+
     # dense corpus: every base conversation gets `variants` planted
     # near-duplicates, written to parquet once (seed-deterministic)
     cache = f"/tmp/levsmoke_corpus_{args.n_base}_{args.variants}"
@@ -132,12 +145,16 @@ def main() -> None:
     result = {
         "metric": "scale_smoke_sec", "value": total, "unit": "sec",
         "stages": t, "cpus": args.cpus,
+        "job_latency_canary_sec": canary,
+        "canary_healthy": canary < 0.15,
         "rows": {"entities": n_entities, "reps": n_reps, "blocked_pairs": n_pairs,
                  "matches": n_matches, "clusters": n_clusters},
     }
     print(json.dumps(result))
 
-    if args.hot_convs:  # skew run: report only, keep the standard row
+    if args.hot_convs or not result["canary_healthy"]:
+        # skew run (report only) or noise-suspect capture: never patch the
+        # BASELINE.md row from an unhealthy window
         spark.stop()
         return
     row = ("| measured: 12x-scale pipeline smoke | {e:,} entities -> {p:,} blocked pairs -> "

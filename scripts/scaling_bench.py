@@ -80,16 +80,25 @@ def main() -> None:
 
     runs = {}
     attempts: dict[int, list] = {}
+    any_unhealthy_best = False
     for cpus in ([8, 32] if args.skip_small else [2, 8, 32]):
         # the host VM shows ~8% CPU steal under load (oversubscribed
         # hypervisor) with visible run-to-run variance: take best-of-N per
-        # config, the standard noisy-neighbor benchmarking practice
+        # config, the standard noisy-neighbor benchmarking practice —
+        # restricted to HEALTHY-canary attempts (canary < 0.15 s) so a
+        # noise-dominated attempt can't be selected; if no attempt is
+        # healthy the best unhealthy one is kept but flagged and the
+        # BASELINE.md rows are not patched
         attempts[cpus] = [run_bench(cpus, args.sf_dir, extra)
                           for _ in range(args.attempts)]
-        # per-metric best across attempts (attempts differ only by ambient
+        pool = [r for r in attempts[cpus] if r.get("canary_healthy")]
+        if not pool:
+            pool = attempts[cpus]
+            any_unhealthy_best = True
+        # per-metric best across the pool (attempts differ only by ambient
         # hypervisor noise, so each metric's max is its cleanest observation)
-        best = dict(attempts[cpus][0])
-        for r in attempts[cpus][1:]:
+        best = dict(pool[0])
+        for r in pool[1:]:
             for k in ("pairs_scored_per_sec", "hard_pairs_scored_per_sec"):
                 best[k] = max(best[k], r[k])
         runs[cpus] = best
@@ -128,8 +137,14 @@ def main() -> None:
         "hard_variants": args.hard_variants,
         "score_iterations": args.score_iterations,
     }
+    result["all_bests_canary_healthy"] = not any_unhealthy_best
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(result, f, indent=2)
+    if any_unhealthy_best:
+        # noise-suspect study: keep the JSON for the record but never let it
+        # overwrite BASELINE.md's measured rows
+        print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
+        return
 
     p = result["pairs"]
     rows = {
