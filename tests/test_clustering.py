@@ -87,6 +87,20 @@ def test_component_roots_are_minima(spark):
             assert r.src in ("m1", "m3")
 
 
+def test_threshold_exceeded_falls_through_to_loop(spark):
+    """0 < small_graph_edges < |edges|: the bounded limit-probe collects
+    threshold+1 rows, concludes the graph is too big, and the distributed
+    loop must still produce the correct assignment (the truncated probe
+    rows must NOT leak into the result)."""
+    nodes = [f"t{i:02d}" for i in range(20)]
+    edges = [(f"t{i:02d}", f"t{i + 1:02d}") for i in range(12)] + [("t15", "t17")]
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+    edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.conv_id: r.cluster_id
+           for r in assign_clusters(nodes_df, edges_df, small_graph_edges=3).collect()}
+    assert got == union_find(nodes, edges)
+
+
 def test_local_and_distributed_paths_agree(spark):
     """The adaptive driver union-find and the distributed loop must emit the
     SAME star forest (not just the same cluster assignment)."""
