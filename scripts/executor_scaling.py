@@ -10,11 +10,22 @@ CPU steal stay shared (see BASELINE.md "hardware control": the box's own
 8->32-process ceiling is ~0.75-0.85).
 
 Workload: the bench corpus's kernel-bound near-duplicate scoring stage
-(hard_pairs from bench.py) — deterministic, identical input at both sizes,
-fixed 128-task pair set. Best-of-N per size (noisy-neighbor VM).
+(hard_pairs from bench.py) — deterministic, identical input at both sizes.
+Best-of-HEALTHY-canary per size (noisy-neighbor VM; canary < 0.15 s).
+
+Fixed-cost amortization (round 3): a ~2.5 s fixed per-JOB cost (scheduling,
+checkpoint-read ramp, agg/collect) deflates the 4-executor side far more
+than the 1-executor side — at the old 1.7 M-pair workload t(4N) ≈ W/32 + f
+is mostly f, capping observable efficiency at ~0.5 on perfect hardware.
+Production stages run minutes, so the honest proxy amortizes: the
+checkpointed pair set is union-replicated `--replicate`× INSIDE one job
+(scored rows = replicate × pairs, storage unchanged), with the checkpoint
+partitioned at (workers·cores·2)/replicate so every cluster size runs the
+same 2 waves/core.
 
 Writes BENCH_EXECUTOR_SCALING.json and appends the measured row to
-BASELINE.md. Usage: python scripts/executor_scaling.py [--sf-dir PATH]
+BASELINE.md (healthy captures only).
+Usage: python scripts/executor_scaling.py [--sf-dir PATH]
 """
 
 from __future__ import annotations
@@ -29,7 +40,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER_SRC = r"""
-import json, sys, time
+import json, statistics, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from bench import ensure_corpus, hard_pairs
@@ -38,7 +49,8 @@ from liblevenshtein_spark.operators.canonicalize import canonicalize
 from liblevenshtein_spark.operators.scoring import attach_texts, score_attached
 from liblevenshtein_spark.session import build_session
 
-workers, cores, sf_dir, variants = {workers}, {cores}, {sf_dir!r}, {variants}
+workers, cores, sf_dir = {workers}, {cores}, {sf_dir!r}
+variants, rep = {variants}, {replicate}
 spark = build_session(
     app_name="executor-scaling",
     master=f"local-cluster[{{workers}},{{cores}},4096]",
@@ -54,33 +66,48 @@ transcripts = spark.read.parquet(ensure_corpus(spark, sf_dir)).localCheckpoint(e
 canonical = canonicalize(transcripts).localCheckpoint(eager=True)
 hpairs, hentities = hard_pairs(canonical, variants=variants)
 # checkpoint the JOINED frame: the timed quantity is pairs SCORED per sec
-# (the scoring stage proper); the join is measured by the e2e bench
+# (the scoring stage proper); the join is measured by the e2e bench.
+# Partition count divides by the replicate factor so the union below lands
+# on workers*cores*2 total partitions — the same 2 waves/core at every
+# cluster size.
+parts = max(workers * cores * 2 // rep, 1)
 attached = (
     attach_texts(hpairs, hentities)
-    .repartition(workers * cores * 2)  # 2 waves/core at every cluster size
+    .repartition(parts)
     .localCheckpoint(eager=True)
 )
 n = attached.count()
+big = attached
+for _ in range(rep - 1):
+    big = big.unionByName(attached)
 
 def run():
     return (
-        score_attached(attached, conf)
+        score_attached(big, conf)
         .agg(F.count("distance").alias("c"), F.sum("distance").alias("s"))
         .collect()[0]["c"]
     )
 
-run()  # warmup: python workers + numpy import on every executor
+scored = run()  # warmup: python workers + numpy import on every executor
+lat = []
+for _ in range(10):
+    t = time.time(); spark.range(1000).count(); lat.append(time.time() - t)
+canary = round(statistics.median(lat), 3)
 t0 = time.time(); run(); run()
 dt = (time.time() - t0) / 2
-print(json.dumps({{"workers": workers, "cores": cores, "pairs": n,
-                   "sec": round(dt, 2), "pairs_per_sec": round(n / dt, 1)}}))
+print(json.dumps({{"workers": workers, "cores": cores, "pairs": scored,
+                   "sec": round(dt, 2), "pairs_per_sec": round(scored / dt, 1),
+                   "job_latency_canary_sec": canary,
+                   "canary_healthy": canary < 0.15}}))
 spark.stop()
 """
 
 
-def measure(workers: int, cores: int, sf_dir: str, variants: int) -> dict:
+def measure(workers: int, cores: int, sf_dir: str, variants: int,
+            replicate: int) -> dict:
     src = WORKER_SRC.format(repo=REPO, workers=workers, cores=cores,
-                            sf_dir=sf_dir, variants=variants)
+                            sf_dir=sf_dir, variants=variants,
+                            replicate=replicate)
     cmd = [sys.executable, "-c", src]
     total = workers * cores
     host = os.cpu_count() or total
@@ -101,26 +128,40 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--variants", type=int, default=96)
+    ap.add_argument("--variants", type=int, default=288)
+    ap.add_argument("--replicate", type=int, default=4)
     ap.add_argument("--attempts", type=int, default=3)
     args = ap.parse_args()
 
     best = {}
+    attempts = {}
+    healthy_best = True
     for w in (1, 4):
-        runs = [measure(w, args.cores, args.sf_dir, args.variants)
+        runs = [measure(w, args.cores, args.sf_dir, args.variants, args.replicate)
                 for _ in range(args.attempts)]
-        best[w] = max(r["pairs_per_sec"] for r in runs)
+        attempts[w] = runs
+        pool = [r for r in runs if r.get("canary_healthy")]
+        if not pool:
+            pool, healthy_best = runs, False
+        best[w] = max(r["pairs_per_sec"] for r in pool)
     eff = round(best[4] / (4.0 * best[1]), 3)
     result = {
         "metric": "executor_scaling_efficiency_1_to_4",
         "value": eff,
         "unit": "ratio",
-        "config": f"local-cluster[W,{args.cores},4096], kernel-bound near-dup scoring",
+        "config": (f"local-cluster[W,{args.cores},4096], kernel-bound near-dup scoring, "
+                   f"{args.variants} variants x{args.replicate} union-replicated "
+                   "(fixed per-job cost amortized), canary-gated best-of"),
         "tput_1_executor": best[1],
         "tput_4_executors": best[4],
+        "all_bests_canary_healthy": healthy_best,
+        "attempts": attempts,
     }
     with open(os.path.join(REPO, "BENCH_EXECUTOR_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
+    if not healthy_best:
+        print(json.dumps(result))
+        return
     row = ("| measured: executor scaling 1→4 (local-cluster[W,{c}]) | {e:.2f} "
            "(tput {t1:,.0f} → {t4:,.0f} pairs/s) | true multi-JVM executors, one host; "
            "shared-DRAM ceiling ~0.75–0.85 applies | `BENCH_EXECUTOR_SCALING.json` |\n").format(
