@@ -53,12 +53,17 @@ workers, cores, sf_dir = {workers}, {cores}, {sf_dir!r}
 variants, rep = {variants}, {replicate}
 spark = build_session(
     app_name="executor-scaling",
-    master=f"local-cluster[{{workers}},{{cores}},4096]",
+    master=f"local-cluster[{{workers}},{{cores}},8192]",
     shuffle_partitions=workers * cores * 2,
     extra_conf={{
         "spark.ui.enabled": "false",
-        "spark.executor.memory": "3g",
+        "spark.executor.memory": "7g",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "3072",
+        # pinned slices run driver + worker JVM + executor + Python workers
+        # flat-out on N cores; stock 10s/120s heartbeat deadlines produce
+        # spurious executor-lost under that contention
+        "spark.executor.heartbeatInterval": "30s",
+        "spark.network.timeout": "600s",
     }},
 )
 conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="segments")
@@ -116,10 +121,16 @@ def measure(workers: int, cores: int, sf_dir: str, variants: int,
         # exactly the cluster slice's cores — an unpinned 1-executor run
         # free-rides on the idle cores and inflates the small-N baseline
         cmd = ["taskset", "-c", f"0-{total - 1}", *cmd]
-    out = subprocess.run(cmd, capture_output=True,
-                         text=True, cwd=REPO, check=True)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    r = json.loads(line)
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # crashed attempt (e.g. executor lost under pinned contention):
+        # record it as failed instead of killing the whole study
+        print(json.dumps({"workers": workers, "cores": cores,
+                          "failed": True, "rc": out.returncode,
+                          "stderr_tail": out.stderr[-400:]}), flush=True)
+        return None
+    r = json.loads(lines[-1])
     print(json.dumps(r), flush=True)
     return r
 
@@ -139,7 +150,10 @@ def main() -> None:
     for w in (1, 4):
         runs = [measure(w, args.cores, args.sf_dir, args.variants, args.replicate)
                 for _ in range(args.attempts)]
+        runs = [r for r in runs if r is not None]
         attempts[w] = runs
+        if not runs:
+            raise SystemExit(f"all attempts failed at workers={w}")
         pool = [r for r in runs if r.get("canary_healthy")]
         if not pool:
             pool, healthy_best = runs, False
@@ -149,7 +163,7 @@ def main() -> None:
         "metric": "executor_scaling_efficiency_1_to_4",
         "value": eff,
         "unit": "ratio",
-        "config": (f"local-cluster[W,{args.cores},4096], kernel-bound near-dup scoring, "
+        "config": (f"local-cluster[W,{args.cores},8192], kernel-bound near-dup scoring, "
                    f"{args.variants} variants x{args.replicate} union-replicated "
                    "(fixed per-job cost amortized), canary-gated best-of"),
         "tput_1_executor": best[1],
