@@ -1243,28 +1243,32 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize through the hard gate: source geometry parsed from the real
-    PNG IHDR / AVI avih bytes, target geometry fixed. The thumb buffer is a
-    real nearest-neighbor resample of real decoded pixels for images but is
-    dropped from the gated columns (pixel bytes are not SQL-recomputable);
-    the mapInPandas path, kind filter, and parsed geometry are all
-    recomputed by the oracle."""
+    PNG IHDR / AVI avih+strf bytes, target geometry fixed, and thumb_pix0
+    = the first byte of the resampled thumb, i.e. the source's REAL decoded
+    (0,0) pixel — PNG inflate+unfilter on image rows, DIB un-stride +
+    bottom-up flip on video rows. The oracle recomputes it from the
+    generation formula, so the hash gates actual pixel content on both
+    branches; the full thumb buffer is dropped (not SQL-recomputable)."""
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.resize_media(media).select(
-        "doc_id", "kind", "src_width", "src_height", "width", "height"
+        "doc_id", "kind", "src_width", "src_height", "width", "height",
+        "thumb_pix0"
     )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling through the hard gate: duration/fps parsed from the
-    real avih header, frames demuxed from the real movi chunks; frame_len
-    is the demuxed chunk's byte length, which the oracle recomputes from
-    the generation formula — proof the RIFF walk honors chunk sizes and
-    even-byte padding."""
+    real avih header, frames demuxed from the real movi chunks (skipping
+    interleaved odd-length '01tx' caption chunks); frame_len is the demuxed
+    chunk's byte length (= DIB stride x height) and pix0 the decoded
+    top-left pixel of the sampled frame — the oracle recomputes both from
+    the generation formula, proving the RIFF walk honors chunk sizes /
+    even-byte padding AND the DIB decode honors stride + bottom-up order."""
     ship_package(spark)
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.sample_frames(media).select(
-        "doc_id", "frame_idx", "ts_ms", "frame_len"
+        "doc_id", "frame_idx", "ts_ms", "frame_len", "pix0"
     )
 
 
@@ -1954,28 +1958,36 @@ FROM events GROUP BY event_type""",
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
   CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT)
-       WHEN doc_id % 3 = 2 THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+       WHEN doc_id % 3 = 2 THEN CAST(8 + doc_id % 32 AS INT) END AS width,
   CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 2) % 32 AS INT)
-       WHEN doc_id % 3 = 2 THEN CAST(16 + (doc_id // 2) % 48 AS INT) END AS height,
+       WHEN doc_id % 3 = 2 THEN CAST(8 + (doc_id // 2) % 24 AS INT) END AS height,
   CASE WHEN doc_id % 3 = 1 THEN CAST((800 + doc_id % 8000) // 8 AS INT)
-       WHEN doc_id % 3 = 2 THEN CAST((10 + doc_id % 240) * 40 AS INT) END AS duration_ms
+       WHEN doc_id % 3 = 2 THEN CAST((10 + doc_id % 120) * 40 AS INT) END AS duration_ms
 FROM documents""",
+    # thumb_pix0 = source pixel (0,0): image pixel formula (id*31 + idx*7) % 256
+    # at idx 0; video frame-0 DIB pixel formula (id*7 + i*13 + y*5 + x*3) % 256
+    # at (i, x, y) = 0 — nearest-neighbor maps target (0,0) to source (0,0)
     "multimodal_resize": """
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'video' END AS kind,
   CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT)
-       ELSE CAST(16 + doc_id % 64 AS INT) END AS src_width,
+       ELSE CAST(8 + doc_id % 32 AS INT) END AS src_width,
   CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 2) % 32 AS INT)
-       ELSE CAST(16 + (doc_id // 2) % 48 AS INT) END AS src_height,
+       ELSE CAST(8 + (doc_id // 2) % 24 AS INT) END AS src_height,
   CAST(32 AS INT) AS width,
-  CAST(32 AS INT) AS height
+  CAST(32 AS INT) AS height,
+  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 31) % 256 AS INT)
+       ELSE CAST((doc_id * 7) % 256 AS INT) END AS thumb_pix0
 FROM documents WHERE doc_id % 3 IN (0, 2)""",
+    # frame_len = 4-byte-stride DIB size; pix0 = decoded top-left pixel of the
+    # stored frame covering ts (stored = least(i*25, nf-1) at 25 fps / 1000 ms)
     "multimodal_frames": """
 SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS ts_ms,
-       CAST(8 + (doc_id + least(i * 25, 10 + doc_id % 240 - 1)) % 24 AS INT) AS frame_len
+       CAST(((8 + doc_id % 32 + 3) // 4) * 4 * (8 + (doc_id // 2) % 24) AS INT) AS frame_len,
+       CAST((doc_id * 7 + least(i * 25, 10 + doc_id % 120 - 1) * 13) % 256 AS INT) AS pix0
 FROM (
   SELECT doc_id,
-         unnest(range(0, least(32, ((10 + doc_id % 240) * 40) // 1000 + 1))) AS i
+         unnest(range(0, least(32, ((10 + doc_id % 120) * 40) // 1000 + 1))) AS i
   FROM documents WHERE doc_id % 3 = 2
 )""",
     "embed_semdedup": _semdedup_oracle_sql(threshold=0.35),

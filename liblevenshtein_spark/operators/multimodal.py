@@ -20,12 +20,15 @@ confined to this module: codecs are inherently per-item work (the verdict's
 round-2 note), while every text/numeric operator in the engine stays on
 vectorized expressions.
 
-Remaining seam for full-codec environments (PIL / pyav): PNG pixel decode
-below handles the grayscale-8 images this engine writes (all five filter
-types); compressed video FRAME PAYLOADS stay opaque blobs — `resize_media`
-resamples real PNG pixels but emits a deterministic stub thumbnail for
-video rows, because decoding H.264-style frame contents genuinely needs a
-codec library. That one branch is the entire remaining stub surface.
+No stub branches remain: PNG pixel decode handles the grayscale-8 images
+this engine writes (all five filter types), and video frames are genuine
+uncompressed 8-bpp BI_RGB DIBs (bottom-up row order, 4-byte stride) inside
+a spec-shaped container (LIST('strl') with a 56-byte 'vids' strh and a
+BITMAPINFOHEADER+palette strf), so `resize_media` and `sample_frames`
+decode REAL video pixels via struct/numpy alone. An interleaved '01tx'
+caption stream with odd-length chunks keeps the RIFF walk honest about
+even-byte padding. The seam for full-codec environments (PIL / pyav —
+JPEG, H.264, ...) is the pluggable `decoder=` argument on `decode_media`.
 """
 
 from __future__ import annotations
@@ -45,7 +48,8 @@ from pyspark.sql import types as T
 __all__ = ["MEDIA_SCHEMA", "synth_media", "decode_media", "extract_features",
            "resize_media", "sample_frames", "real_decode",
            "encode_png", "decode_png_meta", "decode_png_pixels",
-           "encode_wav", "encode_avi", "demux_avi_frames"]
+           "encode_wav", "encode_avi", "demux_avi_frames",
+           "encode_dib_frame", "decode_dib_frame", "avi_stream_format"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -188,19 +192,75 @@ def _riff_form(data: bytes) -> tuple[bytes, bytes]:
     return data[8:12], data[12:8 + ln]
 
 
+def _dib_stride(width: int) -> int:
+    """DIB rows are padded to 4-byte boundaries (8-bpp: width bytes/row)."""
+    return (width + 3) // 4 * 4
+
+
+def encode_dib_frame(pixels: np.ndarray) -> bytes:
+    """Real uncompressed 8-bpp BI_RGB DIB frame: bottom-up row order with
+    4-byte row stride — the layout an actual 'DIB ' AVI stream stores."""
+    h, w = pixels.shape
+    rows = np.zeros((h, _dib_stride(w)), dtype=np.uint8)
+    rows[:, :w] = pixels
+    return rows[::-1].tobytes()
+
+
+def decode_dib_frame(frame: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an 8-bpp bottom-up DIB frame to top-down (height, width)
+    pixels: un-pad the 4-byte stride and flip the vertical axis."""
+    stride = _dib_stride(width)
+    if len(frame) != stride * height:
+        raise ValueError(
+            f"DIB frame is {len(frame)} bytes, want {stride}x{height}")
+    rows = np.frombuffer(frame, dtype=np.uint8).reshape(height, stride)
+    return rows[::-1, :width]
+
+
+def _avi_chunk(tag: bytes, data: bytes) -> bytes:
+    return tag + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+
+def _avi_list(form: bytes, items: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(items)) + form + items
+
+
 def encode_avi(width: int, height: int, frames: list[bytes],
-               usec_per_frame: int = _AVI_USEC_PER_FRAME) -> bytes:
-    """Minimal real AVI container: RIFF('AVI ') with a LIST('hdrl') holding
-    the standard 56-byte avih main header and a LIST('movi') holding one
-    '00dc' chunk per frame (opaque frame payloads, even-padded)."""
-    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0,
-                       width, height, 0, 0, 0, 0)
-    hdrl_items = b"avih" + struct.pack("<I", len(avih)) + avih
-    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
+               usec_per_frame: int = _AVI_USEC_PER_FRAME,
+               captions: list[bytes] | None = None) -> bytes:
+    """Real AVI container: RIFF('AVI ') with a LIST('hdrl') holding the
+    standard 56-byte avih main header plus a LIST('strl') per stream — the
+    video stream carries a 'vids'/'DIB ' AVISTREAMHEADER and a
+    BITMAPINFOHEADER+grayscale-palette strf, so a struct-level reader can
+    recover geometry, fps, bit depth, and compression — and a LIST('movi')
+    holding one '00dc' chunk per frame (even-padded). When `captions` is
+    given, a second 'txts' stream interleaves one '01tx' chunk before each
+    frame; caption lengths are arbitrary (odd ones exercise RIFF padding)."""
+    stride_bytes = _dib_stride(width) * height
+    n_streams = 2 if captions is not None else 1
+    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0, len(frames), 0,
+                       n_streams, 0, width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0,
+                       usec_per_frame, 1_000_000, 0, len(frames),
+                       stride_bytes, 0, stride_bytes, 0, 0, width, height)
+    bmih = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       stride_bytes, 0, 0, 256, 0)
+    palette = bytes(v for g in range(256) for v in (g, g, g, 0))
+    strl = _avi_list(b"strl", _avi_chunk(b"strh", strh)
+                     + _avi_chunk(b"strf", bmih + palette))
+    hdrl_items = _avi_chunk(b"avih", avih) + strl
+    if captions is not None:
+        txt_strh = struct.pack("<4s4sIHHIIIIIIII4H", b"txts", b"\0\0\0\0",
+                               0, 0, 0, 0, usec_per_frame, 1_000_000, 0,
+                               len(captions), 0, 0, 0, 0, 0, 0, 0)
+        hdrl_items += _avi_list(b"strl", _avi_chunk(b"strh", txt_strh)
+                                + _avi_chunk(b"strf", b""))
+    hdrl = _avi_list(b"hdrl", hdrl_items)
     movi_items = b"".join(
-        b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
-        for f in frames)
-    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+        (_avi_chunk(b"01tx", captions[i]) if captions is not None else b"")
+        + _avi_chunk(b"00dc", f)
+        for i, f in enumerate(frames))
+    movi = _avi_list(b"movi", movi_items)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -217,6 +277,31 @@ def _avi_main_header(data: bytes) -> tuple[int, int, int, int]:
                     fields = struct.unpack("<14I", p2[:56])
                     return fields[0], fields[4], fields[8], fields[9]
     raise ValueError("AVI without avih header")
+
+
+def avi_stream_format(data: bytes) -> tuple[int, int, int, int]:
+    """Parse the video stream's strf BITMAPINFOHEADER out of LIST('strl')
+    -> (width, height, bit_count, compression). Checks the paired strh is
+    a 'vids' stream so a caption/audio strl is never misread as video."""
+    form, body = _riff_form(data)
+    if form != b"AVI ":
+        raise ValueError("RIFF but not AVI")
+    for tag, payload in _riff_subchunks(body):
+        if tag == b"LIST" and payload[:4] == b"hdrl":
+            for t2, p2 in _riff_subchunks(payload[4:]):
+                if t2 != b"LIST" or p2[:4] != b"strl":
+                    continue
+                strh = strf = None
+                for t3, p3 in _riff_subchunks(p2[4:]):
+                    if t3 == b"strh":
+                        strh = p3
+                    elif t3 == b"strf":
+                        strf = p3
+                if strh is not None and strh[:4] == b"vids" and strf is not None:
+                    _, w, h, _, bitcount, compression = struct.unpack(
+                        "<IiiHHI", strf[:20])
+                    return int(w), int(h), int(bitcount), int(compression)
+    raise ValueError("AVI without a vids strl/strf header")
 
 
 def demux_avi_frames(data: bytes) -> list[bytes]:
@@ -251,14 +336,17 @@ def _gen_payload(doc_id: int) -> tuple[str, bytes]:
         i = np.arange(n, dtype=np.int64)
         samples = (((doc_id * 13 + i * 211) % 65536) - 32768).astype(np.int16)
         return "audio", encode_wav(samples)
-    # video: nf = 10 + id%240 frames @25fps, w = 16 + id%64, h = 16 + (id//2)%48
-    nf, w, h = 10 + doc_id % 240, 16 + doc_id % 64, 16 + (doc_id // 2) % 48
+    # video: nf = 10 + id%120 frames @25fps, w = 8 + id%32, h = 8 + (id//2)%24;
+    # frame i is a REAL 8-bpp DIB with pixel(x, y) = (id*7 + i*13 + y*5 + x*3) % 256
+    nf, w, h = 10 + doc_id % 120, 8 + doc_id % 32, 8 + (doc_id // 2) % 24
+    ys = np.arange(h, dtype=np.int64)[:, None] * 5
+    xs = np.arange(w, dtype=np.int64)[None, :] * 3
     frames = [
-        bytes((doc_id * 7 + i * 13 + j) % 256
-              for j in range(8 + (doc_id + i) % 24))  # frame i len = 8+(id+i)%24
+        encode_dib_frame(((doc_id * 7 + i * 13 + ys + xs) % 256).astype(np.uint8))
         for i in range(nf)
     ]
-    return "video", encode_avi(w, h, frames)
+    captions = [f"cap{i}:{(doc_id + i) % 7}".encode() for i in range(nf)]
+    return "video", encode_avi(w, h, frames, captions=captions)
 
 
 def synth_media(documents: DataFrame) -> DataFrame:
@@ -376,21 +464,22 @@ RESIZED_SCHEMA = T.StructType([
     T.StructField("src_height", T.IntegerType(), True),
     T.StructField("width", T.IntegerType(), False),
     T.StructField("height", T.IntegerType(), False),
+    T.StructField("thumb_pix0", T.IntegerType(), False),  # thumb[0] = source pixel (0,0)
     T.StructField("thumb", T.BinaryType(), False),  # raw grayscale pixels
 ])
 
 
 def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """Resize for image/video rows. Images: REAL resample — decode the PNG
-    pixels (inflate + unfilter) and nearest-neighbor them to the target
-    geometry; thumb = the raw target_w*target_h grayscale buffer. Video:
-    geometry parsed from the real avih header, but frame payloads are
-    opaque compressed blobs, so the thumb is a deterministic sha-seeded
-    stub — the one remaining codec-library seam (module docstring). Audio
-    rows are dropped (no spatial dims)."""
+    """Resize for image/video rows — REAL pixels on both branches. Images:
+    decode the PNG (inflate + unfilter); video: decode the first demuxed
+    8-bpp BI_RGB DIB frame (un-stride + bottom-up flip), geometry cross-
+    checked between the avih header and the strf BITMAPINFOHEADER. Both
+    are then nearest-neighbor resampled; thumb = the raw target_w*target_h
+    grayscale buffer and thumb_pix0 = its first byte (the source's (0,0)
+    pixel — SQL-recomputable, so the gate hashes real pixel content).
+    Audio rows are dropped (no spatial dims)."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_px = target_w * target_h
         for pdf in batches:
             pdf = pdf[pdf["kind"].isin(["image", "video"])]
             rows = []
@@ -399,19 +488,26 @@ def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> Da
                 meta = real_decode(payload, kind)
                 if kind == "image":
                     px = decode_png_pixels(payload)
-                    sh, sw = px.shape
-                    ys = np.arange(target_h) * sh // target_h
-                    xs = np.arange(target_w) * sw // target_w
-                    thumb = px[ys][:, xs].tobytes()
                 else:
-                    seed = hashlib.sha1(payload + b"|resize").digest()
-                    thumb = (seed * (n_px // len(seed) + 1))[:n_px]
+                    vw, vh, bitcount, compression = avi_stream_format(payload)
+                    if (bitcount, compression) != (8, 0):
+                        raise ValueError(
+                            "video pixel decode implemented for 8-bpp BI_RGB only")
+                    if (vw, vh) != (meta["width"], meta["height"]):
+                        raise ValueError("avih vs strf geometry mismatch")
+                    px = decode_dib_frame(demux_avi_frames(payload)[0], vw, vh)
+                sh, sw = px.shape
+                ys = np.arange(target_h) * sh // target_h
+                xs = np.arange(target_w) * sw // target_w
+                thumb = px[ys][:, xs].tobytes()
                 rows.append((doc_id, kind, meta["width"], meta["height"],
-                             target_w, target_h, thumb))
+                             target_w, target_h, thumb[0], thumb))
             out = pd.DataFrame(rows, columns=["doc_id", "kind", "src_width",
-                                              "src_height", "width", "height", "thumb"])
+                                              "src_height", "width", "height",
+                                              "thumb_pix0", "thumb"])
             for c in ("src_width", "src_height"):
                 out[c] = out[c].astype("Int32")
+            out["thumb_pix0"] = out["thumb_pix0"].astype("int32")
             yield out
 
     return media.select("doc_id", "kind", "payload").mapInPandas(
@@ -424,6 +520,7 @@ FRAMES_SCHEMA = T.StructType([
     T.StructField("frame_idx", T.IntegerType(), False),
     T.StructField("ts_ms", T.IntegerType(), False),
     T.StructField("frame_len", T.IntegerType(), False),
+    T.StructField("pix0", T.IntegerType(), False),  # decoded top-left pixel
     T.StructField("frame_sha1_8", T.StringType(), False),
 ])
 
@@ -431,18 +528,21 @@ FRAMES_SCHEMA = T.StructType([
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> DataFrame:
     """Frame sampling for video rows via REAL demux: duration and frame
     rate come from the avih header, the '00dc' chunks are walked out of the
-    movi LIST, and each sampled timestamp (0, every_ms, ... capped at
-    max_frames within the duration) maps to the stored frame covering it.
-    frame_len and frame_sha1_8 are computed over the demuxed frame BYTES —
-    proof the chunk walk honors sizes and even-padding."""
+    movi LIST (skipping the interleaved '01tx' caption chunks and their
+    odd-byte padding), and each sampled timestamp (0, every_ms, ... capped
+    at max_frames within the duration) maps to the stored frame covering
+    it. frame_len and frame_sha1_8 come from the demuxed frame BYTES;
+    pix0 is the DECODED top-left pixel (un-stride + bottom-up flip of the
+    8-bpp DIB) — proof the walk honors chunk sizes and the pixel decode
+    honors DIB row order."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "video"]
-            ids, idxs, tss, lens, shas = [], [], [], [], []
+            ids, idxs, tss, lens, pix0s, shas = [], [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload or b"")
-                usec, nframes, _, _ = _avi_main_header(payload)
+                usec, nframes, w, h = _avi_main_header(payload)
                 frames = demux_avi_frames(payload)
                 frame_ms = max(usec // 1000, 1)
                 duration = nframes * frame_ms
@@ -455,12 +555,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 32) 
                     idxs.append(fi)
                     tss.append(ts)
                     lens.append(len(fb))
+                    pix0s.append(int(decode_dib_frame(fb, w, h)[0, 0]))
                     shas.append(hashlib.sha1(fb).hexdigest()[:8])
             yield pd.DataFrame({
                 "doc_id": ids,
                 "frame_idx": pd.array(idxs, dtype="int32"),
                 "ts_ms": pd.array(tss, dtype="int32"),
                 "frame_len": pd.array(lens, dtype="int32"),
+                "pix0": pd.array(pix0s, dtype="int32"),
                 "frame_sha1_8": shas,
             })
 

@@ -114,16 +114,48 @@ def test_generator_roundtrips_through_parser():
         elif k == 1:
             assert meta["duration_ms"] == (800 + doc_id % 8000) // 8
         else:
-            nf = 10 + doc_id % 240
-            assert meta["width"] == 16 + doc_id % 64
-            assert meta["height"] == 16 + (doc_id // 2) % 48
+            nf, w, h = 10 + doc_id % 120, 8 + doc_id % 32, 8 + (doc_id // 2) % 24
+            assert (meta["width"], meta["height"]) == (w, h)
             assert meta["duration_ms"] == nf * 40
+            assert multimodal.avi_stream_format(payload) == (w, h, 8, 0)
+            stride = (w + 3) // 4 * 4
             frames = multimodal.demux_avi_frames(payload)
             assert len(frames) == nf
+            ys = np.arange(h, dtype=np.int64)[:, None] * 5
+            xs = np.arange(w, dtype=np.int64)[None, :] * 3
             for i, f in enumerate(frames):
-                assert len(f) == 8 + (doc_id + i) % 24
-                assert f == bytes((doc_id * 7 + i * 13 + j) % 256
-                                  for j in range(len(f)))
+                assert len(f) == stride * h
+                px = multimodal.decode_dib_frame(f, w, h)
+                assert (px == ((doc_id * 7 + i * 13 + ys + xs) % 256)).all()
+
+
+def test_dib_frame_roundtrip_stride_and_flip():
+    """encode_dib_frame stores bottom-up 4-byte-stride rows; decode must
+    reverse both. Checked against hand-built bytes, not just the inverse."""
+    px = np.arange(15, dtype=np.uint8).reshape(3, 5)  # w=5 -> stride 8
+    enc = multimodal.encode_dib_frame(px)
+    assert len(enc) == 8 * 3
+    # bottom row of the image comes FIRST in the DIB, padded to 8 bytes
+    assert enc[:8] == bytes([10, 11, 12, 13, 14, 0, 0, 0])
+    assert enc[16:24] == bytes([0, 1, 2, 3, 4, 0, 0, 0])
+    assert (multimodal.decode_dib_frame(enc, 5, 3) == px).all()
+    with pytest.raises(ValueError, match="bytes"):
+        multimodal.decode_dib_frame(enc[:-1], 5, 3)
+
+
+def test_avi_caption_stream_padding_and_demux():
+    """Interleaved '01tx' chunks with ODD lengths force the RIFF walk to
+    honor even-byte padding, and must never leak into the frame demux."""
+    frames = [multimodal.encode_dib_frame(
+        np.full((4, 4), i, dtype=np.uint8)) for i in range(3)]
+    captions = [b"odd", b"even", b"x"]  # lengths 3, 4, 1
+    avi = multimodal.encode_avi(4, 4, frames, captions=captions)
+    assert multimodal.demux_avi_frames(avi) == frames
+    assert multimodal.avi_stream_format(avi) == (4, 4, 8, 0)
+    usec, nf, w, h = multimodal._avi_main_header(avi)
+    assert (nf, w, h) == (3, 4, 4)
+    # odd-length caption is stored with a pad byte after its payload
+    assert b"01tx\x03\x00\x00\x00odd\x00" in avi
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +188,7 @@ def test_decode_media_real_parse(spark, media_df):
             assert r.width is None and r.height is None
             assert r.duration_ms == (800 + doc_id % 8000) // 8
         else:
-            assert r.duration_ms == (10 + doc_id % 240) * 40
+            assert r.duration_ms == (10 + doc_id % 120) * 40
     # repartitioned input -> identical output (batch-shape independence)
     out2 = {r.doc_id: tuple(r) for r in
             multimodal.decode_media(media_df.repartition(4)).collect()}
@@ -179,15 +211,20 @@ def test_resize_media_real_pixel_resample(spark, media_df):
     for doc_id, r in out.items():
         assert (r.width, r.height) == (16, 8)
         assert len(r.thumb) == 16 * 8
+        assert r.thumb_pix0 == r.thumb[0]
+        # independently recompute the nearest-neighbor resample from the
+        # decoded source pixels — REAL pixels on both branches
         if r.kind == "image":
-            # independently recompute the nearest-neighbor resample from the
-            # decoded source pixels
             px = multimodal.decode_png_pixels(payloads[doc_id])
-            sh, sw = px.shape
-            assert (r.src_width, r.src_height) == (sw, sh)
-            ys = np.arange(8) * sh // 8
-            xs = np.arange(16) * sw // 16
-            assert bytes(r.thumb) == px[ys][:, xs].tobytes()
+        else:
+            vw, vh, _, _ = multimodal.avi_stream_format(payloads[doc_id])
+            frame0 = multimodal.demux_avi_frames(payloads[doc_id])[0]
+            px = multimodal.decode_dib_frame(frame0, vw, vh)
+        sh, sw = px.shape
+        assert (r.src_width, r.src_height) == (sw, sh)
+        ys = np.arange(8) * sh // 8
+        xs = np.arange(16) * sw // 16
+        assert bytes(r.thumb) == px[ys][:, xs].tobytes()
 
 
 def test_sample_frames_real_demux(spark, media_df):
@@ -201,14 +238,19 @@ def test_sample_frames_real_demux(spark, media_df):
     assert set(per_doc) == set(payloads)
     for doc_id, rows in per_doc.items():
         stored = multimodal.demux_avi_frames(payloads[doc_id])
+        vw, vh, _, _ = multimodal.avi_stream_format(payloads[doc_id])
         nf = len(stored)
         duration = nf * 40
         want_n = min(32, duration // 1000 + 1)
         assert sorted(r.frame_idx for r in rows) == list(range(want_n))
         for r in rows:
-            fb = stored[min(r.ts_ms // 40, nf - 1)]
+            si = min(r.ts_ms // 40, nf - 1)
+            fb = stored[si]
             assert r.frame_len == len(fb)
             assert r.frame_sha1_8 == hashlib.sha1(fb).hexdigest()[:8]
+            # decoded top-left pixel matches the generation formula
+            assert r.pix0 == int(multimodal.decode_dib_frame(fb, vw, vh)[0, 0])
+            assert r.pix0 == (doc_id * 7 + si * 13) % 256
 
 
 def test_injected_codec_drops_in(spark):
