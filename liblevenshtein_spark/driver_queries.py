@@ -967,6 +967,26 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate spans: maximal token ranges covered by
+    5-grams occurring in >= 2 distinct documents (word-granularity
+    substring dedup a la Lee et al. 2022). The oracle recomputes the
+    whole path — positioned grams, doc-frequency filter, islands merge —
+    in SQL."""
+    from .operators.corpus_quality import boilerplate_spans
+
+    return boilerplate_spans(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
+def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: drop every boilerplate-span token and re-join
+    the survivors in original order; gated on the reconstructed clean_text
+    string itself plus kept/removed token counts."""
+    from .operators.corpus_quality import scrub_boilerplate
+
+    return scrub_boilerplate(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrub over a deterministically PII-planted corpus: every
     5th doc gets an email, a URL, and a long digit run appended (the
@@ -1856,6 +1876,82 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN pt USING (doc_id)
 LEFT JOIN pg USING (doc_id)""",
+    # boilerplate: positioned 5-grams -> doc-frequency >= 3 filter ->
+    # gaps-and-islands merge of overlapping/adjacent windows (running max
+    # of span ends) — the same three stages as operators.corpus_quality
+    "boilerplate_spans": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM toks WHERE len(toks) >= 5)
+),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, pos, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 4 AS INT) AS span_end,
+       CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS span_tokens
+FROM islands GROUP BY doc_id, isl""",
+    "scrub_boilerplate": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM toks WHERE len(toks) >= 5)
+),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, pos, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e FROM islands GROUP BY doc_id, isl
+),
+covered AS (SELECT doc_id, CAST(unnest(range(s, e + 1)) AS INT) AS pos FROM spans),
+tok_rows AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM toks)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok_rows t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.clean, '') AS clean_text,
+       CAST(len(d.toks) AS INT) AS n_tokens,
+       CAST(len(d.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed_tokens
+FROM toks d LEFT JOIN agg a USING (doc_id)""",
     "dedup_groups": DUCK_MINHASH + """,
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM mh_pairs
@@ -2357,4 +2453,6 @@ DATA_QUERIES = {
     # registered LAST on purpose: keeps every previously-registered entry's
     # position stable under a driver capture that truncates at 50 entries
     "score_pairs_grouped": q_score_pairs_grouped,
+    "boilerplate_spans": q_boilerplate_spans,
+    "scrub_boilerplate": q_scrub_boilerplate,
 }

@@ -24,13 +24,14 @@ Scale notes (designed for 1000-executor runs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 from .dedup import doc_shingles, word_ngrams
 
-__all__ = ["contamination", "repetition_stats"]
+__all__ = ["contamination", "repetition_stats", "boilerplate_spans",
+           "scrub_boilerplate"]
 
 
 def contamination(train: DataFrame, evalset: DataFrame,
@@ -115,5 +116,106 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             F.round(top_tok / denom, 4).alias("top_token_frac"),
             top_gram.cast("int").alias("top_bigram_count"),
             F.round(F.lit(2) * top_gram / denom, 4).alias("top_bigram_frac"),
+        )
+    )
+
+
+def boilerplate_spans(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5,
+                      min_docs: int = 3) -> DataFrame:
+    """Cross-document repeated-substring detection at word-n-gram
+    granularity — the boilerplate-span pass of a training-data pipeline
+    (headers, footers, license blocks, templated paragraphs), the
+    n-gram-blocked re-expression of suffix-array substring dedup
+    [Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"].
+
+    A token position is BOILERPLATE when some n-gram covering its doc
+    starts there and that n-gram occurs in >= min_docs distinct documents.
+    Overlapping or adjacent marked windows merge into maximal spans
+    (gaps-and-islands over a running max of span ends). Returns one row
+    per span: (id, span_start, span_end, span_tokens), 1-based inclusive
+    token positions.
+
+    Scale shape (100 TB):
+    * the positioned-n-gram explode shuffles (gram, doc) rows once for the
+      document-frequency aggregate — cardinality ~ corpus tokens, same
+      budget as minhash shingling, partial-aggregated map-side;
+    * the hot-gram set (grams in >= min_docs docs) is tiny relative to the
+      corpus, so the probe join back onto positioned grams broadcasts
+      under AQE; only matching positions survive;
+    * span merging is a per-document window — partitioned by doc id,
+      bounded by document length, never global.
+    """
+    toks_grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, n)).alias("pos0", "gram"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    hot = (
+        toks_grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("df_docs"))
+        .where(F.col("df_docs") >= min_docs)
+        .select("gram")
+    )
+    marked = toks_grams.join(hot, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = marked.withColumn(
+        "_new",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"))
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + n - 1).alias("_e"))
+        .select(
+            F.col(id_col),
+            F.col("_s").cast("int").alias("span_start"),
+            F.col("_e").cast("int").alias("span_end"),
+            (F.col("_e") - F.col("_s") + 1).cast("int").alias("span_tokens"),
+        )
+    )
+
+
+def scrub_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5,
+                      min_docs: int = 3) -> DataFrame:
+    """Remove boilerplate_spans from each document's token stream.
+
+    Returns one row per input document:
+      (id, clean_text, n_tokens, n_removed_tokens)
+    clean_text re-joins the surviving tokens with single spaces in original
+    order ('' when everything was boilerplate or the doc had no tokens).
+
+    Scale shape: spans explode to covered (id, pos) keys — output is
+    bounded by the boilerplate mass, not the corpus — and removal is a
+    left-anti equi-join on (id, pos) followed by a per-document aggregate;
+    no window over the full corpus, no UDFs.
+    """
+    spans = boilerplate_spans(df, id_col, text_col, n, min_docs)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"))
+    tok_rows = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos0", "tok"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"])).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    n_tok = token_count(text_col)
+    return (
+        df.select(F.col(id_col), n_tok.alias("_n_tok"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+            F.col("_n_tok").alias("n_tokens"),
+            (F.col("_n_tok") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int").alias("n_removed_tokens"),
         )
     )
