@@ -305,7 +305,7 @@ def q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = q_score_pairs(spark, sf_dir)
     canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint")
     return normalized_similarity(scored, canon).withColumn(
-        "similarity", F.round("similarity", 4)
+        "similarity", gate_round4(F.col("similarity"))
     )
 
 
@@ -703,7 +703,7 @@ WHERE length(text) >= 3 OR p = 1""",
 SELECT s.id_a, s.id_b, s.distance,
        round(CASE WHEN greatest(ca.fp_len, cb.fp_len) = 0 THEN 1.0
              ELSE 1.0 - CAST(s.distance AS DOUBLE) / greatest(ca.fp_len, cb.fp_len)
-             END, 4) AS similarity
+             END + 0.000000001, 4) AS similarity
 FROM scored s
 JOIN canonical2 ca ON ca.conv_id = s.id_a
 JOIN canonical2 cb ON cb.conv_id = s.id_b""",
@@ -861,7 +861,7 @@ LINKAGE_QUERIES = {
 # Training-data pipeline queries over documents / embeddings
 # ---------------------------------------------------------------------------
 
-from .functions.text import lang_id, lang_scores, normalized_fingerprint, quality_columns  # noqa: E402
+from .functions.text import gate_round4, lang_id, lang_scores, normalized_fingerprint, quality_columns  # noqa: E402
 from .operators import analytics, ann, dedup, multimodal, temporal  # noqa: E402
 
 
@@ -1627,7 +1627,7 @@ inter AS (
 ),
 jac AS (
   SELECT i.id_a, i.id_b,
-         round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+         round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) + 0.000000001, 4) AS jaccard
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.id_a
   JOIN sizes sb ON sb.doc_id = i.id_b
@@ -1668,13 +1668,13 @@ TEXT_STATS_SQL = """
 SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
-  round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(length(text), 1), 4) AS alpha_ratio,
-  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 4) AS digit_ratio,
-  round((length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / greatest(length(text), 1), 4) AS space_ratio,
+  round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(length(text), 1) + 0.000000001, 4) AS alpha_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1) + 0.000000001, 4) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / greatest(length(text), 1) + 0.000000001, 4) AS space_ratio,
   round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
         THEN (length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))
              / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
-        ELSE 0.0 END, 4) AS mean_token_len,
+        ELSE 0.0 END + 0.000000001, 4) AS mean_token_len,
   round(
     (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END)
     + 0.25 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(length(text), 1))
@@ -1683,7 +1683,7 @@ SELECT doc_id,
         (CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
          THEN (length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))
               / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
-         ELSE 0.0 END) / 8.0, 1.0), 4) AS quality_score
+         ELSE 0.0 END) / 8.0, 1.0) + 0.000000001, 4) AS quality_score
 FROM documents"""
 
 # scrubbed-text SQL built from the SAME SCRUB_PATTERNS constants as the
@@ -1802,12 +1802,12 @@ candp AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
-       round(i.n_inter / least(sa.n_sh, sb.n_sh), 4) AS containment
+       round(i.n_inter / least(sa.n_sh, sb.n_sh) + 0.000000001, 4) AS containment
 FROM candp c
 JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE round(i.n_inter / least(sa.n_sh, sb.n_sh), 4) >= {CONTAINMENT_THRESHOLD}""",
+WHERE round(i.n_inter / least(sa.n_sh, sb.n_sh) + 0.000000001, 4) >= {CONTAINMENT_THRESHOLD}""",
     "decontaminate": f"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
@@ -1826,7 +1826,7 @@ hits AS (SELECT doc_id, count(*) AS n_hit FROM tr JOIN ev USING (shingle) GROUP 
 SELECT d.doc_id,
        CAST(coalesce(z.n_sh, 0) AS INT) AS n_shingles,
        CAST(coalesce(h.n_hit, 0) AS INT) AS n_contaminated,
-       round(coalesce(h.n_hit, 0) / greatest(coalesce(z.n_sh, 0), 1), 4) AS contamination,
+       round(coalesce(h.n_hit, 0) / greatest(coalesce(z.n_sh, 0), 1) + 0.000000001, 4) AS contamination,
        coalesce(h.n_hit, 0) > 0 AS is_contaminated
 FROM documents d
 LEFT JOIN sizes z USING (doc_id)
@@ -1869,10 +1869,10 @@ SELECT d.doc_id,
        CAST(coalesce(pt.n_tok, 0) AS INT) AS n_tokens,
        CAST(coalesce(pt.n_dist, 0) AS INT) AS n_distinct_tokens,
        round((coalesce(pt.n_tok, 0) - coalesce(pt.n_dist, 0))
-             / greatest(coalesce(pt.n_tok, 0), 1), 4) AS dup_token_frac,
-       round(coalesce(pt.top_tok, 0) / greatest(coalesce(pt.n_tok, 0), 1), 4) AS top_token_frac,
+             / greatest(coalesce(pt.n_tok, 0), 1) + 0.000000001, 4) AS dup_token_frac,
+       round(coalesce(pt.top_tok, 0) / greatest(coalesce(pt.n_tok, 0), 1) + 0.000000001, 4) AS top_token_frac,
        CAST(coalesce(pg.top_gram, 0) AS INT) AS top_bigram_count,
-       round(2 * coalesce(pg.top_gram, 0) / greatest(coalesce(pt.n_tok, 0), 1), 4) AS top_bigram_frac
+       round(2 * coalesce(pg.top_gram, 0) / greatest(coalesce(pt.n_tok, 0), 1) + 0.000000001, 4) AS top_bigram_frac
 FROM documents d
 LEFT JOIN pt USING (doc_id)
 LEFT JOIN pg USING (doc_id)""",

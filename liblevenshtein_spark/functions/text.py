@@ -10,7 +10,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
-    "tokens", "token_count", "portable_hash64", "quality_columns",
+    "tokens", "token_count", "gate_round4", "portable_hash64", "quality_columns",
     "lang_scores", "lang_id", "normalized_fingerprint", "STOPWORDS",
     "SCRUB_PATTERNS", "scrub_columns",
     "BPE_ISH_PATTERN", "bpe_ish_tokens", "bpe_ish_token_count",
@@ -21,6 +21,21 @@ def tokens(col: str) -> Column:
     """Whitespace tokens, empties dropped (consistent with DuckDB
     list_filter(regexp_split_to_array(...), x -> x <> ''))."""
     return F.expr(f"filter(split({col}, '\\\\s+'), x -> x != '')")
+
+
+def gate_round4(col: Column) -> Column:
+    """Ulp-robust 4-decimal rounding for gated float ratios: round(x+1e-9).
+
+    Ratios of small integers (a/n, jaccard, quality scores) land EXACTLY on
+    decimal rounding boundaries (e.g. 133/160 = 0.83125); the nearest double
+    sits a fraction of an ulp to one side and Spark's BigDecimal HALF_UP and
+    DuckDB's multiply-then-nearbyint round() can read OPPOSITE sides of it
+    (observed: quality_score 0.8312 vs 0.8313 at sf0.1). Adding 1e-9 before
+    rounding moves the knife edge to boundary-1e-9, which no rational with a
+    denominator < ~1e8 can hit — every oracle adds the same constant
+    (`+ 0.000000001`), so both engines round identically. The same epsilon
+    must be used anywhere the rounded value feeds a >= threshold filter."""
+    return F.round(col + 1e-9, 4)
 
 
 def token_count(col: str) -> Column:
@@ -77,11 +92,11 @@ def quality_columns(col: str) -> list[Column]:
     return [
         n.cast("int").alias("n_chars"),
         tc.alias("n_tokens"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(space_ratio, 4).alias("space_ratio"),
-        F.round(mean_tok, 4).alias("mean_token_len"),
-        F.round(score, 4).alias("quality_score"),
+        gate_round4(alpha_ratio).alias("alpha_ratio"),
+        gate_round4(digit_ratio).alias("digit_ratio"),
+        gate_round4(space_ratio).alias("space_ratio"),
+        gate_round4(mean_tok).alias("mean_token_len"),
+        gate_round4(score).alias("quality_score"),
     ]
 
 

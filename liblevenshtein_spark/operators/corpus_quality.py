@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, tokens
+from ..functions.text import gate_round4, token_count, tokens
 from .dedup import doc_shingles, word_ngrams
 
 __all__ = ["contamination", "repetition_stats", "boilerplate_spans",
@@ -67,7 +67,7 @@ def contamination(train: DataFrame, evalset: DataFrame,
             id_col,
             n_sh.cast("int").alias("n_shingles"),
             n_hit.cast("int").alias("n_contaminated"),
-            F.round(n_hit / F.greatest(n_sh, F.lit(1)), 4).alias("contamination"),
+            gate_round4(n_hit / F.greatest(n_sh, F.lit(1))).alias("contamination"),
             (n_hit > 0).alias("is_contaminated"),
         )
     )
@@ -112,10 +112,10 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             id_col,
             n_tok.cast("int").alias("n_tokens"),
             n_dist.cast("int").alias("n_distinct_tokens"),
-            F.round((n_tok - n_dist) / denom, 4).alias("dup_token_frac"),
-            F.round(top_tok / denom, 4).alias("top_token_frac"),
+            gate_round4((n_tok - n_dist) / denom).alias("dup_token_frac"),
+            gate_round4(top_tok / denom).alias("top_token_frac"),
             top_gram.cast("int").alias("top_bigram_count"),
-            F.round(F.lit(2) * top_gram / denom, 4).alias("top_bigram_frac"),
+            gate_round4(F.lit(2) * top_gram / denom).alias("top_bigram_frac"),
         )
     )
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_fingerprint, portable_hash64, tokens
+from ..functions.text import gate_round4, normalized_fingerprint, portable_hash64, tokens
 
 __all__ = [
     "exact_dedup", "word_ngrams", "doc_shingles", "jaccard_for_pairs",
@@ -113,7 +113,7 @@ def jaccard_for_pairs(sh: DataFrame, cands: DataFrame, threshold: float,
         inter.join(za, "id_a").join(zb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+            gate_round4(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -156,7 +156,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+            gate_round4(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -365,7 +365,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         inter.join(za, "id_a").join(zb, "id_b")
         .withColumn(
             "containment",
-            F.round(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4),
+            gate_round4(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))),
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
