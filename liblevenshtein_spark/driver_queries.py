@@ -1128,11 +1128,11 @@ cands AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT c.id_a, c.id_b,
-       round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cosine
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) + 0.000000001, 4) AS cosine
 FROM cands c
 JOIN embeddings ea ON ea.vec_id = c.id_a
 JOIN embeddings eb ON eb.vec_id = c.id_b
-WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {threshold}"""
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) + 0.000000001, 4) >= {threshold}"""
 
 
 def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
@@ -1993,17 +1993,17 @@ FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
 WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "embed_cosine_pairs": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 0.000000001, 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35""",
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 0.000000001, 4) >= 0.35""",
     "embed_lsh_ann": _lsh_ann_oracle_sql(threshold=0.35),
     "ann_ivf_topk": """
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) + 0.000000001, 4) AS cosine,
          CAST(row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC, c.vec_id ASC
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) + 0.000000001, 4) DESC, c.vec_id ASC
          ) AS INT) AS rank
   FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10
@@ -2011,10 +2011,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     "ann_cosine_topk": """
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) + 0.000000001, 4) AS cosine,
          CAST(row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC, c.vec_id ASC
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) + 0.000000001, 4) DESC, c.vec_id ASC
          ) AS INT) AS rank
   FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10

@@ -76,7 +76,12 @@ def cosine(a: str | Column, b: str | Column, digits: int | None = 4) -> Column:
     na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     sim = dot / (na * nb)
-    return F.round(sim, digits) if digits is not None else sim
+    # + 1e-9 before rounding: the gate_round4 ulp-robust convention
+    # (functions/text.py) — synthetic embeddings are small rationals, so
+    # cosines can land exactly on 4-decimal boundaries where a 1-ulp
+    # summation-order difference vs DuckDB flips the round (observed: a
+    # threshold-boundary pair flipped in embed_cosine_pairs at sf0.1)
+    return F.round(sim + 1e-9, digits) if digits is not None else sim
 
 
 def brute_force_topk(
