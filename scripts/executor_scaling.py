@@ -171,20 +171,27 @@ def main() -> None:
         "all_bests_canary_healthy": healthy_best,
         "attempts": attempts,
     }
-    with open(os.path.join(REPO, "BENCH_EXECUTOR_SCALING.json"), "w") as f:
+    # cores=8 keeps the original artifact name; other widths (e.g. the
+    # 2-cores/worker run that stays inside the host's linear 2->8-thread
+    # region) get their own file so both studies coexist
+    out = ("BENCH_EXECUTOR_SCALING.json" if args.cores == 8
+           else f"BENCH_EXECUTOR_SCALING_c{args.cores}.json")
+    with open(os.path.join(REPO, out), "w") as f:
         json.dump(result, f, indent=2)
     if not healthy_best:
         print(json.dumps(result))
         return
     row = ("| measured: executor scaling 1→4 (local-cluster[W,{c}]) | {e:.2f} "
            "(tput {t1:,.0f} → {t4:,.0f} pairs/s) | true multi-JVM executors, one host; "
-           "shared-DRAM ceiling ~0.75–0.85 applies | `BENCH_EXECUTOR_SCALING.json` |\n").format(
-        c=args.cores, e=eff, t1=best[1], t4=best[4])
+           "shared-DRAM ceiling ~0.75–0.85 applies | `{out}` |\n").format(
+        c=args.cores, e=eff, t1=best[1], t4=best[4], out=out)
     path = os.path.join(REPO, "BASELINE.md")
     md = open(path).read()
     marker = "| measured: scaling efficiency |"
-    if "executor scaling 1→4" in md:
-        md = re.sub(r"\| measured: executor scaling[^\n]*\n", row, md)
+    same_cores = f"executor scaling 1→4 (local-cluster[W,{args.cores}])"
+    if same_cores in md:
+        md = re.sub(r"\| measured: executor scaling 1→4 \(local-cluster\[W,"
+                    + str(args.cores) + r"\]\)[^\n]*\n", row, md)
         open(path, "w").write(md)
     elif marker in md:
         lines = md.splitlines(keepends=True)
