@@ -51,6 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r02 snapshot missed — followed by the 49 already-green ones.
 _PRIORITY = [
     "event_sessions",
+    "cluster_split",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

@@ -828,6 +828,39 @@ FROM conf""",
 # the gate is exact equality with full-history clustering.
 LINKAGE_ORACLES["clusters_incremental"] = LINKAGE_ORACLES["clusters"]
 
+# Leakage-safe split: extend the clusters oracle's CTE chain with the same
+# portable-md5 bucket keyed off cluster_id (thresholds derived from
+# SPLIT_FRACTIONS so both sides compare identical integers).
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_T1 = int(round(SPLIT_FRACTIONS["train"] * 10000))
+_T2 = _T1 + int(round(SPLIT_FRACTIONS["val"] * 10000))
+LINKAGE_ORACLES["cluster_split"] = LINKAGE_ORACLES["clusters"].replace(
+    "SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node",
+    f""", assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+), bkt AS (
+  SELECT conv_id, cluster_id,
+         CAST(('0x' || substring(md5('split' || '|' || cluster_id), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM assign
+)
+SELECT conv_id, cluster_id,
+       CASE WHEN b < {_T1} THEN 'train'
+            WHEN b < {_T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM bkt""",
+)
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split over the linkage clusters: the
+    split bucket is hashed from cluster_id (sampling.split_assign), so
+    near-duplicate conversations — members of the same entity cluster —
+    can never straddle the train/eval boundary. The decontamination guard
+    a 10^12-turn corpus needs between linkage and training."""
+    from .operators.sampling import split_assign
+
+    return split_assign(q_clusters(spark, sf_dir), SPLIT_FRACTIONS)
+
+
 LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
@@ -843,6 +876,7 @@ LINKAGE_QUERIES = {
     "matches": q_matches,
     "clusters": q_clusters,
     "clusters_incremental": q_clusters_incremental,
+    "cluster_split": q_cluster_split,
     "cluster_stats": q_cluster_stats,
     "cluster_canonical": q_cluster_canonical,
     "topk_candidates": q_topk,

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash64, token_count
 
-__all__ = ["hash_bucket", "sample_corpus", "mix_corpus", "shard_assign"]
+__all__ = ["hash_bucket", "sample_corpus", "mix_corpus", "shard_assign",
+           "split_assign"]
 
 BUCKETS = 10_000
 
@@ -73,3 +74,43 @@ def shard_assign(df: DataFrame, n_shards: int, key_col: str = "doc_id",
             F.sum("_tc").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def split_assign(df: DataFrame, fractions: dict[str, float],
+                 group_col: str = "cluster_id", salt: str = "split",
+                 buckets: int = BUCKETS) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split bucket is hashed
+    from the GROUP id (the entity cluster / near-dup group), not the row
+    id, so every member of a group lands in the same split. This is the
+    contamination guard a training corpus needs: after linkage or near-dup
+    clustering, a vanilla per-document split would put a document in train
+    and its near-duplicate in eval; keying the hash off `group_col` makes
+    that impossible by construction.
+
+    `fractions` maps split name -> probability in declaration order and
+    must sum to 1; thresholds are integer bucket counts computed
+    driver-side (same convention as sample_corpus), so Spark and a SQL
+    oracle compare identical integers. Pure scan-time expression — no
+    shuffle, no UDF; at 100 TB this rides the scan that reads the cluster
+    assignment table, and the assignment is stable across reruns, cluster
+    sizes, and partition layouts.
+
+    Reference analogue: none — the reference (README.md:13-24) stops at
+    transducer matching; this is the training-pipeline consumer of its
+    clusters.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    names = list(fractions)
+    bucket = hash_bucket(group_col, salt, buckets)
+    expr = None
+    acc = 0
+    for name in names[:-1]:
+        acc += int(round(fractions[name] * buckets))
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return df.withColumn("split", split)

@@ -4,12 +4,14 @@ zero-weight drop, and shard rollup conservation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from liblevenshtein_spark.operators.sampling import (
     mix_corpus,
     sample_corpus,
     shard_assign,
+    split_assign,
 )
 
 
@@ -72,3 +74,43 @@ def test_shard_assign_conserves_totals(spark):
     assert sum(r.n_tokens for r in shards) == 300 * 4   # every doc has 4 tokens
     # balanced in expectation: no shard should hold more than half the corpus
     assert max(r.n_docs for r in shards) < 150
+
+
+def test_split_assign_no_group_straddles_splits(spark):
+    # 120 entities in 40 clusters of 3: every cluster must land whole
+    rows = [(f"e{i:04d}", f"c{i % 40:03d}") for i in range(120)]
+    df = spark.createDataFrame(rows, "entity_id string, cluster_id string")
+    out = split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("n"))
+                   .collect())
+    assert all(r.n == 1 for r in per_cluster)
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert out.count() == 120
+
+
+def test_split_assign_fractions_roughly_hold(spark):
+    rows = [(f"e{i}", f"c{i}") for i in range(2000)]   # singleton clusters
+    df = spark.createDataFrame(rows, "entity_id string, cluster_id string")
+    out = split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert 1480 <= per["train"] <= 1720       # binomial(2000, .8) +- 5 sigma
+    assert 100 <= per["val"] <= 320
+    assert 100 <= per["test"] <= 320
+
+
+def test_split_assign_deterministic_across_layouts(spark):
+    rows = [(f"e{i}", f"c{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "entity_id string, cluster_id string")
+    a = {(r.entity_id, r.split) for r in
+         split_assign(df.repartition(1), {"train": 0.5, "val": 0.5}).collect()}
+    b = {(r.entity_id, r.split) for r in
+         split_assign(df.repartition(16), {"train": 0.5, "val": 0.5}).collect()}
+    assert a == b
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    df = spark.createDataFrame([("e", "c")], "entity_id string, cluster_id string")
+    with pytest.raises(ValueError):
+        split_assign(df, {"train": 0.8, "val": 0.1})
