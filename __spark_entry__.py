@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "event_sessions",
     "cluster_split",
+    "eval_bcubed",
+    "eval_rand",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

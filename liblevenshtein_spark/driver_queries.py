@@ -28,7 +28,7 @@ from .functions.blocking import deletion_neighborhood
 from .operators.canonicalize import canonicalize
 from .operators.topk import topk_candidates
 from .operators.clustering import assign_clusters, fold_clusters
-from .operators.metrics import pairwise_confusion
+from .operators.metrics import bcubed, pairwise_confusion, rand_stats
 from .operators.scoring import distance_udf
 from .operators.transduce import compile_dictionary, transduce, transduce_per_query
 from .session import ship_package
@@ -659,6 +659,48 @@ def q_eval_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_confusion(truth, preds)
 
 
+def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (operators.metrics.bcubed) of the
+    linkage clusters against GOLD entity identity. The synthetic corpus
+    derives each conversation from exactly one base document ('c'/'d'/'e'
+    prefix + doc_id), so the gold entity is substring(conv_id, 2) — ground
+    truth the pipeline never sees. Clustering here runs at the STRICTER
+    max_distance=1 threshold: the 2-edit 'e' variants fall out of their
+    gold group unless bridged by a 'd' sibling (doc_id % 21), so recall is
+    fractional by construction and the averaging math is exercised on both
+    engines, not just the degenerate all-1.0 point."""
+    ship_package(spark)
+    matches1 = (
+        q_score_pairs(spark, sf_dir)
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b")
+    )
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    pred = assign_clusters(entities, matches1)
+    rec = pred.withColumn("gold_id", F.expr("substring(conv_id, 2)"))
+    return bcubed(rec)
+
+
+def q_eval_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(Adjusted) Rand index + exact pair-level confusion counts
+    (operators.metrics.rand_stats) of the distance<=1 clusters against
+    gold identity — same strict threshold as eval_bcubed so the pair
+    counts are non-degenerate (fp=0 but fn>0 from the dropped 2-edit
+    variants). The four pair counts are exact bigints derived from
+    C(n,2) sums over the contingency table, so the gate compares
+    integers; rand_index/adjusted_rand are the only float emissions."""
+    ship_package(spark)
+    matches1 = (
+        q_score_pairs(spark, sf_dir)
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b")
+    )
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    pred = assign_clusters(entities, matches1)
+    rec = pred.withColumn("gold_id", F.expr("substring(conv_id, 2)"))
+    return rand_stats(rec)
+
+
 def _sig_block_keys(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Sig-prefix deletion blocking (the scheme of q_block_keys) as a
     streaming block_fn, so streaming and batch share one DuckDB oracle."""
@@ -828,6 +870,99 @@ FROM conf""",
 # the gate is exact equality with full-history clustering.
 LINKAGE_ORACLES["clusters_incremental"] = LINKAGE_ORACLES["clusters"]
 
+# Shared oracle scaffold for the extrinsic clustering metrics: CC over the
+# STRICT (distance<=1) match set, gold entity = substring(conv_id, 2), then
+# the (cluster, gold) contingency table `cg` both metrics decompose over.
+_GOLD_CONTINGENCY = DUCK_TRANSCRIPTS + """,
+matches1 AS (SELECT id_a, id_b FROM scored WHERE distance <= 1),
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches1
+  UNION ALL SELECT id_b, id_a FROM matches1
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+),
+rec AS (
+  SELECT conv_id, cluster_id, substring(conv_id, 2) AS gold_id FROM assign
+),
+cg AS (
+  SELECT cluster_id, gold_id, count(*) AS n_cg
+  FROM rec GROUP BY cluster_id, gold_id
+)"""
+
+# B-cubed vs gold identity: same n_cg**2/n_c contingency decomposition as
+# operators.metrics.bcubed, ulp-shifted rounding.
+LINKAGE_ORACLES["eval_bcubed"] = _GOLD_CONTINGENCY + """,
+cs AS (SELECT cluster_id, sum(n_cg) AS n_c FROM cg GROUP BY cluster_id),
+gs AS (SELECT gold_id, sum(n_cg) AS n_g FROM cg GROUP BY gold_id),
+pr AS (
+  SELECT CAST(sum(n_cg) AS BIGINT) AS n_entities,
+         sum(CAST(n_cg AS DOUBLE) * n_cg / n_c) AS sp,
+         sum(CAST(n_cg AS DOUBLE) * n_cg / n_g) AS sr
+  FROM cg JOIN cs USING (cluster_id) JOIN gs USING (gold_id)
+),
+fin AS (
+  SELECT n_entities, sp / n_entities AS p, sr / n_entities AS r FROM pr
+)
+SELECT n_entities,
+       round(p + 0.000000001, 4) AS bcubed_precision,
+       round(r + 0.000000001, 4) AS bcubed_recall,
+       round(CASE WHEN p + r = 0 THEN 0
+                  ELSE 2 * p * r / (p + r) END + 0.000000001, 4) AS bcubed_f1
+FROM fin"""
+
+# Rand / adjusted-Rand vs gold identity: C(n,2) sums over the same
+# contingency table; integer pair counts, float ratios in the exact
+# expression order of operators.metrics.rand_stats.
+LINKAGE_ORACLES["eval_rand"] = _GOLD_CONTINGENCY + """,
+tp_row AS (
+  SELECT CAST(sum(n_cg) AS BIGINT) AS n,
+         CAST(sum(n_cg * (n_cg - 1) // 2) AS BIGINT) AS tp
+  FROM cg
+),
+c_row AS (
+  SELECT CAST(sum(n_c * (n_c - 1) // 2) AS BIGINT) AS sum_c
+  FROM (SELECT cluster_id, sum(n_cg) AS n_c FROM cg GROUP BY cluster_id)
+),
+g_row AS (
+  SELECT CAST(sum(n_g * (n_g - 1) // 2) AS BIGINT) AS sum_g
+  FROM (SELECT gold_id, sum(n_cg) AS n_g FROM cg GROUP BY gold_id)
+),
+row0 AS (
+  SELECT n, tp, sum_c, sum_g, n * (n - 1) // 2 AS total
+  FROM tp_row, c_row, g_row
+),
+fin AS (
+  SELECT n, tp,
+         sum_c - tp AS fp,
+         sum_g - tp AS fn,
+         total - sum_c - sum_g + tp AS tn,
+         CASE WHEN total = 0 THEN 1.0
+              ELSE CAST(tp + (total - sum_c - sum_g + tp) AS DOUBLE) / total
+         END AS ri,
+         CAST(sum_c AS DOUBLE) * sum_g / total AS expected,
+         (sum_c + sum_g) / 2.0 AS max_index
+  FROM row0
+)
+SELECT n AS n_entities,
+       tp AS pair_tp,
+       CAST(fp AS BIGINT) AS pair_fp,
+       CAST(fn AS BIGINT) AS pair_fn,
+       CAST(tn AS BIGINT) AS pair_tn,
+       round(ri + 0.000000001, 4) AS rand_index,
+       round(CASE WHEN max_index - expected = 0 THEN 1.0
+                  ELSE (tp - expected) / (max_index - expected)
+             END + 0.000000001, 4) AS adjusted_rand
+FROM fin"""
+
 # Leakage-safe split: extend the clusters oracle's CTE chain with the same
 # portable-md5 bucket keyed off cluster_id (thresholds derived from
 # SPLIT_FRACTIONS so both sides compare identical integers).
@@ -888,6 +1023,8 @@ LINKAGE_QUERIES = {
     "spell_suggest": q_spell_suggest,
     "stream_linkage_matches": q_stream_linkage_matches,
     "eval_pairwise_f1": q_eval_pairwise_f1,
+    "eval_bcubed": q_eval_bcubed,
+    "eval_rand": q_eval_rand,
 }
 
 

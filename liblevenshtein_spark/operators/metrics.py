@@ -5,12 +5,12 @@ rows. All native aggregations."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
-    "pairwise_confusion",
+    "pairwise_confusion", "bcubed", "rand_stats",
 ]
 
 
@@ -43,6 +43,110 @@ def pairwise_confusion(truth: DataFrame, preds: DataFrame) -> DataFrame:
         ratio(tp, tp + fp, "precision_1e4"),
         ratio(tp, tp + fn, "recall_1e4"),
         ratio(2 * tp, 2 * tp + fp + fn, "f1_1e4"),
+    )
+
+
+def bcubed(assignments: DataFrame, pred_col: str = "cluster_id",
+           gold_col: str = "gold_id") -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998) —
+    the standard entity-resolution complement to pairwise F1: per-record
+    precision |C(r) ∩ G(r)| / |C(r)| and recall |C(r) ∩ G(r)| / |G(r)|,
+    averaged over records. Unlike pairwise F1 it is not dominated by the
+    largest clusters, so over-merge and under-merge show up even when big
+    clusters are right.
+
+    `assignments` carries one row per record with its predicted cluster id
+    (`pred_col`) and gold entity id (`gold_col`). Returns a single row
+    (n_entities, bcubed_precision, bcubed_recall, bcubed_f1).
+
+    Scale shape: the identity Σ_r |C(r)∩G(r)|/|C(r)| = Σ_{c,g} n_cg²/n_c
+    turns the per-record definition into aggregates over the contingency
+    table — one groupBy on the record table, then two groupBys over the
+    (cluster, gold) table, which is no larger than the record count and in
+    practice tiny. No joins back to records, no per-record windows; sizes
+    are cast to double before squaring so a 10^9-member cluster cannot
+    overflow ANSI bigint multiplication."""
+    cg = assignments.groupBy(pred_col, gold_col).agg(F.count("*").alias("n_cg"))
+    c_sizes = cg.groupBy(pred_col).agg(F.sum("n_cg").alias("n_c"))
+    g_sizes = cg.groupBy(gold_col).agg(F.sum("n_cg").alias("n_g"))
+    sq = F.col("n_cg").cast("double") * F.col("n_cg")
+    agg = (
+        cg.join(c_sizes, pred_col).join(g_sizes, gold_col)
+        .agg(
+            F.sum("n_cg").cast("bigint").alias("n_entities"),
+            F.sum(sq / F.col("n_c")).alias("_sp"),
+            F.sum(sq / F.col("n_g")).alias("_sr"),
+        )
+    )
+    from ..functions.text import gate_round4
+
+    p = F.col("_sp") / F.col("n_entities")
+    r = F.col("_sr") / F.col("n_entities")
+    f1 = F.when(p + r == 0, F.lit(0.0)).otherwise(2 * p * r / (p + r))
+    return agg.select(
+        "n_entities",
+        gate_round4(p).alias("bcubed_precision"),
+        gate_round4(r).alias("bcubed_recall"),
+        gate_round4(f1).alias("bcubed_f1"),
+    )
+
+
+def rand_stats(assignments: DataFrame, pred_col: str = "cluster_id",
+               gold_col: str = "gold_id") -> DataFrame:
+    """(Adjusted) Rand index of a predicted clustering against gold
+    identity, with the EXACT pair-level confusion counts it derives from:
+    pair_tp (same cluster, same gold), pair_fp (same cluster, different
+    gold), pair_fn (different cluster, same gold), pair_tn. Hubert &
+    Arabie's chance-corrected ARI; the pair counts are exact bigints, so
+    the gate compares integers, and rand_index/adjusted_rand are the only
+    float emissions (computed from those integers in one fixed expression
+    order on both engines).
+
+    Same contingency-table decomposition as `bcubed` — pair counts follow
+    from C(n,2) sums over n_cg / cluster sizes / gold sizes, never from
+    materializing pairs: one record groupBy then three one-row aggregates.
+    C(n,2) uses integer DIV so counts stay exact; products that can exceed
+    bigint at extreme scale (sum_c * sum_g) are computed in double only
+    inside the chance-correction ratio."""
+    cg = assignments.groupBy(pred_col, gold_col).agg(F.count("*").alias("n_cg"))
+    cg = cg.localCheckpoint(eager=False)
+
+    def comb2(col: str) -> Column:
+        return F.expr(f"{col} * ({col} - 1L) DIV 2")
+
+    tp_row = cg.agg(
+        F.sum("n_cg").cast("bigint").alias("n"),
+        F.sum(comb2("n_cg")).cast("bigint").alias("tp"),
+    )
+    c_row = (cg.groupBy(pred_col).agg(F.sum("n_cg").alias("n_c"))
+             .agg(F.sum(comb2("n_c")).cast("bigint").alias("sum_c")))
+    g_row = (cg.groupBy(gold_col).agg(F.sum("n_cg").alias("n_g"))
+             .agg(F.sum(comb2("n_g")).cast("bigint").alias("sum_g")))
+    row = tp_row.crossJoin(c_row).crossJoin(g_row)  # three 1-row aggregates
+
+    from ..functions.text import gate_round4
+
+    n, tp = F.col("n"), F.col("tp")
+    total = F.expr("n * (n - 1L) DIV 2")
+    # ANSI mode: `/` throws on a zero divisor even inside an untaken CASE
+    # branch, so the zero-pair degenerate case needs a safe denominator.
+    safe_total = F.when(total == 0, F.lit(1)).otherwise(total)
+    fp = F.col("sum_c") - tp
+    fn = F.col("sum_g") - tp
+    tn = total - F.col("sum_c") - F.col("sum_g") + tp
+    ri = F.when(total == 0, F.lit(1.0)).otherwise((tp + tn) / safe_total)
+    expected = F.col("sum_c").cast("double") * F.col("sum_g") / safe_total
+    max_index = (F.col("sum_c") + F.col("sum_g")) / F.lit(2.0)
+    ari = F.when(max_index - expected == 0, F.lit(1.0)).otherwise(
+        (tp - expected) / (max_index - expected))
+    return row.select(
+        n.alias("n_entities"),
+        tp.alias("pair_tp"),
+        fp.cast("bigint").alias("pair_fp"),
+        fn.cast("bigint").alias("pair_fn"),
+        tn.cast("bigint").alias("pair_tn"),
+        gate_round4(ri).alias("rand_index"),
+        gate_round4(ari).alias("adjusted_rand"),
     )
 
 

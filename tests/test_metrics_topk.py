@@ -4,7 +4,8 @@ per-query top-k ranking."""
 from __future__ import annotations
 
 from liblevenshtein_spark.operators.metrics import (
-    block_stats, hot_keys, reduction_ratio, score_distribution, summarize,
+    bcubed, block_stats, hot_keys, rand_stats, reduction_ratio,
+    score_distribution, summarize,
 )
 from liblevenshtein_spark.operators.topk import topk_candidates
 
@@ -30,6 +31,69 @@ def test_score_distribution_and_reduction(spark):
     assert reduction_ratio(10, 45) == 0.0
     assert reduction_ratio(10, 0) == 1.0
     assert reduction_ratio(0, 0) == 1.0
+
+
+def test_bcubed_hand_computed(spark):
+    # gold G1={a,b,c,d} G2={e,f} G3={g}; pred C1={a,b,e} C2={c,d,f} C3={g}
+    # P = (4*(2/3) + 2*(1/3) + 1)/7 = 13/21; R = (4+2)*(1/2 resp.)+1 = 4/7
+    rows = [("a", "C1", "G1"), ("b", "C1", "G1"), ("e", "C1", "G2"),
+            ("c", "C2", "G1"), ("d", "C2", "G1"), ("f", "C2", "G2"),
+            ("g", "C3", "G3")]
+    df = spark.createDataFrame(rows, "rec string, cluster_id string, gold_id string")
+    r = bcubed(df).collect()[0]
+    assert r.n_entities == 7
+    assert r.bcubed_precision == round(13 / 21 + 1e-9, 4)       # 0.6190
+    assert r.bcubed_recall == round(4 / 7 + 1e-9, 4)            # 0.5714
+    p, rr = 13 / 21, 4 / 7
+    assert r.bcubed_f1 == round(2 * p * rr / (p + rr) + 1e-9, 4)  # 0.5943
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [("a", "C1", "G1"), ("b", "C1", "G1"), ("c", "C2", "G2")],
+        "rec string, cluster_id string, gold_id string")
+    r = bcubed(perfect).collect()[0]
+    assert (r.bcubed_precision, r.bcubed_recall, r.bcubed_f1) == (1.0, 1.0, 1.0)
+    # all-singleton prediction against one 4-member gold group: P=1, R=1/4
+    shattered = spark.createDataFrame(
+        [(f"r{i}", f"C{i}", "G1") for i in range(4)],
+        "rec string, cluster_id string, gold_id string")
+    r = bcubed(shattered).collect()[0]
+    assert r.bcubed_precision == 1.0
+    assert r.bcubed_recall == 0.25
+    assert r.bcubed_f1 == 0.4
+
+
+def test_rand_stats_hand_computed(spark):
+    # Hubert & Arabie's worked-style example: gold G1={a,b,c,d} G2={e,f}
+    # G3={g}; pred C1={a,b,e} C2={c,d,f} C3={g}. Contingency n_cg:
+    # (C1,G1)=2 (C1,G2)=1 (C2,G1)=2 (C2,G2)=1 (C3,G3)=1.
+    # tp = C(2,2)+C(2,2) = 2; sum_c = 3+3+0 = 6; sum_g = 6+1+0 = 7;
+    # total = C(7,2) = 21; fp = 4, fn = 5, tn = 21-6-7+2 = 10.
+    rows = [("a", "C1", "G1"), ("b", "C1", "G1"), ("e", "C1", "G2"),
+            ("c", "C2", "G1"), ("d", "C2", "G1"), ("f", "C2", "G2"),
+            ("g", "C3", "G3")]
+    df = spark.createDataFrame(rows, "rec string, cluster_id string, gold_id string")
+    r = rand_stats(df).collect()[0]
+    assert (r.n_entities, r.pair_tp, r.pair_fp, r.pair_fn, r.pair_tn) == (7, 2, 4, 5, 10)
+    assert r.rand_index == round(12 / 21 + 1e-9, 4)
+    expected = 6 * 7 / 21
+    ari = (2 - expected) / ((6 + 7) / 2 - expected)
+    assert r.adjusted_rand == round(ari + 1e-9, 4)
+
+
+def test_rand_stats_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [("a", "C1", "G1"), ("b", "C1", "G1"), ("c", "C2", "G2")],
+        "rec string, cluster_id string, gold_id string")
+    r = rand_stats(perfect).collect()[0]
+    assert (r.pair_fp, r.pair_fn) == (0, 0)
+    assert (r.rand_index, r.adjusted_rand) == (1.0, 1.0)
+    # single record: zero pairs -> total=0 branch, both indices defined as 1
+    single = spark.createDataFrame(
+        [("a", "C1", "G1")], "rec string, cluster_id string, gold_id string")
+    r = rand_stats(single).collect()[0]
+    assert (r.rand_index, r.adjusted_rand) == (1.0, 1.0)
 
 
 def test_summarize(spark):
