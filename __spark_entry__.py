@@ -54,6 +54,8 @@ _PRIORITY = [
     "cluster_split",
     "eval_bcubed",
     "eval_rand",
+    "eval_blocking_recall",
+    "clusters_multilevel",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

@@ -681,6 +681,80 @@ def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed(rec)
 
 
+def q_eval_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage quality audit — the two numbers every blocking
+    scheme is judged by in the ER literature: PAIRS COMPLETENESS (the
+    fraction of true distance<=2 pairs that survive candidate
+    generation; a blocking recall loss here is invisible to scoring) and
+    REDUCTION RATIO (1 - candidates / C(n,2), how much of the quadratic
+    pair space blocking prunes). eval_pairwise_f1 measures the pipeline
+    end-to-end; this isolates the blocking stage so a recall regression
+    can be attributed to keys vs kernel.
+
+    Truth is the same length-banded brute-force scan as eval_pairwise_f1
+    (equi-join on exploded target length, no cross join); everything
+    else is counts — the candidate set is never joined to texts."""
+    ship_package(spark)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
+    left = canon.select(
+        F.col("conv_id").alias("id_a"),
+        F.col("fingerprint").alias("fp_a"),
+        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
+    )
+    right = canon.select(
+        F.col("conv_id").alias("id_b"),
+        F.col("fingerprint").alias("fp_b"),
+        F.col("fp_len").alias("_lk"),
+    )
+    dist = distance_udf(2, "standard")
+    truth = (
+        left.join(right, "_lk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
+        .filter(F.col("distance") <= 2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = q_candidate_pairs(spark, sf_dir)
+    caught = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    from .functions.text import gate_round4
+
+    agg = (
+        canon.agg(F.count("*").cast("bigint").alias("n_entities"))
+        .crossJoin(truth.agg(F.count("*").cast("bigint").alias("n_true")))
+        .crossJoin(cand.agg(F.count("*").cast("bigint").alias("n_cand")))
+        .crossJoin(caught.agg(F.count("*").cast("bigint").alias("n_caught")))
+    )
+    total = F.expr("n_entities * (n_entities - 1L) DIV 2")
+    pc = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        F.col("n_caught") / F.col("n_true"))
+    rr = F.lit(1.0) - F.col("n_cand") / total
+    return agg.select(
+        "n_entities", "n_true", "n_cand", "n_caught",
+        gate_round4(pc).alias("pairs_completeness"),
+        gate_round4(rr).alias("reduction_ratio"),
+    )
+
+
+def q_clusters_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested entity resolution at two strictness levels in one output:
+    cluster_d1 (edges at distance<=1, near-certain merges) and cluster_d2
+    (the pipeline's distance<=2 clusters). d1 clusters nest inside d2
+    components by construction, so downstream consumers can pick a
+    precision/recall point per use (dedup wants d1, recall-oriented
+    linkage wants d2) without re-running the pipeline. Both levels are CC
+    over the SAME scored pair set — the kernel pass is shared and the
+    extra level costs only a second CC over an even sparser edge set."""
+    ship_package(spark)
+    scored = q_score_pairs(spark, sf_dir)
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    strict = assign_clusters(
+        entities, scored.filter(F.col("distance") <= 1).select("id_a", "id_b")
+    ).withColumnRenamed("cluster_id", "cluster_d1")
+    loose = q_clusters(spark, sf_dir).withColumnRenamed("cluster_id", "cluster_d2")
+    return strict.join(loose, "conv_id")
+
+
 def q_eval_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(Adjusted) Rand index + exact pair-level confusion counts
     (operators.metrics.rand_stats) of the distance<=1 clusters against
@@ -919,6 +993,67 @@ SELECT n_entities,
                   ELSE 2 * p * r / (p + r) END + 0.000000001, 4) AS bcubed_f1
 FROM fin"""
 
+# Blocking-stage audit: same brute-force truth CTE as eval_pairwise_f1,
+# counts over cand_pairs; float ratios via the gate_round4 convention.
+LINKAGE_ORACLES["eval_blocking_recall"] = DUCK_TRANSCRIPTS + """
+, truth AS (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM canonical2 ca JOIN canonical2 cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+),
+agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM canonical2) AS n_entities,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand_pairs) AS n_cand,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM cand_pairs c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ) AS n_caught
+)
+SELECT n_entities, n_true, n_cand, n_caught,
+       round(CASE WHEN n_true = 0 THEN 1.0
+                  ELSE CAST(n_caught AS DOUBLE) / n_true
+             END + 0.000000001, 4) AS pairs_completeness,
+       round(1.0 - CAST(n_cand AS DOUBLE) / (n_entities * (n_entities - 1) // 2)
+             + 0.000000001, 4) AS reduction_ratio
+FROM agg"""
+
+# Two-level nested clustering: two recursive reach CTEs over the strict
+# (distance<=1) and pipeline (distance<=2) edge sets.
+LINKAGE_ORACLES["clusters_multilevel"] = DUCK_TRANSCRIPTS + """,
+matches1 AS (SELECT id_a, id_b FROM scored WHERE distance <= 1),
+edges1 AS (
+  SELECT id_a AS src, id_b AS dst FROM matches1
+  UNION ALL SELECT id_b, id_a FROM matches1
+),
+reach1 AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges1 e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign1 AS (
+  SELECT node AS conv_id, min(root) AS cluster_d1 FROM reach1 GROUP BY node
+),
+edges2 AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach2 AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges2 e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign2 AS (
+  SELECT node AS conv_id, min(root) AS cluster_d2 FROM reach2 GROUP BY node
+)
+SELECT a1.conv_id, a1.cluster_d1, a2.cluster_d2
+FROM assign1 a1 JOIN assign2 a2 ON a1.conv_id = a2.conv_id"""
+
 # Rand / adjusted-Rand vs gold identity: C(n,2) sums over the same
 # contingency table; integer pair counts, float ratios in the exact
 # expression order of operators.metrics.rand_stats.
@@ -1025,6 +1160,8 @@ LINKAGE_QUERIES = {
     "eval_pairwise_f1": q_eval_pairwise_f1,
     "eval_bcubed": q_eval_bcubed,
     "eval_rand": q_eval_rand,
+    "eval_blocking_recall": q_eval_blocking_recall,
+    "clusters_multilevel": q_clusters_multilevel,
 }
 
 
