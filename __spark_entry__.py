@@ -56,6 +56,7 @@ _PRIORITY = [
     "eval_rand",
     "eval_blocking_recall",
     "clusters_multilevel",
+    "similarity_jw",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

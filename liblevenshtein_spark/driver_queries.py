@@ -553,6 +553,36 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler re-ranking of the transduce candidate set — record
+    linkage's standard short-string comparator as a SECOND scoring family
+    beside edit distance: candidates are generated by the n<=2 Levenshtein
+    automaton (cheap, banded), then re-ranked by JW similarity (prefix-
+    weighted, favors typo-at-the-end matches), top-3 per query. At scale
+    the JW kernel only ever sees the blocked candidate stream, never the
+    quadratic pair space. Ranking is over the ROUNDED similarity so
+    cross-engine float ulps can't reorder ties (gate_round4 convention)."""
+    from pyspark.sql import Window
+
+    from .operators.scoring import jaro_winkler_udf
+
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    out = transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+    from .functions.text import gate_round4
+
+    jw = jaro_winkler_udf()
+    scored = out.select(
+        "query_id", "candidate", gate_round4(jw("query_term", "candidate")).alias("jw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("jw").desc(), F.col("candidate").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def q_scored_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 checkpoint ledger through the hard gate: score the candidate pairs
     in bucketed waves with an INJECTED CRASH after wave 2, then resume — the
@@ -917,6 +947,17 @@ SELECT query_id, candidate, distance, rank FROM (
   FROM queries q CROSS JOIN dict d
   WHERE levenshtein(q.query_term, d.term) <= 2
 ) WHERE rank <= 3""",
+    "similarity_jw": DUCK_WORDS + """
+SELECT query_id, candidate, jw, rank FROM (
+  SELECT q.query_id, d.term AS candidate,
+         round(jaro_winkler_similarity(q.query_term, d.term) + 0.000000001, 4) AS jw,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(jaro_winkler_similarity(q.query_term, d.term) + 0.000000001, 4) DESC,
+                    d.term ASC) AS INT) AS rank
+  FROM queries q CROSS JOIN dict d
+  WHERE levenshtein(q.query_term, d.term) <= 2
+) WHERE rank <= 3""",
     "stream_linkage_matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
     "eval_pairwise_f1": DUCK_TRANSCRIPTS + """
 , truth AS (
@@ -1156,6 +1197,7 @@ LINKAGE_QUERIES = {
     "transduce_merge_split": q_transduce_merge_split,
     "dictionary_roundtrip": q_dictionary_roundtrip,
     "spell_suggest": q_spell_suggest,
+    "similarity_jw": q_similarity_jw,
     "stream_linkage_matches": q_stream_linkage_matches,
     "eval_pairwise_f1": q_eval_pairwise_f1,
     "eval_bcubed": q_eval_bcubed,

@@ -18,9 +18,9 @@ from pyspark.sql.functions import pandas_udf
 from ..config import LinkConfig
 from ..kernels.banded import batch_banded_distance
 
-__all__ = ["distance_udf", "attach_texts", "score_pairs", "score_attached",
-           "score_pairs_pandas", "score_pairs_grouped", "match_filter",
-           "normalized_similarity"]
+__all__ = ["distance_udf", "jaro_winkler_udf", "attach_texts", "score_pairs",
+           "score_attached", "score_pairs_pandas", "score_pairs_grouped",
+           "match_filter", "normalized_similarity"]
 
 
 def distance_udf(n: int, algorithm: str):
@@ -39,6 +39,25 @@ def distance_udf(n: int, algorithm: str):
         return pd.Series(out)
 
     return dist.asNondeterministic()
+
+
+def jaro_winkler_udf():
+    """Arrow-batched pandas UDF for Jaro-Winkler similarity
+    (kernels.jaro.batch_jaro_winkler) — the standard SHORT-string
+    comparator for name/word/key linkage. Keep long fingerprints on the
+    banded Levenshtein path: JW's match window is inherently ±L/2, so its
+    cost is O(la·lb) per pair with no banded shortcut. Marked
+    nondeterministic for the same anti-duplication reason as
+    `distance_udf`."""
+
+    @pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..kernels.jaro import batch_jaro_winkler
+
+        out = batch_jaro_winkler(a.fillna("").tolist(), b.fillna("").tolist())
+        return pd.Series(out)
+
+    return jw.asNondeterministic()
 
 
 def attach_texts(
