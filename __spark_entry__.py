@@ -57,6 +57,7 @@ _PRIORITY = [
     "eval_blocking_recall",
     "clusters_multilevel",
     "similarity_jw",
+    "ledger_lineage",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

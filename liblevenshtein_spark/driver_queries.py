@@ -610,6 +610,34 @@ def q_scored_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("id_a", "id_b", "distance")
 
 
+def q_ledger_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9's AUDIT SIDE through the hard gate: the per-bucket lineage table
+    itself — (bucket, n_pairs scored, n_matches, wave), including 0-rows
+    for buckets with no feasible pairs — recomputed independently by the
+    SQL oracle. Buckets use the portable md5 hash (`bucketed(...,
+    portable=True)`) precisely so an external engine CAN audit the ledger:
+    at 10^12-turn scale this is the query an operator runs against the
+    Iceberg audit side-table to answer 'which partitions are done, and do
+    their counts reconcile with an independent recount'."""
+    import tempfile
+
+    from .operators.ledger import completed_buckets, run_scored_waves
+
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2, checkpoint_buckets=16)
+    pairs = q_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    canon = _canonical(spark, sf_dir).localCheckpoint(eager=True)
+    out = tempfile.mkdtemp(prefix="levlineage_") + "/run"
+    run_scored_waves(spark, pairs, canon, conf, out, waves=4,
+                     portable_buckets=True)
+    return completed_buckets(spark, out).select(
+        F.col("bucket").cast("int"),
+        F.col("n_pairs").cast("bigint"),
+        F.col("n_matches").cast("bigint"),
+        F.col("wave").cast("int"),
+    )
+
+
 def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 serialize/deserialize: persist the word dictionary as a sorted
     plain-text term list (the reference's PlainTextSerializer format) and
@@ -947,6 +975,25 @@ SELECT query_id, candidate, distance, rank FROM (
   FROM queries q CROSS JOIN dict d
   WHERE levenshtein(q.query_term, d.term) <= 2
 ) WHERE rank <= 3""",
+    "ledger_lineage": DUCK_TRANSCRIPTS + """,
+bucketed AS (
+  SELECT CAST(CAST(('0x' || substring(md5(id_a || '|' || id_b), 1, 15)) AS BIGINT) % 16 AS INT) AS bucket,
+         distance
+  FROM scored
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN distance <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+  FROM bucketed GROUP BY bucket
+),
+all_buckets AS (
+  SELECT CAST(unnest(range(0, 16)) AS INT) AS bucket
+)
+SELECT b.bucket,
+       coalesce(a.n_pairs, 0) AS n_pairs,
+       coalesce(a.n_matches, 0) AS n_matches,
+       CAST(b.bucket % 4 AS INT) AS wave
+FROM all_buckets b LEFT JOIN agg a USING (bucket)""",
     "similarity_jw": DUCK_WORDS + """
 SELECT query_id, candidate, jw, rank FROM (
   SELECT q.query_id, d.term AS candidate,
@@ -1198,6 +1245,7 @@ LINKAGE_QUERIES = {
     "dictionary_roundtrip": q_dictionary_roundtrip,
     "spell_suggest": q_spell_suggest,
     "similarity_jw": q_similarity_jw,
+    "ledger_lineage": q_ledger_lineage,
     "stream_linkage_matches": q_stream_linkage_matches,
     "eval_pairwise_f1": q_eval_pairwise_f1,
     "eval_bcubed": q_eval_bcubed,

@@ -29,10 +29,19 @@ LEDGER_SUBDIR = "_ledger"
 SCORED_SUBDIR = "scored"
 
 
-def bucketed(pairs: DataFrame, n_buckets: int) -> DataFrame:
-    return pairs.withColumn(
-        "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_buckets)).cast("int")
-    )
+def bucketed(pairs: DataFrame, n_buckets: int, portable: bool = False) -> DataFrame:
+    """Assign each pair its checkpoint bucket. Default is xxhash64 (fastest,
+    JVM-side). `portable=True` swaps in the portable 60-bit md5 hash
+    (functions.text.portable_hash64) so an external engine — a SQL audit of
+    the ledger, a non-Spark resume tool — can recompute bucket membership
+    bit-for-bit; same determinism/stability properties, slightly more CPU."""
+    if portable:
+        from ..functions.text import portable_hash64
+
+        h = portable_hash64("id_a", "id_b")
+    else:
+        h = F.xxhash64("id_a", "id_b")
+    return pairs.withColumn("bucket", F.pmod(h, F.lit(n_buckets)).cast("int"))
 
 
 def _ledger_path(out_dir: str) -> str:
@@ -72,6 +81,7 @@ def run_scored_waves(
     fail_after_waves: int | None = None,
     id_col: str = "conv_id",
     text_col: str = "fingerprint",
+    portable_buckets: bool = False,
 ) -> DataFrame:
     """Score all candidate pairs in `waves` checkpointed waves; return the
     full scored DataFrame read back from the sink.
@@ -80,7 +90,7 @@ def run_scored_waves(
     buckets absent from the ledger. `fail_after_waves` injects a crash for
     the resume test."""
     n_buckets = conf.checkpoint_buckets
-    pairs_b = bucketed(pairs, n_buckets)
+    pairs_b = bucketed(pairs, n_buckets, portable=portable_buckets)
     todo = pending_pairs(spark, pairs_b, out_dir)
     already_done = {
         r.bucket for r in completed_buckets(spark, out_dir).select("bucket").collect()
