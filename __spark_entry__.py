@@ -58,6 +58,7 @@ _PRIORITY = [
     "clusters_multilevel",
     "similarity_jw",
     "ledger_lineage",
+    "transcripts_orc",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

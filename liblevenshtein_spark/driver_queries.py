@@ -1903,6 +1903,26 @@ def q_transcripts_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source-connector parity (the other columnar format a lakehouse
+    migration actually encounters): transcripts written as ORC and read
+    back under the enforced canonical schema must equal the
+    parquet-derived rows — shares the `transcripts` oracle. Columnar
+    pruning/pushdown applies the same as parquet (native OrcScan)."""
+    import tempfile
+
+    from .sources.tables import read_transcripts, write_transcripts
+
+    work = tempfile.mkdtemp(prefix="levorc_")
+    t = derive_transcripts(spark, sf_dir).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
+    write_transcripts(t, work + "/t", fmt="orc")
+    return read_transcripts(spark, work + "/t", fmt="orc").select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
 def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation through the Structured
     Streaming engine: the events table is drained as a 2-file stream
@@ -2558,8 +2578,9 @@ SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,
        CAST(count(*) AS INT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",
-    # connector parity: JSON roundtrip must reproduce the parquet-derived rows
+    # connector parity: JSON/ORC roundtrips must reproduce the parquet rows
     "transcripts_json": LINKAGE_ORACLES["transcripts"],
+    "transcripts_orc": LINKAGE_ORACLES["transcripts"],
     # stateful reassembly must reproduce batch canonicalization exactly
     "stream_reassembly": DUCK_TRANSCRIPTS
     + "SELECT conv_id, n_turns, fingerprint FROM canonical2",
@@ -2830,6 +2851,7 @@ DATA_QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "stream_event_windows": q_stream_event_windows,
     "transcripts_json": q_transcripts_json,
+    "transcripts_orc": q_transcripts_orc,
     "stream_reassembly": q_stream_reassembly,
     "event_running_totals": q_event_running_totals,
     "events_asof": q_events_asof,

@@ -115,6 +115,8 @@ def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet",
     w = df.select(*TRANSCRIPTS_SCHEMA.fieldNames()).write.mode(mode)
     if fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     elif fmt == "json":
         w.json(path)
     elif fmt == "csv":
@@ -133,6 +135,8 @@ def read_transcripts(spark: SparkSession, path: str,
     r = spark.read.schema(TRANSCRIPTS_SCHEMA)
     if fmt == "parquet":
         return r.parquet(path)
+    if fmt == "orc":
+        return r.orc(path)
     if fmt == "json":
         return r.json(path)
     if fmt == "csv":

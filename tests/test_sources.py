@@ -33,7 +33,7 @@ def _assert_same(df_a, df_b):
     assert rows_a == rows_b
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_transcripts_roundtrip(spark, tmp_path, fmt):
     df = spark.createDataFrame(HOSTILE, TRANSCRIPTS_SCHEMA)
     path = str(tmp_path / f"t_{fmt}")
