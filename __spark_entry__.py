@@ -59,6 +59,7 @@ _PRIORITY = [
     "similarity_jw",
     "ledger_lineage",
     "transcripts_orc",
+    "fs_model",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

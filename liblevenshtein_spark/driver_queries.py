@@ -813,6 +813,53 @@ def q_clusters_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strict.join(loose, "conv_id")
 
 
+def q_fs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter model estimation (operators.metrics.fs_model) over
+    three entity-field comparisons: n_turns equality, fp_len within-2
+    agreement, sig-prefix equality. m comes from the pipeline's matched
+    pairs (pseudo-labels), u from a deterministic offset pairing — rank
+    entities by md5(conv_id) and pair rank r with rank r + N//2, a
+    fixed 'random' pairing both engines reproduce exactly. At 10^12-turn
+    scale u-estimation runs on a bounded hash-sample of entities first,
+    so the rank window never sees the full table; everything after the
+    gammas is two 1-row aggregates."""
+    from .operators.metrics import fs_model
+
+    ship_package(spark)
+    ents = _canonical(spark, sf_dir).select(
+        "conv_id", "n_turns", "fp_len",
+        F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig"),
+    ).localCheckpoint(eager=False)
+
+    def gammas(pairs: DataFrame) -> DataFrame:
+        ga = ents.select(F.col("conv_id").alias("id_a"),
+                         F.col("n_turns").alias("nt_a"),
+                         F.col("fp_len").alias("fl_a"),
+                         F.col("sig").alias("sig_a"))
+        gb = ents.select(F.col("conv_id").alias("id_b"),
+                         F.col("n_turns").alias("nt_b"),
+                         F.col("fp_len").alias("fl_b"),
+                         F.col("sig").alias("sig_b"))
+        return pairs.join(ga, "id_a").join(gb, "id_b").select(
+            (F.col("nt_a") == F.col("nt_b")).cast("long").alias("turns"),
+            (F.abs(F.col("fl_a") - F.col("fl_b")) <= 2).cast("long").alias("len2"),
+            (F.col("sig_a") == F.col("sig_b")).cast("long").alias("sig"),
+        )
+    from pyspark.sql import Window
+
+    m_pairs = q_matches(spark, sf_dir).select("id_a", "id_b")
+    rn = ents.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.md5("conv_id")))
+    ).crossJoin(F.broadcast(ents.agg((F.count("*") / 2).cast("bigint").alias("half"))))
+    u_pairs = (
+        rn.filter(F.col("rn") <= F.col("half"))
+        .select(F.col("conv_id").alias("id_a"), (F.col("rn") + F.col("half")).alias("_rn2"))
+        .join(rn.select(F.col("conv_id").alias("id_b"), F.col("rn").alias("_rn2")), "_rn2")
+        .select("id_a", "id_b")
+    )
+    return fs_model(gammas(m_pairs), gammas(u_pairs), ["turns", "len2", "sig"])
+
+
 def q_eval_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(Adjusted) Rand index + exact pair-level confusion counts
     (operators.metrics.rand_stats) of the distance<=1 clusters against
@@ -1081,6 +1128,48 @@ SELECT n_entities,
                   ELSE 2 * p * r / (p + r) END + 0.000000001, 4) AS bcubed_f1
 FROM fin"""
 
+# Fellegi–Sunter model: m from matched pairs, u from the deterministic
+# md5-rank offset pairing; weights in the exact fs_model expression order.
+LINKAGE_ORACLES["fs_model"] = DUCK_TRANSCRIPTS + """,
+ents AS (SELECT conv_id, n_turns, fp_len, sig FROM canonical2),
+mg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_m,
+         CAST(sum(CASE WHEN a.n_turns = b.n_turns THEN 1 ELSE 0 END) AS BIGINT) AS ma_turns,
+         CAST(sum(CASE WHEN abs(a.fp_len - b.fp_len) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ma_len2,
+         CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS ma_sig
+  FROM matches mm JOIN ents a ON a.conv_id = mm.id_a
+  JOIN ents b ON b.conv_id = mm.id_b
+),
+rnk AS (SELECT conv_id, n_turns, fp_len, sig,
+               row_number() OVER (ORDER BY md5(conv_id)) AS rn
+        FROM ents),
+nn AS (SELECT CAST(count(*) // 2 AS BIGINT) AS half FROM ents),
+ug AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_u,
+         CAST(sum(CASE WHEN a.n_turns = b.n_turns THEN 1 ELSE 0 END) AS BIGINT) AS ua_turns,
+         CAST(sum(CASE WHEN abs(a.fp_len - b.fp_len) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ua_len2,
+         CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS ua_sig
+  FROM rnk a JOIN nn ON a.rn <= nn.half
+  JOIN rnk b ON b.rn = a.rn + nn.half
+),
+stacked AS (
+  SELECT 'turns' AS field, n_m, ma_turns AS m_agree, n_u, ua_turns AS u_agree FROM mg, ug
+  UNION ALL SELECT 'len2', n_m, ma_len2, n_u, ua_len2 FROM mg, ug
+  UNION ALL SELECT 'sig', n_m, ma_sig, n_u, ua_sig FROM mg, ug
+),
+calc AS (
+  SELECT field, n_m, m_agree, n_u, u_agree,
+         (m_agree + 1.0) / (n_m + 2.0) AS m,
+         (u_agree + 1.0) / (n_u + 2.0) AS u
+  FROM stacked
+)
+SELECT field, n_m, m_agree, n_u, u_agree,
+       round(m + 0.000000001, 4) AS m,
+       round(u + 0.000000001, 4) AS u,
+       round(log2(m / u) + 0.000000001, 4) AS w_agree,
+       round(log2((1.0 - m) / (1.0 - u)) + 0.000000001, 4) AS w_disagree
+FROM calc"""
+
 # Blocking-stage audit: same brute-force truth CTE as eval_pairwise_f1,
 # counts over cand_pairs; float ratios via the gate_round4 convention.
 LINKAGE_ORACLES["eval_blocking_recall"] = DUCK_TRANSCRIPTS + """
@@ -1252,6 +1341,7 @@ LINKAGE_QUERIES = {
     "eval_rand": q_eval_rand,
     "eval_blocking_recall": q_eval_blocking_recall,
     "clusters_multilevel": q_clusters_multilevel,
+    "fs_model": q_fs_model,
 }
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
-    "pairwise_confusion", "bcubed", "rand_stats",
+    "pairwise_confusion", "bcubed", "rand_stats", "fs_model",
 ]
 
 
@@ -147,6 +147,52 @@ def rand_stats(assignments: DataFrame, pred_col: str = "cluster_id",
         tn.cast("bigint").alias("pair_tn"),
         gate_round4(ri).alias("rand_index"),
         gate_round4(ari).alias("adjusted_rand"),
+    )
+
+
+def fs_model(match_gammas: DataFrame, random_gammas: DataFrame,
+             fields: list[str]) -> DataFrame:
+    """Fellegi–Sunter probabilistic-linkage model estimation: given 0/1
+    field-agreement (gamma) columns over (a) pseudo-labeled MATCH pairs
+    and (b) deterministic RANDOM pairings, estimate per-field
+    m = P(agree | match) and u = P(agree | non-match) with add-one
+    smoothing, and emit the log2 agreement/disagreement weights a scorer
+    sums per pair (w_agree = log2(m/u), w_disagree = log2((1-m)/(1-u))).
+    This is the Splink-style estimation recipe: u from random pairings
+    (true matches are vanishingly rare among them), m from the blocked
+    high-confidence match set standing in for EM labels.
+
+    Output: one row per field —
+    (field, n_m, m_agree, n_u, u_agree, m, u, w_agree, w_disagree);
+    the counts are exact bigints, the four floats gate-rounded.
+
+    Scale shape: each gamma frame collapses to ONE aggregate row (count +
+    one sum per field); the field table is built by `stack` over the
+    crossJoined pair of 1-row aggregates — nothing per-pair survives the
+    aggregation."""
+    from ..functions.text import gate_round4
+
+    def collapse(df: DataFrame, n_name: str, prefix: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias(n_name),
+            *[F.sum(f).cast("bigint").alias(f"{prefix}_{f}") for f in fields],
+        )
+
+    m_row = collapse(match_gammas, "n_m", "ma")
+    u_row = collapse(random_gammas, "n_u", "ua")
+    stacked = ", ".join(f"'{f}', ma_{f}, ua_{f}" for f in fields)
+    rows = m_row.crossJoin(u_row).selectExpr(
+        "n_m", "n_u",
+        f"stack({len(fields)}, {stacked}) AS (field, m_agree, u_agree)",
+    )
+    m = (F.col("m_agree") + 1.0) / (F.col("n_m") + 2.0)
+    u = (F.col("u_agree") + 1.0) / (F.col("n_u") + 2.0)
+    return rows.select(
+        "field", "n_m", "m_agree", "n_u", "u_agree",
+        gate_round4(m).alias("m"),
+        gate_round4(u).alias("u"),
+        gate_round4(F.log2(m / u)).alias("w_agree"),
+        gate_round4(F.log2((1.0 - m) / (1.0 - u))).alias("w_disagree"),
     )
 
 

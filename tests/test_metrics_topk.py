@@ -96,6 +96,22 @@ def test_rand_stats_perfect_and_degenerate(spark):
     assert (r.rand_index, r.adjusted_rand) == (1.0, 1.0)
 
 
+def test_fs_model_hand_computed(spark):
+    from liblevenshtein_spark.operators.metrics import fs_model
+    import math
+
+    # matches: 3 pairs, 'name' agrees on 2; random: 4 pairs, agrees on 1.
+    mg = spark.createDataFrame([(1,), (1,), (0,)], "name long")
+    ug = spark.createDataFrame([(1,), (0,), (0,), (0,)], "name long")
+    r = fs_model(mg, ug, ["name"]).collect()[0]
+    assert (r.field, r.n_m, r.m_agree, r.n_u, r.u_agree) == ("name", 3, 2, 4, 1)
+    m, u = 3 / 5, 2 / 6
+    assert r.m == round(m + 1e-9, 4)
+    assert r.u == round(u + 1e-9, 4)
+    assert r.w_agree == round(math.log2(m / u) + 1e-9, 4)
+    assert r.w_disagree == round(math.log2((1 - m) / (1 - u)) + 1e-9, 4)
+
+
 def test_summarize(spark):
     keys = spark.createDataFrame([("a", "k1"), ("b", "k1")], ["conv_id", "block_key"])
     pairs = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
