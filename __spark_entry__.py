@@ -60,6 +60,7 @@ _PRIORITY = [
     "ledger_lineage",
     "transcripts_orc",
     "fs_model",
+    "pair_weights",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

@@ -813,6 +813,26 @@ def q_clusters_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strict.join(loose, "conv_id")
 
 
+def _fs_ents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity comparison fields for the Fellegi–Sunter entries."""
+    return _canonical(spark, sf_dir).select(
+        "conv_id", "n_turns", "fp_len",
+        F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig"),
+    )
+
+
+def _fs_attach(pairs: DataFrame, ents: DataFrame) -> DataFrame:
+    ga = ents.select(F.col("conv_id").alias("id_a"),
+                     F.col("n_turns").alias("nt_a"),
+                     F.col("fp_len").alias("fl_a"),
+                     F.col("sig").alias("sig_a"))
+    gb = ents.select(F.col("conv_id").alias("id_b"),
+                     F.col("n_turns").alias("nt_b"),
+                     F.col("fp_len").alias("fl_b"),
+                     F.col("sig").alias("sig_b"))
+    return pairs.join(ga, "id_a").join(gb, "id_b")
+
+
 def q_fs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter model estimation (operators.metrics.fs_model) over
     three entity-field comparisons: n_turns equality, fp_len within-2
@@ -826,21 +846,10 @@ def q_fs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.metrics import fs_model
 
     ship_package(spark)
-    ents = _canonical(spark, sf_dir).select(
-        "conv_id", "n_turns", "fp_len",
-        F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig"),
-    ).localCheckpoint(eager=False)
+    ents = _fs_ents(spark, sf_dir).localCheckpoint(eager=False)
 
     def gammas(pairs: DataFrame) -> DataFrame:
-        ga = ents.select(F.col("conv_id").alias("id_a"),
-                         F.col("n_turns").alias("nt_a"),
-                         F.col("fp_len").alias("fl_a"),
-                         F.col("sig").alias("sig_a"))
-        gb = ents.select(F.col("conv_id").alias("id_b"),
-                         F.col("n_turns").alias("nt_b"),
-                         F.col("fp_len").alias("fl_b"),
-                         F.col("sig").alias("sig_b"))
-        return pairs.join(ga, "id_a").join(gb, "id_b").select(
+        return _fs_attach(pairs, ents).select(
             (F.col("nt_a") == F.col("nt_b")).cast("long").alias("turns"),
             (F.abs(F.col("fl_a") - F.col("fl_b")) <= 2).cast("long").alias("len2"),
             (F.col("sig_a") == F.col("sig_b")).cast("long").alias("sig"),
@@ -858,6 +867,39 @@ def q_fs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return fs_model(gammas(m_pairs), gammas(u_pairs), ["turns", "len2", "sig"])
+
+
+def q_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS scoring composed end-to-end: every candidate pair gets its total
+    Fellegi–Sunter match weight — the sum over fields of w_agree when the
+    field agrees, w_disagree when it doesn't, from the fs_model estimates.
+    Weights ride as INTEGER ten-thousandths so the per-pair sum is
+    order-free (float summation order differs between engines at ulp
+    level; integer sums cannot). Scale shape: the 3-row model table is
+    broadcast, each pair explodes to exactly |fields| rows pre-aggregate —
+    cost stays proportional to candidates, and in production the weight
+    threshold replaces (or gates) the kernel's distance threshold for
+    fields the kernel can't see."""
+    ship_package(spark)
+    ents = _fs_ents(spark, sf_dir)
+    model = q_fs_model(spark, sf_dir).select(
+        "field",
+        F.round(F.col("w_agree") * 10000).cast("bigint").alias("wa"),
+        F.round(F.col("w_disagree") * 10000).cast("bigint").alias("wd"),
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    long = _fs_attach(pairs, ents).selectExpr(
+        "id_a", "id_b",
+        "stack(3, 'turns', CAST(nt_a = nt_b AS INT),"
+        " 'len2', CAST(abs(fl_a - fl_b) <= 2 AS INT),"
+        " 'sig', CAST(sig_a = sig_b AS INT)) AS (field, agree)",
+    )
+    return (
+        long.join(F.broadcast(model), "field")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.when(F.col("agree") == 1, F.col("wa"))
+                   .otherwise(F.col("wd"))).cast("bigint").alias("weight_1e4"))
+    )
 
 
 def q_eval_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,7 +1172,9 @@ FROM fin"""
 
 # Fellegi–Sunter model: m from matched pairs, u from the deterministic
 # md5-rank offset pairing; weights in the exact fs_model expression order.
-LINKAGE_ORACLES["fs_model"] = DUCK_TRANSCRIPTS + """,
+# Shared CTE scaffold up to `calc` so fs_model and pair_weights stay in
+# lockstep.
+_FS_CALC = DUCK_TRANSCRIPTS + """,
 ents AS (SELECT conv_id, n_turns, fp_len, sig FROM canonical2),
 mg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_m,
@@ -1162,13 +1206,41 @@ calc AS (
          (m_agree + 1.0) / (n_m + 2.0) AS m,
          (u_agree + 1.0) / (n_u + 2.0) AS u
   FROM stacked
-)
+)"""
+
+LINKAGE_ORACLES["fs_model"] = _FS_CALC + """
 SELECT field, n_m, m_agree, n_u, u_agree,
        round(m + 0.000000001, 4) AS m,
        round(u + 0.000000001, 4) AS u,
        round(log2(m / u) + 0.000000001, 4) AS w_agree,
        round(log2((1.0 - m) / (1.0 - u)) + 0.000000001, 4) AS w_disagree
 FROM calc"""
+
+# FS scoring composed end-to-end: integer ten-thousandth weights summed
+# per candidate pair (integer sum = order-free, gate-exact).
+LINKAGE_ORACLES["pair_weights"] = _FS_CALC + """,
+model AS (
+  SELECT field,
+         CAST(round(round(log2(m / u) + 0.000000001, 4) * 10000) AS BIGINT) AS wa,
+         CAST(round(round(log2((1.0 - m) / (1.0 - u)) + 0.000000001, 4) * 10000) AS BIGINT) AS wd
+  FROM calc
+),
+pair_g AS (
+  SELECT p.id_a, p.id_b, f.field,
+         CASE f.field
+           WHEN 'turns' THEN CASE WHEN a.n_turns = b.n_turns THEN 1 ELSE 0 END
+           WHEN 'len2' THEN CASE WHEN abs(a.fp_len - b.fp_len) <= 2 THEN 1 ELSE 0 END
+           ELSE CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END
+         END AS agree
+  FROM cand_pairs p
+  JOIN ents a ON a.conv_id = p.id_a
+  JOIN ents b ON b.conv_id = p.id_b
+  CROSS JOIN (SELECT unnest(['turns', 'len2', 'sig']) AS field) f
+)
+SELECT g.id_a, g.id_b,
+       CAST(sum(CASE WHEN g.agree = 1 THEN mo.wa ELSE mo.wd END) AS BIGINT) AS weight_1e4
+FROM pair_g g JOIN model mo ON mo.field = g.field
+GROUP BY g.id_a, g.id_b"""
 
 # Blocking-stage audit: same brute-force truth CTE as eval_pairwise_f1,
 # counts over cand_pairs; float ratios via the gate_round4 convention.
@@ -1342,6 +1414,7 @@ LINKAGE_QUERIES = {
     "eval_blocking_recall": q_eval_blocking_recall,
     "clusters_multilevel": q_clusters_multilevel,
     "fs_model": q_fs_model,
+    "pair_weights": q_pair_weights,
 }
 
 
