@@ -61,6 +61,7 @@ _PRIORITY = [
     "transcripts_orc",
     "fs_model",
     "pair_weights",
+    "candidate_pairs_snm",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

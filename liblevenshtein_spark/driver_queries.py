@@ -869,6 +869,24 @@ def q_fs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_model(gammas(m_pairs), gammas(u_pairs), ["turns", "len2", "sig"])
 
 
+def q_candidate_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo) through the hard
+    gate: entities sorted by (sig, conv_id), every pair within a width-4
+    window emitted. The third blocking family beside key-equality
+    (deletions/segments/q-grams) and LSH — candidate volume is linear in n
+    and IMMUNE to key skew (a hot key contributes only window-adjacent
+    pairs). The global rank is computed distributed (range partition +
+    per-partition offsets, operators/ranking.py), never via a
+    single-partition window; oracle recomputes with row_number."""
+    from .operators.ranking import sorted_neighborhood_pairs
+
+    ship_package(spark)
+    ents = _canonical(spark, sf_dir).select(
+        "conv_id", F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig")
+    )
+    return sorted_neighborhood_pairs(ents, "sig", window=4)
+
+
 def q_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS scoring composed end-to-end: every candidate pair gets its total
     Fellegi–Sunter match weight — the sum over fields of w_agree when the
@@ -1216,6 +1234,16 @@ SELECT field, n_m, m_agree, n_u, u_agree,
        round(log2((1.0 - m) / (1.0 - u)) + 0.000000001, 4) AS w_disagree
 FROM calc"""
 
+# Sorted-neighborhood blocking: rank by (sig, conv_id), pairs within the
+# width-4 window. id_a is always the lower-ranked entity on both sides.
+LINKAGE_ORACLES["candidate_pairs_snm"] = DUCK_TRANSCRIPTS + """,
+rnk AS (
+  SELECT conv_id, row_number() OVER (ORDER BY sig, conv_id) AS r
+  FROM canonical2
+)
+SELECT a.conv_id AS id_a, b.conv_id AS id_b
+FROM rnk a JOIN rnk b ON b.r > a.r AND b.r <= a.r + 3"""
+
 # FS scoring composed end-to-end: integer ten-thousandth weights summed
 # per candidate pair (integer sum = order-free, gate-exact).
 LINKAGE_ORACLES["pair_weights"] = _FS_CALC + """,
@@ -1415,6 +1443,7 @@ LINKAGE_QUERIES = {
     "clusters_multilevel": q_clusters_multilevel,
     "fs_model": q_fs_model,
     "pair_weights": q_pair_weights,
+    "candidate_pairs_snm": q_candidate_pairs_snm,
 }
 
 
