@@ -62,6 +62,8 @@ _PRIORITY = [
     "fs_model",
     "pair_weights",
     "candidate_pairs_snm",
+    "meta_blocking",
+    "review_queue",
     "transduce_per_query_n",
     "multimodal_resize",
     "multimodal_frames",

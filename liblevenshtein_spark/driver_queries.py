@@ -887,6 +887,43 @@ def q_candidate_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(ents, "sig", window=4)
 
 
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (Papadakis et al.): weight every candidate pair by
+    how many blocking keys it co-occurs in (CBS — common blocks scheme)
+    and prune single-key coincidences (cbs >= 2). At web scale this is
+    the standard candidate-graph pruning pass between blocking and
+    scoring: it cuts kernel work on exactly the pairs most likely to be
+    false candidates, with one groupBy on the pair ids — no texts, no
+    kernel."""
+    ship_package(spark)
+    keys = _sig_keys(spark, sf_dir)
+    a = keys.select(F.col("conv_id").alias("_ida"), "block_key")
+    b = keys.select(F.col("conv_id").alias("_idb"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("cbs"))
+        .filter(F.col("cbs") >= 2)
+    )
+
+
+def q_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning review queue: the 20 candidate pairs whose total
+    Fellegi–Sunter weight sits closest to the decision boundary (|w| -> 0)
+    — the pairs a human labeler (or an LLM judge) should see first, the
+    selection rule every ER product ships. Deterministic: the sort key is
+    the exact integer |weight_1e4| with (id_a, id_b) tiebreak, planned as
+    TakeOrderedAndProject (no global sort materializes)."""
+    w = q_pair_weights(spark, sf_dir)
+    return (
+        w.withColumn("abs_w", F.abs(F.col("weight_1e4")))
+        .orderBy("abs_w", "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "weight_1e4", "abs_w")
+    )
+
+
 def q_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS scoring composed end-to-end: every candidate pair gets its total
     Fellegi–Sunter match weight — the sum over fields of w_agree when the
@@ -1234,6 +1271,15 @@ SELECT field, n_m, m_agree, n_u, u_agree,
        round(log2((1.0 - m) / (1.0 - u)) + 0.000000001, 4) AS w_disagree
 FROM calc"""
 
+# Meta-blocking CBS weights over the deletion-key graph.
+LINKAGE_ORACLES["meta_blocking"] = DUCK_TRANSCRIPTS + """
+SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+       CAST(count(*) AS BIGINT) AS cbs
+FROM sig_keys a JOIN sig_keys b ON a.block_key = b.block_key
+WHERE a.conv_id < b.conv_id
+GROUP BY a.conv_id, b.conv_id
+HAVING count(*) >= 2"""
+
 # Sorted-neighborhood blocking: rank by (sig, conv_id), pairs within the
 # width-4 window. id_a is always the lower-ranked entity on both sides.
 LINKAGE_ORACLES["candidate_pairs_snm"] = DUCK_TRANSCRIPTS + """,
@@ -1269,6 +1315,22 @@ SELECT g.id_a, g.id_b,
        CAST(sum(CASE WHEN g.agree = 1 THEN mo.wa ELSE mo.wd END) AS BIGINT) AS weight_1e4
 FROM pair_g g JOIN model mo ON mo.field = g.field
 GROUP BY g.id_a, g.id_b"""
+
+# Review queue: exact-integer boundary distance, deterministic tiebreak.
+LINKAGE_ORACLES["review_queue"] = LINKAGE_ORACLES["pair_weights"].replace(
+    """SELECT g.id_a, g.id_b,
+       CAST(sum(CASE WHEN g.agree = 1 THEN mo.wa ELSE mo.wd END) AS BIGINT) AS weight_1e4
+FROM pair_g g JOIN model mo ON mo.field = g.field
+GROUP BY g.id_a, g.id_b""",
+    """, pw AS (
+  SELECT g.id_a, g.id_b,
+         CAST(sum(CASE WHEN g.agree = 1 THEN mo.wa ELSE mo.wd END) AS BIGINT) AS weight_1e4
+  FROM pair_g g JOIN model mo ON mo.field = g.field
+  GROUP BY g.id_a, g.id_b
+)
+SELECT id_a, id_b, weight_1e4, CAST(abs(weight_1e4) AS BIGINT) AS abs_w
+FROM pw ORDER BY abs_w, id_a, id_b LIMIT 20""",
+)
 
 # Blocking-stage audit: same brute-force truth CTE as eval_pairwise_f1,
 # counts over cand_pairs; float ratios via the gate_round4 convention.
@@ -1444,6 +1506,8 @@ LINKAGE_QUERIES = {
     "fs_model": q_fs_model,
     "pair_weights": q_pair_weights,
     "candidate_pairs_snm": q_candidate_pairs_snm,
+    "meta_blocking": q_meta_blocking,
+    "review_queue": q_review_queue,
 }
 
 
