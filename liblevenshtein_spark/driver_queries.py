@@ -930,11 +930,12 @@ def q_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     field agrees, w_disagree when it doesn't, from the fs_model estimates.
     Weights ride as INTEGER ten-thousandths so the per-pair sum is
     order-free (float summation order differs between engines at ulp
-    level; integer sums cannot). Scale shape: the 3-row model table is
-    broadcast, each pair explodes to exactly |fields| rows pre-aggregate —
-    cost stays proportional to candidates, and in production the weight
-    threshold replaces (or gates) the kernel's distance threshold for
-    fields the kernel can't see."""
+    level; integer sums cannot). Scale shape: the per-field weights are
+    pivoted into ONE broadcast row and the total weight is a pure
+    projection over the attached pair stream — zero shuffle beyond the
+    attach joins (no explode, no re-aggregation on pair ids); in
+    production the weight threshold replaces (or gates) the kernel's
+    distance threshold for fields the kernel can't see."""
     ship_package(spark)
     ents = _fs_ents(spark, sf_dir)
     model = q_fs_model(spark, sf_dir).select(
@@ -942,18 +943,22 @@ def q_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w_agree") * 10000).cast("bigint").alias("wa"),
         F.round(F.col("w_disagree") * 10000).cast("bigint").alias("wd"),
     )
+    def pick(side: str, field: str):
+        return F.max(F.when(F.col("field") == field, F.col(side)))
+    wide = model.agg(*[
+        pick(side, f).alias(f"{side}_{f}")
+        for f in ("turns", "len2", "sig") for side in ("wa", "wd")
+    ])
     pairs = q_candidate_pairs(spark, sf_dir)
-    long = _fs_attach(pairs, ents).selectExpr(
-        "id_a", "id_b",
-        "stack(3, 'turns', CAST(nt_a = nt_b AS INT),"
-        " 'len2', CAST(abs(fl_a - fl_b) <= 2 AS INT),"
-        " 'sig', CAST(sig_a = sig_b AS INT)) AS (field, agree)",
+    weight = (
+        F.when(F.col("nt_a") == F.col("nt_b"), F.col("wa_turns")).otherwise(F.col("wd_turns"))
+        + F.when(F.abs(F.col("fl_a") - F.col("fl_b")) <= 2, F.col("wa_len2")).otherwise(F.col("wd_len2"))
+        + F.when(F.col("sig_a") == F.col("sig_b"), F.col("wa_sig")).otherwise(F.col("wd_sig"))
     )
     return (
-        long.join(F.broadcast(model), "field")
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.when(F.col("agree") == 1, F.col("wa"))
-                   .otherwise(F.col("wd"))).cast("bigint").alias("weight_1e4"))
+        _fs_attach(pairs, ents)
+        .crossJoin(F.broadcast(wide))
+        .select("id_a", "id_b", weight.cast("bigint").alias("weight_1e4"))
     )
 
 
