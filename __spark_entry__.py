@@ -50,6 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # epoch-microsecond bigints), then round-3 additions, then the 27 entries the
 # r02 snapshot missed — followed by the 49 already-green ones.
 _PRIORITY = [
+    "similarity_tfidf",
+    "similarity_me",
+    "eval_threshold_sweep",
+    "block_keys_phonetic",
+    "candidate_pairs_phonetic",
     "event_sessions",
     "cluster_split",
     "eval_bcubed",

@@ -694,27 +694,140 @@ def q_eval_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth pair stream is an EQUI-join on exact target length — a
     length-banded exhaustive scan, not a cross join. The kernel scores the
     banded pairs with the same mapInArrow path as the pipeline."""
-    ship_package(spark)
-    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
-    left = canon.select(
-        F.col("conv_id").alias("id_a"),
-        F.col("fingerprint").alias("fp_a"),
-        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
-    )
-    right = canon.select(
-        F.col("conv_id").alias("id_b"),
-        F.col("fingerprint").alias("fp_b"),
-        F.col("fp_len").alias("_lk"),
-    )
-    dist = distance_udf(2, "standard")
-    truth = (
-        left.join(right, "_lk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
-        .filter(F.col("distance") <= 2)
-    )
+    truth = _truth_pairs(spark, sf_dir)
     preds = q_matches(spark, sf_dir)
     return pairwise_confusion(truth, preds)
+
+
+def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized blocking-free truth pair set (every entity pair within
+    distance 2, length-banded exhaustive scan) — shared by the pairwise-F1
+    and threshold-sweep evaluation entries."""
+
+    def build() -> DataFrame:
+        ship_package(spark)
+        canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
+        left = canon.select(
+            F.col("conv_id").alias("id_a"),
+            F.col("fingerprint").alias("fp_a"),
+            F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
+        )
+        right = canon.select(
+            F.col("conv_id").alias("id_b"),
+            F.col("fingerprint").alias("fp_b"),
+            F.col("fp_len").alias("_lk"),
+        )
+        dist = distance_udf(2, "standard")
+        return (
+            left.join(right, "_lk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
+            .filter(F.col("distance") <= 2)
+        )
+
+    return _cached_df(spark, sf_dir, "truth_pairs", build)
+
+
+def q_eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise P/R/F1 at EVERY match threshold 0..3 in one pass
+    (operators.metrics.threshold_sweep) against the same blocking-free
+    banded truth as `eval_pairwise_f1` — the tuning curve for choosing the
+    transducer's n (the reference fixes it per transducer, README.md:13-15).
+    Threshold 3 is the scored-stream cap (distance_udf's n+1 sentinel), so
+    the sweep's top row also audits the sentinel convention cross-engine."""
+    from .operators.metrics import threshold_sweep
+
+    return threshold_sweep(
+        _truth_pairs(spark, sf_dir), q_score_pairs(spark, sf_dir), [0, 1, 2, 3]
+    )
+
+
+def q_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token TF-IDF cosine (WHIRL-style soft join, Cohen 1998) over the
+    BLOCKED candidate stream (operators.comparators.tfidf_cosine_pairs) —
+    a second soft-scoring family beside edit distance and Jaro-Winkler:
+    pairs sharing rare vocabulary score high even when raw edit distance
+    is large. Pure JVM expressions end-to-end (no Python); the sparse
+    (id, token) weight join is candidate-bounded, never all-pairs."""
+    from .operators.comparators import tfidf_cosine_pairs
+
+    pairs = q_candidate_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir)
+    return tfidf_cosine_pairs(pairs, canon, sep=SEP)
+
+
+def q_similarity_me(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric set-Monge-Elkan similarity (Monge & Elkan 1996) with the
+    Jaro-Winkler inner kernel over each candidate pair's FIRST-TURN tokens
+    (operators.comparators.monge_elkan_pairs): the hybrid token-level
+    comparator ER uses for multi-word fields. Token cross product is
+    bounded per pair; inner JW values round to 4dp BEFORE the max so
+    cross-engine ulps cannot flip which token wins."""
+    from .operators.comparators import monge_elkan_pairs
+
+    ship_package(spark)
+    pairs = q_candidate_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir)
+    return monge_elkan_pairs(pairs, canon, sep=SEP, head_chars=TURN_WIDTH)
+
+
+def q_block_keys_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (American Soundex) blocking keys over the word dictionary
+    (functions.blocking.phonetic_key = JVM built-in soundex): the classic
+    dirty-name blocking family — 'smith'/'smyth' share a bucket at ANY edit
+    distance, complementing the distance-bounded deletion neighborhoods.
+    Restricted to alphabetic terms (Spark passes non-letter-prefixed
+    strings through unchanged). The DuckDB oracle re-implements Soundex
+    from the published algorithm (letter→digit map, H/W transparent,
+    vowels separate, adjacent codes collapse) in set-based SQL.
+
+    The synthetic vocabulary is tiny (~47 distinct words), so — the same
+    way the corpus plants near-duplicate conversations — the term set
+    plants a sound-alike variant `term || 'a'` for every word (appending a
+    vowel never changes a Soundex code), guaranteeing each bucket exercises
+    the bucket self-join."""
+    from .functions.blocking import phonetic_key
+
+    return _phonetic_terms(spark, sf_dir).select(
+        "term", phonetic_key("term").alias("block_key")
+    )
+
+
+def _phonetic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_words = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(F.explode(F.split("p_name", " ")).alias("term"))
+    )
+    base = (
+        _word_dictionary(spark, sf_dir)
+        .unionByName(part_words)
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    variants = base.select(F.concat(F.col("term"), F.lit("a")).alias("term"))
+    return base.unionByName(variants).distinct()
+
+
+def q_candidate_pairs_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phonetic family end-to-end: soundex-bucket self-join generates
+    candidate word pairs, each verified with exact Levenshtein capped at 3
+    (the scored-stream sentinel convention). Short words stay on the JVM
+    built-in `levenshtein` — the kernel's Arrow crossing only pays for
+    itself on long fingerprints (BASELINE.md 'Kernel vs JVM built-in')."""
+    keys = q_block_keys_phonetic(spark, sf_dir)
+    a = keys.select(F.col("term").alias("term_a"), "block_key")
+    b = keys.select(F.col("term").alias("term_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select(
+            "term_a",
+            "term_b",
+            F.least(F.levenshtein("term_a", "term_b"), F.lit(3))
+            .cast("int")
+            .alias("distance"),
+        )
+    )
 
 
 def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,6 +1476,148 @@ SELECT n_entities, n_true, n_cand, n_caught,
              + 0.000000001, 4) AS reduction_ratio
 FROM agg"""
 
+# Threshold sweep: same banded truth CTE as eval_pairwise_f1, full-outer
+# joined against the scored stream ONCE, then unnested over the threshold
+# list — mirrors metrics.threshold_sweep's broadcast-cross-join plan.
+LINKAGE_ORACLES["eval_threshold_sweep"] = DUCK_TRANSCRIPTS + """
+, truth AS (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM canonical2 ca JOIN canonical2 cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+),
+joined AS (
+  SELECT (t.id_a IS NOT NULL) AS is_t, s.distance AS d
+  FROM truth t FULL OUTER JOIN scored s ON t.id_a = s.id_a AND t.id_b = s.id_b
+),
+th AS (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS threshold),
+agg AS (
+  SELECT threshold,
+         CAST(coalesce(sum(CASE WHEN is_t AND d IS NOT NULL AND d <= threshold THEN 1 END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN NOT is_t AND d IS NOT NULL AND d <= threshold THEN 1 END), 0) AS BIGINT) AS fp,
+         CAST(coalesce(sum(CASE WHEN is_t AND NOT (d IS NOT NULL AND d <= threshold) THEN 1 END), 0) AS BIGINT) AS fn
+  FROM joined CROSS JOIN th GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fp) + 0.5) END AS BIGINT) AS precision_1e4,
+  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fn) + 0.5) END AS BIGINT) AS recall_1e4,
+  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE floor(10000.0 * 2 * tp / (2 * tp + fp + fn) + 0.5) END AS BIGINT) AS f1_1e4
+FROM agg"""
+
+# TF-IDF cosine soft comparator: the exact smoothed-idf formula of
+# comparators.tfidf_cosine_pairs (ln((N+1)/(df+1)) + 1), sparse dot product
+# as an (id, token) equi-join from the candidate pairs; gate_round4 rounding.
+LINKAGE_ORACLES["similarity_tfidf"] = DUCK_TRANSCRIPTS + """
+, toks AS (
+  SELECT conv_id AS id,
+         unnest(list_filter(regexp_split_to_array(replace(fingerprint, chr(30), ' '), '\\s+'), x -> x <> '')) AS token
+  FROM canonical2
+),
+tf AS (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, token),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM canonical2),
+w AS (
+  SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
+dots AS (
+  SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+  FROM cand_pairs p
+  JOIN w wa ON wa.id = p.id_a
+  JOIN w wb ON wb.id = p.id_b AND wb.token = wa.token
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(coalesce(d.dot, 0) / (na.norm * nb.norm) + 0.000000001, 4) AS cosine
+FROM cand_pairs p
+LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+JOIN norms na ON na.id = p.id_a
+JOIN norms nb ON nb.id = p.id_b"""
+
+# Monge-Elkan with JW inner over first-turn tokens: inner JW rounds to 4dp
+# BEFORE the max (same tie convention as similarity_jw's rank).
+LINKAGE_ORACLES["similarity_me"] = DUCK_TRANSCRIPTS + f"""
+, toks AS (
+  SELECT DISTINCT conv_id AS id,
+         unnest(list_filter(regexp_split_to_array(replace(substring(fingerprint, 1, {TURN_WIDTH}), chr(30), ' '), '\\s+'), x -> x <> '')) AS token
+  FROM canonical2
+),
+crossed AS (
+  SELECT p.id_a, p.id_b, a.token AS tok_a, b.token AS tok_b,
+         round(jaro_winkler_similarity(a.token, b.token) + 0.000000001, 4) AS jw
+  FROM cand_pairs p
+  JOIN toks a ON a.id = p.id_a
+  JOIN toks b ON b.id = p.id_b
+),
+ab AS (
+  SELECT id_a, id_b, round(avg(best) + 0.000000001, 4) AS me_ab FROM (
+    SELECT id_a, id_b, tok_a, max(jw) AS best FROM crossed GROUP BY id_a, id_b, tok_a
+  ) GROUP BY id_a, id_b
+),
+ba AS (
+  SELECT id_a, id_b, round(avg(best) + 0.000000001, 4) AS me_ba FROM (
+    SELECT id_a, id_b, tok_b, max(jw) AS best FROM crossed GROUP BY id_a, id_b, tok_b
+  ) GROUP BY id_a, id_b
+)
+SELECT ab.id_a, ab.id_b, round((me_ab + me_ba) / 2.0 + 0.000000001, 4) AS me_sim
+FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b"""
+
+# American Soundex in set-based SQL, mirroring Spark's UTF8String.soundex:
+# letter->digit map with H/W coded 7 and dropped (transparent — same codes
+# separated by H/W collapse), vowels coded 0 (kept through the collapse so
+# they SEPARATE same codes, then stripped), adjacent equal codes collapse
+# via an indexed list_filter (DuckDB's RE2 has no backreferences), first
+# letter kept verbatim with its own code participating in the collapse.
+_DUCK_SOUNDEX = """
+pbase AS (
+  SELECT DISTINCT term FROM (
+    SELECT term FROM dict
+    UNION ALL
+    SELECT unnest(regexp_split_to_array(p_name, ' ')) FROM part
+  ) WHERE regexp_matches(term, '^[a-z]+$')
+),
+alpha AS (
+  SELECT DISTINCT term FROM (
+    SELECT term FROM pbase UNION ALL SELECT term || 'a' FROM pbase
+  )
+),
+sx1 AS (
+  SELECT term, upper(term) AS up,
+         translate(upper(term), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202') AS codes
+  FROM alpha
+),
+sx2 AS (
+  SELECT term, up, codes,
+         list_filter(regexp_split_to_array(codes, ''), c -> c <> '7') AS kept
+  FROM sx1
+),
+sx3 AS (
+  SELECT term, up, codes,
+         coalesce(array_to_string(list_filter(kept, (c, i) -> i = 1 OR c <> kept[i - 1]), ''), '') AS coll
+  FROM sx2
+),
+sx4 AS (
+  SELECT term, up,
+         CASE WHEN substring(codes, 1, 1) = '7' THEN coll ELSE substring(coll, 2) END AS tail
+  FROM sx3
+),
+skeys AS (
+  SELECT term,
+         substring(up, 1, 1) || substring(replace(tail, '0', '') || '000', 1, 3) AS block_key
+  FROM sx4
+)
+"""
+
+LINKAGE_ORACLES["block_keys_phonetic"] = (
+    DUCK_WORDS + ", " + _DUCK_SOUNDEX + "SELECT term, block_key FROM skeys"
+)
+
+LINKAGE_ORACLES["candidate_pairs_phonetic"] = DUCK_WORDS + ", " + _DUCK_SOUNDEX + """
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(least(levenshtein(a.term, b.term), 3) AS INT) AS distance
+FROM skeys a JOIN skeys b ON a.block_key = b.block_key AND a.term < b.term"""
+
 # Two-level nested clustering: two recursive reach CTEs over the strict
 # (distance<=1) and pipeline (distance<=2) edge sets.
 LINKAGE_ORACLES["clusters_multilevel"] = DUCK_TRANSCRIPTS + """,
@@ -1513,6 +1768,11 @@ LINKAGE_QUERIES = {
     "candidate_pairs_snm": q_candidate_pairs_snm,
     "meta_blocking": q_meta_blocking,
     "review_queue": q_review_queue,
+    "similarity_tfidf": q_similarity_tfidf,
+    "similarity_me": q_similarity_me,
+    "eval_threshold_sweep": q_eval_threshold_sweep,
+    "block_keys_phonetic": q_block_keys_phonetic,
+    "candidate_pairs_phonetic": q_candidate_pairs_phonetic,
 }
 
 

@@ -153,3 +153,15 @@ def exploded_keys(
     texts are re-joined by id later so the big join shuffles narrow rows
     (SURVEY.md §4.2 column-pruning note)."""
     return df.select(F.col(id_col), F.explode(keys).alias(key_name))
+
+
+def phonetic_key(col: str) -> Column:
+    """American-Soundex phonetic blocking key (JVM built-in `soundex`) —
+    the classic dirty-name blocking family: terms that SOUND alike land in
+    the same bucket even at edit distance > n (e.g. 'smith'/'smyth',
+    'robert'/'rupert'), complementing the completeness-gated deletion
+    neighborhoods which only reach distance <= n. Pure whole-stage-codegen
+    expression, no Python. Callers should restrict input to alphabetic
+    terms: Spark returns NON-letter-prefixed strings unchanged, which makes
+    degenerate keys."""
+    return F.soundex(F.col(col))

@@ -1,0 +1,185 @@
+"""Soft-similarity comparators over the blocked candidate-pair stream.
+
+The reference transducer's single scoring family is exact edit distance
+(README.md:13-24).  Production record linkage layers SOFT comparators on
+the same candidate stream — token TF-IDF cosine (Cohen 1998's WHIRL
+soft-join) and Monge-Elkan hybrid similarity (Monge & Elkan 1996) — so
+pairs that share rare vocabulary or near-identical tokens score high even
+when raw edit distance is large.  Both operators here consume an ALREADY
+BLOCKED (id_a, id_b) pair set: cost is candidate-bounded, never all-pairs,
+which is the only shape that survives a 10^12-turn corpus.
+
+Scale notes (local[32] is the test rig; the design target is a 1000-executor
+cluster):
+- `tfidf_cosine_pairs` never materializes a dense vector: weights live as a
+  sparse (id, token, w) table, the dot product is an equi-join on
+  (id, token), and document frequencies aggregate with map-side combine.
+  The one scalar (corpus size N) rides a broadcast 1-row cross join, not a
+  driver collect.
+- `monge_elkan_pairs` crosses tokens WITHIN a pair only (≤ head_tokens² rows
+  per candidate), with the Jaro-Winkler inner kernel running as an
+  Arrow-batched pandas UDF — no per-row Python.
+- All gated floats go through `gate_round4` (the repo's ulp-robust rounding
+  convention) so DuckDB recomputes identical hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import gate_round4
+
+
+def _tokens(entities: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
+    """(id, token) with one row per token OCCURRENCE; the turn separator is
+    treated as whitespace so tokens never span turn boundaries."""
+    txt = F.regexp_replace(F.col(text_col), sep, " ")
+    return entities.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(txt, r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def tfidf_cosine_pairs(
+    pairs: DataFrame,
+    entities: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "fingerprint",
+    sep: str = "\x1e",
+) -> DataFrame:
+    """TF-IDF cosine similarity for each blocked candidate pair.
+
+    w(d, t) = tf(d, t) * (ln((N + 1) / (df(t) + 1)) + 1)   [smoothed idf]
+    cosine  = Σ_t w(a,t)·w(b,t) / (‖a‖·‖b‖)
+
+    Plan shape: tokens → two hash aggs (tf by (id, token), df by token) →
+    one token-keyed join to weight → norm agg by id → pair dot product as
+    an (id, token) equi-join driven from the candidate pairs.  Every stage
+    is candidate- or vocabulary-bounded; nothing is quadratic in the corpus.
+    Pairs with no shared token keep cosine = 0.0 (left join + coalesce).
+    """
+    toks = _tokens(entities, id_col, text_col, sep)
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = entities.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )  # 1 row — broadcast cross join, no collect
+    w = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+
+    base = pairs.select("id_a", "id_b")
+    wa = w.select(F.col("id").alias("id_a"), "token", F.col("w").alias("w_a"))
+    wb = w.select(F.col("id").alias("id_b"), "token", F.col("w").alias("w_b"))
+    dots = (
+        base.join(wa, "id_a")
+        .join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        base.join(dots, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            gate_round4(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def monge_elkan_pairs(
+    pairs: DataFrame,
+    entities: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "fingerprint",
+    sep: str = "\x1e",
+    head_chars: int = 100,
+    inner=None,
+) -> DataFrame:
+    """Symmetric set-Monge-Elkan similarity with a Jaro-Winkler inner
+    comparator, over the DISTINCT tokens of each entity's head text
+    (first `head_chars` chars — the first transcript turn).
+
+    ME(a→b) = avg over tokens t of a of  max over tokens u of b  JW(t, u);
+    result  = (ME(a→b) + ME(b→a)) / 2.
+
+    The token cross product is bounded per pair (head tokens only), so the
+    JW kernel — an Arrow-batched pandas UDF — sees Σ_pairs |Ta|·|Tb| rows,
+    never a corpus-level cross join.  Inner JW values are rounded to 4
+    decimals BEFORE the max so cross-engine float ulps can't flip which
+    token wins (the similarity_jw rank convention).
+    """
+    if inner is None:
+        from .scoring import jaro_winkler_udf
+
+        inner = jaro_winkler_udf()
+    head = F.regexp_replace(
+        F.substring(F.col(text_col), 1, head_chars), sep, " "
+    )
+    toks = (
+        entities.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(head, r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    base = pairs.select("id_a", "id_b")
+    ta = toks.select(F.col("id").alias("id_a"), F.col("token").alias("tok_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("token").alias("tok_b"))
+    crossed = (
+        base.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "tok_a",
+            "tok_b",
+            gate_round4(inner(F.col("tok_a"), F.col("tok_b"))).alias("jw"),
+        )
+    )
+    # Both directions from ONE kernel pass: tag each crossed row with its
+    # (direction, anchor-token) pair AFTER the UDF, so the plan has a single
+    # ArrowEvalPython node feeding one aggregation chain — two separate
+    # per-direction aggregations would make Catalyst recompute the join and
+    # re-run the JW kernel (the round-1 kernel-duplication anti-pattern).
+    tagged = crossed.select(
+        "id_a",
+        "id_b",
+        "jw",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dir"), F.col("tok_a").alias("tok")),
+                F.struct(F.lit(1).alias("dir"), F.col("tok_b").alias("tok")),
+            )
+        ).alias("dt"),
+    )
+    per_dir = (
+        tagged.groupBy("id_a", "id_b", F.col("dt.dir").alias("dir"), F.col("dt.tok").alias("tok"))
+        .agg(F.max("jw").alias("best"))
+        .groupBy("id_a", "id_b", "dir")
+        .agg(gate_round4(F.avg("best")).alias("me_dir"))
+    )
+    # exactly two me_dir values per pair; a two-term IEEE sum is
+    # order-independent, so the final round4 is deterministic
+    return per_dir.groupBy("id_a", "id_b").agg(
+        gate_round4(F.sum("me_dir") / 2.0).alias("me_sim")
+    )

@@ -241,3 +241,46 @@ def summarize(keys: DataFrame, pairs: DataFrame, scored: DataFrame, n_entities: 
         "distance_histogram": dist,
         "hottest_keys": top,
     }
+
+
+def threshold_sweep(
+    truth: DataFrame, scored: DataFrame, thresholds: list[int]
+) -> DataFrame:
+    """Pairwise precision/recall/F1 at EVERY candidate match threshold in
+    one pass — the tuning curve an ER practitioner reads before fixing
+    `max_distance` (the reference fixes n per transducer, README.md:13-15;
+    this is the evidence for choosing it).
+
+    One full-outer join of the truth pair set with the SCORED pair set
+    (distances kept), then a broadcast cross join against the tiny
+    threshold list and a single hash aggregate by threshold — the join and
+    agg cost |truth ∪ scored| × |thresholds| regardless of corpus size.
+    Same integer-scaled ratio encoding as `pairwise_confusion`.
+    """
+    t = truth.select("id_a", "id_b").withColumn("_t", F.lit(1))
+    s = scored.select("id_a", "id_b", F.col("distance").alias("_d"))
+    joined = t.join(s, ["id_a", "id_b"], "full_outer")
+    th = joined.sparkSession.createDataFrame(
+        [(int(x),) for x in thresholds], "threshold int"
+    )
+    crossed = joined.crossJoin(F.broadcast(th))
+    pred = F.col("_d").isNotNull() & (F.col("_d") <= F.col("threshold"))
+    is_t = F.col("_t").isNotNull()
+    agg = crossed.groupBy("threshold").agg(
+        F.coalesce(F.sum(F.when(is_t & pred, 1)), F.lit(0)).cast("bigint").alias("tp"),
+        F.coalesce(F.sum(F.when(~is_t & pred, 1)), F.lit(0)).cast("bigint").alias("fp"),
+        F.coalesce(F.sum(F.when(is_t & ~pred, 1)), F.lit(0)).cast("bigint").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+
+    def ratio(num, den, name):
+        return F.when(den == 0, F.lit(0)).otherwise(
+            F.floor(F.lit(10000.0) * num / den + F.lit(0.5))
+        ).cast("bigint").alias(name)
+
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        ratio(tp, tp + fp, "precision_1e4"),
+        ratio(tp, tp + fn, "recall_1e4"),
+        ratio(2 * tp, 2 * tp + fp + fn, "f1_1e4"),
+    ).orderBy("threshold")
