@@ -50,6 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # epoch-microsecond bigints), then round-3 additions, then the 27 entries the
 # r02 snapshot missed — followed by the 49 already-green ones.
 _PRIORITY = [
+    "clusters_star",
+    "candidate_pairs_union",
     "similarity_tfidf",
     "similarity_me",
     "eval_threshold_sweep",

@@ -771,6 +771,81 @@ def q_similarity_me(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan_pairs(pairs, canon, sep=SEP, head_chars=TURN_WIDTH)
 
 
+def q_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic star clustering (operators.clustering.star_clusters)
+    over the match graph — the bounded-diameter complement to transitive
+    CC: every member is a DIRECT match of its center, so one noisy edge
+    can never weld mega-clusters, and the physical plan is a FIXED 3-join
+    dataflow with zero driver-side iteration (CC needs O(log n) rounds)."""
+    matches = q_matches(spark, sf_dir)
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    from .operators.clustering import star_clusters
+
+    return star_clusters(entities, matches)
+
+
+def q_candidate_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scheme blocking union with per-pair provenance: the deletion
+    neighborhood (bit 1), positional sig q-grams (bit 2), and the
+    sorted-neighborhood window (bit 4) each propose pairs; the union
+    aggregates a scheme bitmask + scheme count per pair. This is the audit
+    surface for blocking-budget decisions at scale — which scheme EARNS
+    its candidate volume — and the input meta-blocking weights; one
+    union + one hash agg on the (narrow) pair ids, no texts, no kernel.
+
+    The q-gram scheme applies BLOCK PURGING (Papadakis block cleaning):
+    buckets larger than 64 entities are dropped before the self-join —
+    sig prefixes repeat heavily in real corpora, and without the cap the
+    hot grams alone contribute O(hot²) pairs (measured ~100 M extrapolated
+    at sf0.1). The purge keeps the scheme's pair volume ∝ corpus × cap."""
+    ship_package(spark)
+    from .functions.blocking import qgram_keys
+    from .operators.ranking import sorted_neighborhood_pairs
+
+    dele = q_candidate_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("scheme")
+    )
+    ents = _canonical(spark, sf_dir).select(
+        "conv_id", F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig")
+    )
+    qk_raw = ents.select(
+        "conv_id", F.explode(qgram_keys("sig", q=3, pos_bucket=8)).alias("block_key")
+    ).distinct()
+    small_keys = (
+        qk_raw.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 64)
+        .select("block_key")
+    )
+    qk = qk_raw.join(small_keys, "block_key")
+    qa = qk.select(F.col("conv_id").alias("_ida"), "block_key")
+    qb = qk.select(F.col("conv_id").alias("_idb"), "block_key")
+    qg = (
+        qa.join(qb, "block_key")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+        .select("id_a", "id_b", F.lit(2).alias("scheme"))
+    )
+    snm = (
+        sorted_neighborhood_pairs(ents, "sig", window=4)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+        .select("id_a", "id_b", F.lit(4).alias("scheme"))
+    )
+    uni = dele.unionByName(qg).unionByName(snm)
+    return uni.groupBy("id_a", "id_b").agg(
+        F.sum("scheme").cast("int").alias("schemes"),
+        F.count(F.lit(1)).cast("int").alias("n_schemes"),
+    )
+
+
 def q_block_keys_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic (American Soundex) blocking keys over the word dictionary
     (functions.blocking.phonetic_key = JVM built-in soundex): the classic
@@ -1618,6 +1693,77 @@ SELECT a.term AS term_a, b.term AS term_b,
        CAST(least(levenshtein(a.term, b.term), 3) AS INT) AS distance
 FROM skeys a JOIN skeys b ON a.block_key = b.block_key AND a.term < b.term"""
 
+# Star clustering: centers = nodes with no smaller-id neighbor; members
+# attach to their smallest center neighbor, else self. No recursion — the
+# whole assignment is two aggregates and three joins, mirrored exactly.
+LINKAGE_ORACLES["clusters_star"] = DUCK_TRANSCRIPTS + """
+, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+min_nb AS (SELECT src, min(dst) AS min_nb FROM sym GROUP BY src),
+centers AS (
+  SELECT c.conv_id FROM canonical2 c LEFT JOIN min_nb m ON m.src = c.conv_id
+  WHERE m.min_nb IS NULL OR m.min_nb > c.conv_id
+),
+center_nb AS (
+  SELECT e.src, min(e.dst) AS star_nb
+  FROM sym e JOIN centers ct ON ct.conv_id = e.dst
+  GROUP BY e.src
+)
+SELECT c.conv_id,
+       CASE WHEN ct.conv_id IS NOT NULL THEN c.conv_id
+            ELSE coalesce(cb.star_nb, c.conv_id) END AS star_id
+FROM canonical2 c
+LEFT JOIN centers ct ON ct.conv_id = c.conv_id
+LEFT JOIN center_nb cb ON cb.src = c.conv_id"""
+
+# Blocking union with provenance: deletion sig keys (bit 1), positional
+# sig q-grams (bit 2, mirroring functions.blocking.qgram_keys), width-4
+# sorted neighborhood (bit 4); bitmask = sum over distinct-per-scheme pairs.
+LINKAGE_ORACLES["candidate_pairs_union"] = DUCK_TRANSCRIPTS + f"""
+, qkeys_raw AS (
+  SELECT DISTINCT conv_id, block_key FROM (
+    SELECT conv_id,
+           CASE WHEN length(sig) < 3 THEN '0|' || sig
+                ELSE CAST(CAST(floor((p - 1) / 8) AS INT) AS VARCHAR) || '|' || substring(sig, CAST(p AS INT), 3)
+           END AS block_key
+    FROM (
+      SELECT conv_id, sig,
+             unnest(range(1, CASE WHEN length(sig) < 3 THEN 2 ELSE length(sig) - 1 END)) AS p
+      FROM canonical2
+    )
+  )
+),
+qkeys AS (
+  SELECT conv_id, block_key FROM qkeys_raw
+  WHERE block_key IN (
+    SELECT block_key FROM qkeys_raw GROUP BY block_key HAVING count(*) <= 64
+  )
+),
+qpairs AS (
+  SELECT DISTINCT least(a.conv_id, b.conv_id) AS id_a,
+                  greatest(a.conv_id, b.conv_id) AS id_b
+  FROM qkeys a JOIN qkeys b ON a.block_key = b.block_key AND a.conv_id < b.conv_id
+),
+rnk AS (
+  SELECT conv_id, row_number() OVER (ORDER BY sig, conv_id) AS r
+  FROM canonical2
+),
+spairs AS (
+  SELECT DISTINCT least(a.conv_id, b.conv_id) AS id_a,
+                  greatest(a.conv_id, b.conv_id) AS id_b
+  FROM rnk a JOIN rnk b ON b.r > a.r AND b.r <= a.r + 3
+),
+uni AS (
+  SELECT id_a, id_b, 1 AS scheme FROM cand_pairs
+  UNION ALL SELECT id_a, id_b, 2 FROM qpairs
+  UNION ALL SELECT id_a, id_b, 4 FROM spairs
+)
+SELECT id_a, id_b, CAST(sum(scheme) AS INT) AS schemes,
+       CAST(count(*) AS INT) AS n_schemes
+FROM uni GROUP BY id_a, id_b"""
+
 # Two-level nested clustering: two recursive reach CTEs over the strict
 # (distance<=1) and pipeline (distance<=2) edge sets.
 LINKAGE_ORACLES["clusters_multilevel"] = DUCK_TRANSCRIPTS + """,
@@ -1773,6 +1919,8 @@ LINKAGE_QUERIES = {
     "eval_threshold_sweep": q_eval_threshold_sweep,
     "block_keys_phonetic": q_block_keys_phonetic,
     "candidate_pairs_phonetic": q_candidate_pairs_phonetic,
+    "clusters_star": q_clusters_star,
+    "candidate_pairs_union": q_candidate_pairs_union,
 }
 
 

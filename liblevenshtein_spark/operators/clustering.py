@@ -205,3 +205,55 @@ def fold_clusters(entities: DataFrame, assignment: DataFrame,
     edges = prior.unionByName(new_matches.select("id_a", "id_b"))
     return assign_clusters(entities, edges, id_col, max_iterations,
                            small_graph_edges=small_graph_edges)
+
+
+def star_clusters(entities: DataFrame, matches: DataFrame,
+                  id_col: str = "conv_id") -> DataFrame:
+    """Deterministic one-hop star clustering (the CENTER family, Haveliwala
+    et al. 2000, with document order replaced by id order so the result is
+    order-free and cross-engine reproducible): centers are the nodes with
+    no smaller-id neighbor, every other node attaches to its smallest
+    center neighbor, and nodes with no center neighbor fall back to
+    self-centers.
+
+    The semantic complement to transitive-closure CC (`assign_clusters`):
+    CC chains a–b–c into one entity even when d(a,c) > n, so a single
+    noisy edge can weld mega-clusters; star clusters have diameter <= 2
+    (every member is a DIRECT match of its center), the standard
+    mega-cluster mitigation in web-scale ER.
+
+    Physically this is a FIXED 3-join dataflow — two hash aggregations and
+    three key joins, no driver-side iteration at all (CC needs
+    O(log n) rounds) — so it also serves as the bounded-latency clustering
+    path for streaming folds. No two centers are ever adjacent (a center
+    has no smaller neighbor, so a neighboring center would contradict
+    whichever id is larger), which makes the assignment well-defined.
+    """
+    sym = matches.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        matches.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    min_nb = sym.groupBy("src").agg(F.min("dst").alias("min_nb"))
+    nodes = entities.select(F.col(id_col))
+    centers = (
+        nodes.join(min_nb, nodes[id_col] == min_nb["src"], "left")
+        .filter(F.col("min_nb").isNull() | (F.col("min_nb") > F.col(id_col)))
+        .select(id_col)
+    )
+    center_nb = (
+        sym.join(centers.select(F.col(id_col).alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.min("dst").alias("star_nb"))
+    )
+    is_center = centers.withColumn("_c", F.lit(1))
+    return (
+        nodes.join(is_center, id_col, "left")
+        .join(center_nb, nodes[id_col] == center_nb["src"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_c").isNotNull(), F.col(id_col))
+            .otherwise(F.coalesce(F.col("star_nb"), F.col(id_col)))
+            .alias("star_id"),
+        )
+    )

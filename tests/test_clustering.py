@@ -155,3 +155,53 @@ def test_fold_clusters_empty_batch_is_identity(spark):
     empty = spark.createDataFrame([], "id_a string, id_b string")
     got = {r.conv_id: r.cluster_id for r in fold_clusters(nodes_df, prior, empty).collect()}
     assert got == {r.conv_id: r.cluster_id for r in prior.collect()}
+
+
+class TestStarClusters:
+    """star_clusters: deterministic CENTER-by-id semantics — diameter <= 2,
+    no two adjacent centers, unassigned chain tails self-center."""
+
+    def _run(self, spark, ids, edges):
+        from liblevenshtein_spark.operators.clustering import star_clusters
+
+        entities = spark.createDataFrame([(i,) for i in ids], ["conv_id"])
+        matches = spark.createDataFrame(edges, ["id_a", "id_b"])
+        return {
+            r["conv_id"]: r["star_id"]
+            for r in star_clusters(entities, matches).collect()
+        }
+
+    def test_triangle_one_star(self, spark):
+        got = self._run(spark, ["a", "b", "c"], [("a", "b"), ("a", "c"), ("b", "c")])
+        assert got == {"a": "a", "b": "a", "c": "a"}
+
+    def test_chain_splits_unlike_cc(self, spark):
+        # a-b-c chain: a centers, b attaches to a, c has NO center neighbor
+        # (b is not a center) so c self-centers — CC would weld all three
+        got = self._run(spark, ["a", "b", "c"], [("a", "b"), ("b", "c")])
+        assert got == {"a": "a", "b": "a", "c": "c"}
+
+    def test_isolated_nodes_are_singleton_centers(self, spark):
+        got = self._run(spark, ["a", "b", "z"], [("a", "b")])
+        assert got["z"] == "z"
+
+    def test_member_attaches_to_smallest_center(self, spark):
+        # x neighbors two centers a and c (a < c): x must pick a
+        got = self._run(spark, ["a", "c", "x"], [("a", "x"), ("c", "x")])
+        assert got["x"] == "a"
+        assert got["a"] == "a" and got["c"] == "c"
+
+    def test_members_attach_to_direct_neighbors_only(self, spark):
+        # the diameter <= 2 guarantee: every node's star_id is itself or a
+        # DIRECT match neighbor (CC would let n7 reach n0 through the chain)
+        ids = [f"n{i}" for i in range(8)]
+        edges = [(ids[i], ids[i + 1]) for i in range(7)]
+        got = self._run(spark, ids, edges)
+        sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+        for node, star in got.items():
+            assert star == node or (node, star) in sym
+        # and TRUE centers (no smaller-id neighbor) are never adjacent:
+        # n0 is the only true center in the chain
+        true_centers = {n for n in ids
+                        if not any(b < n for a, b in sym if a == n)}
+        assert true_centers == {"n0"}
