@@ -784,6 +784,29 @@ def q_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_clusters(entities, matches)
 
 
+def q_eval_bcubed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed of STAR clustering vs gold identity on the same strict
+    (distance<=1) match graph `eval_bcubed` scores CC on — the
+    quantitative half of the CC-vs-star decision: star's diameter-<=2
+    guarantee trades recall (chains split) for precision (no noisy-edge
+    mega-cluster welds), and this entry puts exact numbers on that trade
+    so an operator can pick a clustering per workload from the gate
+    artifacts instead of folklore."""
+    from .operators.clustering import star_clusters
+
+    matches1 = (
+        q_score_pairs(spark, sf_dir)
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b")
+    )
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    pred = star_clusters(entities, matches1).select(
+        "conv_id", F.col("star_id").alias("cluster_id")
+    )
+    rec = pred.withColumn("gold_id", F.expr("substring(conv_id, 2)"))
+    return bcubed(rec)
+
+
 def q_candidate_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-scheme blocking union with per-pair provenance: the deletion
     neighborhood (bit 1), positional sig q-grams (bit 2), and the
@@ -1718,6 +1741,56 @@ FROM canonical2 c
 LEFT JOIN centers ct ON ct.conv_id = c.conv_id
 LEFT JOIN center_nb cb ON cb.src = c.conv_id"""
 
+# B-cubed of star clustering on the strict (distance<=1) graph: the star
+# assignment replaces eval_bcubed's recursive-CC reach, same contingency
+# decomposition tail.
+LINKAGE_ORACLES["eval_bcubed_star"] = DUCK_TRANSCRIPTS + """
+, matches1 AS (SELECT id_a, id_b FROM scored WHERE distance <= 1),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM matches1
+  UNION ALL SELECT id_b, id_a FROM matches1
+),
+min_nb AS (SELECT src, min(dst) AS min_nb FROM sym GROUP BY src),
+centers AS (
+  SELECT c.conv_id FROM canonical2 c LEFT JOIN min_nb m ON m.src = c.conv_id
+  WHERE m.min_nb IS NULL OR m.min_nb > c.conv_id
+),
+center_nb AS (
+  SELECT e.src, min(e.dst) AS star_nb
+  FROM sym e JOIN centers ct ON ct.conv_id = e.dst
+  GROUP BY e.src
+),
+rec AS (
+  SELECT c.conv_id,
+         CASE WHEN ct.conv_id IS NOT NULL THEN c.conv_id
+              ELSE coalesce(cb.star_nb, c.conv_id) END AS cluster_id,
+         substring(c.conv_id, 2) AS gold_id
+  FROM canonical2 c
+  LEFT JOIN centers ct ON ct.conv_id = c.conv_id
+  LEFT JOIN center_nb cb ON cb.src = c.conv_id
+),
+cg AS (
+  SELECT cluster_id, gold_id, count(*) AS n_cg
+  FROM rec GROUP BY cluster_id, gold_id
+),
+cs AS (SELECT cluster_id, sum(n_cg) AS n_c FROM cg GROUP BY cluster_id),
+gs AS (SELECT gold_id, sum(n_cg) AS n_g FROM cg GROUP BY gold_id),
+pr AS (
+  SELECT CAST(sum(n_cg) AS BIGINT) AS n_entities,
+         sum(CAST(n_cg AS DOUBLE) * n_cg / n_c) AS sp,
+         sum(CAST(n_cg AS DOUBLE) * n_cg / n_g) AS sr
+  FROM cg JOIN cs USING (cluster_id) JOIN gs USING (gold_id)
+),
+fin AS (
+  SELECT n_entities, sp / n_entities AS p, sr / n_entities AS r FROM pr
+)
+SELECT n_entities,
+       round(p + 0.000000001, 4) AS bcubed_precision,
+       round(r + 0.000000001, 4) AS bcubed_recall,
+       round(CASE WHEN p + r = 0 THEN 0
+                  ELSE 2 * p * r / (p + r) END + 0.000000001, 4) AS bcubed_f1
+FROM fin"""
+
 # Blocking union with provenance: deletion sig keys (bit 1), positional
 # sig q-grams (bit 2, mirroring functions.blocking.qgram_keys), width-4
 # sorted neighborhood (bit 4); bitmask = sum over distinct-per-scheme pairs.
@@ -1921,6 +1994,7 @@ LINKAGE_QUERIES = {
     "candidate_pairs_phonetic": q_candidate_pairs_phonetic,
     "clusters_star": q_clusters_star,
     "candidate_pairs_union": q_candidate_pairs_union,
+    "eval_bcubed_star": q_eval_bcubed_star,
 }
 
 
