@@ -70,14 +70,49 @@ def candidate_pairs(
     side is tens of keys per entity — re-evaluating it 3x dominated the
     blocking stage at the 210k-entity smoke scale). On a cluster this is
     the natural place for an Iceberg/parquet intermediate instead."""
-    build = build.localCheckpoint(eager=True)
-    probe = probe.localCheckpoint(eager=True)
+    if build is probe:
+        # deletion scheme: FastSS neighborhoods are symmetric and block_keys
+        # returns the SAME frame for both roles — one materialization, not
+        # two identical ones
+        build = probe = build.localCheckpoint(eager=True)
+    else:
+        # one side-tagged checkpoint instead of two: both key explosions
+        # materialize in a single job (fixed per-job cost is the dominant
+        # term at benchmark scale; at cluster scale it is one intermediate
+        # table instead of two)
+        tagged = (
+            build.select(id_col, "block_key", F.lit(0).alias("_side"))
+            .unionByName(probe.select(id_col, "block_key", F.lit(1).alias("_side")))
+            .localCheckpoint(eager=True)
+        )
+        build = tagged.filter(F.col("_side") == 0).drop("_side")
+        probe = tagged.filter(F.col("_side") == 1).drop("_side")
     t = conf.hot_key_threshold
     hot_keys = (
         _key_counts(build, "c_build")
         .join(_key_counts(probe, "c_probe"), "block_key")
         .filter((F.col("c_build") > t) | (F.col("c_probe") > t))
     )
+
+    # Bounded existence probe (1-row limit on the tiny key-count agg, same
+    # pattern as the CC size probe): on an unskewed corpus there are NO hot
+    # keys, and the salted branch would still cost two broadcast left_anti
+    # scans of the full key tables, the empty hot-join sub-plan, and the
+    # union — skip straight to the plain equi-join. Logically identical:
+    # with hot_keys empty, left_anti passes everything through and hot_pairs
+    # is empty. The salted decomposition below is unchanged when skew exists
+    # (the candidate_pairs_salted gate entry forces it via a low threshold).
+    if not hot_keys.limit(1).count():
+        return (
+            build.select(F.col(id_col).alias("_ida"), "block_key")
+            .join(probe.select(F.col(id_col).alias("_idb"), "block_key"), "block_key")
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     cold_build = build.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
     cold_probe = probe.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
