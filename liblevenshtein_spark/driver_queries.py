@@ -821,6 +821,16 @@ def q_candidate_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig prefixes repeat heavily in real corpora, and without the cap the
     hot grams alone contribute O(hot²) pairs (measured ~100 M extrapolated
     at sf0.1). The purge keeps the scheme's pair volume ∝ corpus × cap."""
+    uni = _scheme_pairs(spark, sf_dir)
+    return uni.groupBy("id_a", "id_b").agg(
+        F.sum("scheme").cast("int").alias("schemes"),
+        F.count(F.lit(1)).cast("int").alias("n_schemes"),
+    )
+
+
+def _scheme_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, scheme) rows, one per (pair, proposing scheme):
+    deletion=1, purged sig q-grams=2, sorted-neighborhood window=4."""
     ship_package(spark)
     from .functions.blocking import qgram_keys
     from .operators.ranking import sorted_neighborhood_pairs
@@ -862,10 +872,56 @@ def q_candidate_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("id_a", "id_b", F.lit(4).alias("scheme"))
     )
-    uni = dele.unionByName(qg).unionByName(snm)
-    return uni.groupBy("id_a", "id_b").agg(
-        F.sum("scheme").cast("int").alias("schemes"),
-        F.count(F.lit(1)).cast("int").alias("n_schemes"),
+    return dele.unionByName(qg).unionByName(snm)
+
+
+def q_eval_scheme_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scheme blocking quality report — the decision table for which
+    blocking family EARNS its candidate volume: for each scheme (deletion,
+    purged sig q-grams, sorted-neighborhood) the candidate count, how many
+    brute-force-truth pairs it catches, its pairs completeness, and its
+    reduction ratio. `eval_blocking_recall` audits the production
+    (deletion) scheme alone; this extends the same two ER metrics across
+    every registered family so scheme selection is data-driven. One join
+    of the (narrow) scheme-tagged pair stream against the memoized banded
+    truth, one hash agg by scheme — no texts, no kernel."""
+    from .functions.text import gate_round4
+
+    uni = _scheme_pairs(spark, sf_dir)
+    truth = _truth_pairs(spark, sf_dir).select("id_a", "id_b").withColumn("_t", F.lit(1))
+    n_ents = _canonical(spark, sf_dir).select(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities")
+    )
+    n_truth = truth.select(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    agg = (
+        uni.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("scheme")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+            F.coalesce(F.sum(F.when(F.col("_t").isNotNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_ents))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "scheme",
+            "n_cand",
+            "n_caught",
+            gate_round4(
+                F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_caught") / F.col("n_true")
+                )
+            ).alias("pairs_completeness"),
+            gate_round4(
+                1.0
+                - F.col("n_cand")
+                / (F.col("n_entities") * (F.col("n_entities") - 1) / 2)
+            ).alias("reduction_ratio"),
+        )
+        .orderBy("scheme")
     )
 
 
@@ -1794,7 +1850,8 @@ FROM fin"""
 # Blocking union with provenance: deletion sig keys (bit 1), positional
 # sig q-grams (bit 2, mirroring functions.blocking.qgram_keys), width-4
 # sorted neighborhood (bit 4); bitmask = sum over distinct-per-scheme pairs.
-LINKAGE_ORACLES["candidate_pairs_union"] = DUCK_TRANSCRIPTS + f"""
+# The scheme CTE chain is shared with eval_scheme_quality.
+_DUCK_SCHEMES = """
 , qkeys_raw AS (
   SELECT DISTINCT conv_id, block_key FROM (
     SELECT conv_id,
@@ -1832,10 +1889,41 @@ uni AS (
   SELECT id_a, id_b, 1 AS scheme FROM cand_pairs
   UNION ALL SELECT id_a, id_b, 2 FROM qpairs
   UNION ALL SELECT id_a, id_b, 4 FROM spairs
-)
+)"""
+
+LINKAGE_ORACLES["candidate_pairs_union"] = DUCK_TRANSCRIPTS + _DUCK_SCHEMES + """
 SELECT id_a, id_b, CAST(sum(scheme) AS INT) AS schemes,
        CAST(count(*) AS INT) AS n_schemes
 FROM uni GROUP BY id_a, id_b"""
+
+# Per-scheme blocking quality: the union's scheme-tagged pair stream left-
+# joined against the banded truth, one agg by scheme; same completeness /
+# reduction-ratio encoding as eval_blocking_recall.
+LINKAGE_ORACLES["eval_scheme_quality"] = DUCK_TRANSCRIPTS + _DUCK_SCHEMES + """,
+truth AS (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM canonical2 ca JOIN canonical2 cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM canonical2) AS n_entities,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true
+),
+agg AS (
+  SELECT u.scheme,
+         CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_caught
+  FROM uni u LEFT JOIN truth t ON t.id_a = u.id_a AND t.id_b = u.id_b
+  GROUP BY u.scheme
+)
+SELECT scheme, n_cand, n_caught,
+       round(CASE WHEN n_true = 0 THEN 1.0
+                  ELSE CAST(n_caught AS DOUBLE) / n_true END + 0.000000001, 4) AS pairs_completeness,
+       round(1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_entities AS DOUBLE) * (n_entities - 1) / 2)
+             + 0.000000001, 4) AS reduction_ratio
+FROM agg CROSS JOIN consts
+ORDER BY scheme"""
 
 # Two-level nested clustering: two recursive reach CTEs over the strict
 # (distance<=1) and pipeline (distance<=2) edge sets.
@@ -1995,6 +2083,7 @@ LINKAGE_QUERIES = {
     "clusters_star": q_clusters_star,
     "candidate_pairs_union": q_candidate_pairs_union,
     "eval_bcubed_star": q_eval_bcubed_star,
+    "eval_scheme_quality": q_eval_scheme_quality,
 }
 
 
