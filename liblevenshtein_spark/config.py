@@ -53,6 +53,15 @@ class LinkConfig:
     arrow_batch_size: int = 10_000
     cc_max_iterations: int = 50
     checkpoint_buckets: int = 64  # resume-ledger granularity (P9)
+    # Clustering strategy (beyond the reference, which has no clustering):
+    # 'cc'   : transitive large-star/small-star connected components —
+    #          chains a-b-c merge even when d(a,c) > n (the default).
+    # 'star' : deterministic one-hop CENTER-by-id — diameter <= 2, every
+    #          member a DIRECT match of its center; the mega-cluster
+    #          mitigation choice, and a fixed 3-join dataflow with zero
+    #          driver-side iteration (see eval_bcubed_star for the
+    #          measured precision/recall trade).
+    cluster_strategy: str = "cc"
 
     fingerprint_sep: str = FINGERPRINT_SEP
 
@@ -70,6 +79,8 @@ class LinkConfig:
             )
         if self.blocking_scheme not in ("segments", "deletions"):
             raise ValueError("blocking_scheme must be 'segments' or 'deletions'")
+        if self.cluster_strategy not in ("cc", "star"):
+            raise ValueError("cluster_strategy must be 'cc' or 'star'")
 
     @property
     def effective_segments(self) -> int:

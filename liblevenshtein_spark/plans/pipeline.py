@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..config import LinkConfig
 from ..operators.candidates import block_keys, candidate_pairs
 from ..operators.canonicalize import canonicalize
-from ..operators.clustering import assign_clusters
+from ..operators.clustering import assign_clusters, star_clusters
 from ..operators.scoring import match_filter, score_pairs
 
 __all__ = ["LinkResult", "exact_groups", "run_linkage"]
@@ -72,7 +72,12 @@ def run_linkage(transcripts: DataFrame, conf: LinkConfig | None = None,
     pairs = candidate_pairs(build, probe, conf)
     scored = score_pairs(pairs, reps, conf)
     matches = match_filter(scored, conf)
-    rep_clusters = assign_clusters(reps, matches, max_iterations=conf.cc_max_iterations)
+    if conf.cluster_strategy == "star":
+        rep_clusters = star_clusters(reps.select("conv_id"), matches).withColumnRenamed(
+            "star_id", "cluster_id"
+        )
+    else:
+        rep_clusters = assign_clusters(reps, matches, max_iterations=conf.cc_max_iterations)
     if contract_exact:
         clusters = (
             membership.join(

@@ -179,3 +179,35 @@ def test_contract_exact_preserves_clusters(spark):
     rep_m = {(r.id_a, r.id_b) for r in contracted.matches.collect()}
     all_m = {(r.id_a, r.id_b) for r in plain.matches.collect()}
     assert rep_m <= all_m and len(rep_m) > 0
+
+
+def test_cluster_strategy_star(spark):
+    """run_linkage(cluster_strategy='star') produces the one-hop star
+    assignment over the same match graph: every member is a DIRECT match
+    of its center, and the match set equals the cc-strategy run's."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.plans.pipeline import run_linkage
+    from liblevenshtein_spark.sources.tables import TRANSCRIPTS_SCHEMA
+    from liblevenshtein_spark.testdata_gen import gen_transcript_rows
+
+    rows, _ = gen_transcript_rows(n_base=25, dup_fraction=0.6, max_edits=2, seed=11)
+    t = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    cc = run_linkage(t, LinkConfig(max_distance=2, cluster_strategy="cc"))
+    st = run_linkage(t, LinkConfig(max_distance=2, cluster_strategy="star"))
+    assert sorted(r["conv_id"] for r in cc.clusters.collect()) == \
+           sorted(r["conv_id"] for r in st.clusters.collect())
+    # star members attach to a direct neighbor (or themselves)
+    edges = {(r["id_a"], r["id_b"]) for r in st.matches.select("id_a", "id_b").collect()}
+    sym = edges | {(b, a) for a, b in edges}
+    for r in st.clusters.collect():
+        assert r["cluster_id"] == r["conv_id"] or (r["conv_id"], r["cluster_id"]) in sym
+    # matches identical across strategies (clustering is downstream)
+    assert cc.matches.count() == st.matches.count()
+
+
+def test_cluster_strategy_validation():
+    from liblevenshtein_spark.config import LinkConfig
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cluster_strategy"):
+        LinkConfig(cluster_strategy="bogus")
