@@ -830,7 +830,14 @@ def q_candidate_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scheme_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, scheme) rows, one per (pair, proposing scheme):
-    deletion=1, purged sig q-grams=2, sorted-neighborhood window=4."""
+    deletion=1, purged sig q-grams=2, sorted-neighborhood window=4.
+    Memoized: candidate_pairs_union and eval_scheme_quality both consume
+    it, and sorted_neighborhood_pairs eagerly runs rank jobs at plan-build
+    time on every call."""
+    return _cached_df(spark, sf_dir, "scheme_pairs", lambda: _build_scheme_pairs(spark, sf_dir))
+
+
+def _build_scheme_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     from .functions.blocking import qgram_keys
     from .operators.ranking import sorted_neighborhood_pairs
@@ -1683,11 +1690,12 @@ dots AS (
   GROUP BY p.id_a, p.id_b
 )
 SELECT p.id_a, p.id_b,
-       round(coalesce(d.dot, 0) / (na.norm * nb.norm) + 0.000000001, 4) AS cosine
+       round(CASE WHEN d.dot IS NULL THEN 0.0
+                  ELSE d.dot / (na.norm * nb.norm) END + 0.000000001, 4) AS cosine
 FROM cand_pairs p
 LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
-JOIN norms na ON na.id = p.id_a
-JOIN norms nb ON nb.id = p.id_b"""
+LEFT JOIN norms na ON na.id = p.id_a
+LEFT JOIN norms nb ON nb.id = p.id_b"""
 
 # Monge-Elkan with JW inner over first-turn tokens: inner JW rounds to 4dp
 # BEFORE the max (same tie convention as similarity_jw's rank).

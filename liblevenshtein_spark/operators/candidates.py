@@ -114,6 +114,11 @@ def candidate_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
 
+    # Skewed path: hot_keys is tiny (bounded by corpus / threshold) but is
+    # consumed by the probe above plus four joins below — checkpoint the
+    # aggregate once instead of recomputing the key-count agg per consumer.
+    hot_keys = hot_keys.localCheckpoint(eager=True)
+
     cold_build = build.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
     cold_probe = probe.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
     cold_pairs = (

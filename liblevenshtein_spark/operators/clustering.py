@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["large_star", "small_star", "connected_components", "assign_clusters",
+__all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
            "fold_clusters"]
 
 

@@ -90,16 +90,21 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"))
+    # norms join LEFT too: an entity whose text tokenizes to nothing has no
+    # norms row, and an inner join would silently DROP its pairs instead of
+    # scoring them 0.0 (dot non-null implies both norms non-null, so the
+    # null-guard collapses to one when())
     return (
         base.join(dots, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        .join(na, "id_a", "left")
+        .join(nb, "id_b", "left")
         .select(
             "id_a",
             "id_b",
             gate_round4(
-                F.coalesce(F.col("dot"), F.lit(0.0))
-                / (F.col("norm_a") * F.col("norm_b"))
+                F.when(F.col("dot").isNull(), F.lit(0.0)).otherwise(
+                    F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+                )
             ).alias("cosine"),
         )
     )

@@ -49,11 +49,19 @@ def run_linkage(transcripts: DataFrame, conf: LinkConfig | None = None,
     contract_exact=True first collapses exact-duplicate fingerprints to one
     representative per group — the dominant skew source in real transcript
     corpora (boilerplate conversations) otherwise drags a C(N,2)
-    distance-0 clique through blocking, scoring and CC. The final cluster
-    partition is PROVABLY unchanged: d(member, x) = d(rep, x) for every x,
-    member-rep edges are distance 0, and each rep is its group's minimum
-    id, so component minima (= cluster ids) are identical (equivalence
-    gated in tests/test_pipeline.py). The pairs/scored/matches frames are
+    distance-0 clique through blocking, scoring and CC. With the default
+    cc strategy the final cluster partition is PROVABLY unchanged:
+    d(member, x) = d(rep, x) for every x, member-rep edges are distance 0,
+    and each rep is its group's minimum id, so component minima (= cluster
+    ids) are identical (equivalence gated in tests/test_pipeline.py).
+    With cluster_strategy='star' that equivalence does NOT hold — the
+    contracted result is DEFINED as star clustering over distinct
+    fingerprints with members expanded into their representative's
+    cluster, which additionally guarantees exact duplicates co-cluster
+    (plain star can self-center two exact duplicates separately when
+    neither's neighborhood contains a center; see
+    tests/test_pipeline.py::test_cluster_strategy_star_contracted).
+    The pairs/scored/matches frames are
     then over representatives only — use the default when the
     member-level match set itself is the deliverable (it is inherently
     quadratic in exact-group sizes), the contracted mode when clusters

@@ -100,8 +100,13 @@ def _link_batch(
     if canon.isEmpty():
         return
     build, probe = block_fn(canon) if block_fn is not None else block_keys(canon, conf)
-    build = build.localCheckpoint(eager=True)
-    probe = probe.localCheckpoint(eager=True)
+    if build is probe:
+        # deletion scheme: keep the identity so candidate_pairs' single-
+        # materialization fast path engages instead of the tagged union
+        build = probe = build.localCheckpoint(eager=True)
+    else:
+        build = build.localCheckpoint(eager=True)
+        probe = probe.localCheckpoint(eager=True)
 
     # within-batch pairs (canonical ordering dedups symmetric hits)
     pairs = candidate_pairs(build, probe, conf)

@@ -74,6 +74,19 @@ class TestTfidfCosine:
         out = tfidf_cosine_pairs(_pairs(spark, [("a", "b"), ("a", "c")]), ents)
         assert out.count() == 2
 
+    def test_empty_token_entity_pair_kept_at_zero(self, spark):
+        # an entity whose text tokenizes to NOTHING has no norms row; the
+        # norms joins must be LEFT so its pairs score 0.0 instead of being
+        # silently dropped (code-review fix)
+        ents = _entities(spark, [("a", "red"), ("b", "   "), ("c", "\x1e")])
+        out = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(
+                _pairs(spark, [("a", "b"), ("b", "c")]), ents
+            ).collect()
+        }
+        assert out == {("a", "b"): 0.0, ("b", "c"): 0.0}
+
 
 class TestMongeElkan:
     def test_identical_token_sets(self, spark):

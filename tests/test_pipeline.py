@@ -8,6 +8,8 @@ import itertools
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from liblevenshtein_spark.config import FINGERPRINT_SEP, LinkConfig
 from liblevenshtein_spark.kernels.banded import batch_banded_distance
 from liblevenshtein_spark.plans.pipeline import run_linkage
@@ -211,3 +213,40 @@ def test_cluster_strategy_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cluster_strategy"):
         LinkConfig(cluster_strategy="bogus")
+
+
+def test_cluster_strategy_star_contracted(spark):
+    """star + contract_exact is DEFINED as star over distinct fingerprints
+    with exact-duplicate members expanded into their rep's cluster — so
+    exact duplicates ALWAYS co-cluster (a guarantee plain star lacks:
+    two exact duplicates whose neighborhood has no center self-center
+    separately)."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.plans.pipeline import run_linkage
+    from liblevenshtein_spark.sources.tables import TRANSCRIPTS_SCHEMA
+    from liblevenshtein_spark.testdata_gen import gen_transcript_rows
+
+    rows, _ = gen_transcript_rows(n_base=20, dup_fraction=0.5, max_edits=2, seed=5)
+    # plant byte-identical duplicates of some conversations' turns
+    exact = [
+        tuple([str(r[0]) + "_x0", *list(r)[1:]])
+        for r in rows
+        if str(r[0]).endswith("0") and "_dup" not in str(r[0])
+    ]
+    t = spark.createDataFrame(list(rows) + exact, TRANSCRIPTS_SCHEMA)
+    conf = LinkConfig(max_distance=2, cluster_strategy="star")
+    res = run_linkage(t, conf, contract_exact=True)
+    # exact duplicates (max_edits=0 -> dups are byte-identical) co-cluster
+    from liblevenshtein_spark.operators.canonicalize import canonicalize
+
+    canon = canonicalize(t)
+    joined = res.clusters.join(canon.select("conv_id", "fingerprint"), "conv_id")
+    n_violations = (
+        joined.groupBy("fingerprint")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert n_violations == 0
+    # all entities assigned exactly once
+    assert res.clusters.count() == canon.count()
