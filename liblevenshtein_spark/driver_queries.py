@@ -1271,6 +1271,34 @@ def _sig_block_keys(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
 # Spark callables above; the driver sorts columns by name and hashes values.
 # ---------------------------------------------------------------------------
 
+# Shared oracle fragments: the blocking-free banded truth pair set and the
+# star-assignment CTE chain (parameterized by the edge CTE) — single source
+# so engine-vs-oracle fixes cannot silently diverge across entries.
+_DUCK_TRUTH = """truth AS (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM canonical2 ca JOIN canonical2 cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+)"""
+
+
+def _duck_star(matches_cte: str) -> str:
+    return """sym AS (
+  SELECT id_a AS src, id_b AS dst FROM {m}
+  UNION ALL SELECT id_b, id_a FROM {m}
+),
+min_nb AS (SELECT src, min(dst) AS min_nb FROM sym GROUP BY src),
+centers AS (
+  SELECT c.conv_id FROM canonical2 c LEFT JOIN min_nb m ON m.src = c.conv_id
+  WHERE m.min_nb IS NULL OR m.min_nb > c.conv_id
+),
+center_nb AS (
+  SELECT e.src, min(e.dst) AS star_nb
+  FROM sym e JOIN centers ct ON ct.conv_id = e.dst
+  GROUP BY e.src
+)""".replace("{m}", matches_cte)
+
+
 LINKAGE_ORACLES: dict[str, str] = {
     "transcripts": DUCK_TRANSCRIPTS + "SELECT conv_id, turn_idx, role, text, tool FROM transcripts",
     "canonicalize": DUCK_TRANSCRIPTS + "SELECT conv_id, n_turns, fingerprint, fp_len FROM canonical2",
@@ -1430,12 +1458,7 @@ SELECT query_id, candidate, jw, rank FROM (
 ) WHERE rank <= 3""",
     "stream_linkage_matches": DUCK_TRANSCRIPTS + "SELECT id_a, id_b, distance FROM matches",
     "eval_pairwise_f1": DUCK_TRANSCRIPTS + """
-, truth AS (
-  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
-  FROM canonical2 ca JOIN canonical2 cb
-    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
-  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
-),
+, """ + _DUCK_TRUTH + """,
 conf AS (
   SELECT
     CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL AND m.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS tp,
@@ -1614,12 +1637,7 @@ FROM pw ORDER BY abs_w, id_a, id_b LIMIT 20""",
 # Blocking-stage audit: same brute-force truth CTE as eval_pairwise_f1,
 # counts over cand_pairs; float ratios via the gate_round4 convention.
 LINKAGE_ORACLES["eval_blocking_recall"] = DUCK_TRANSCRIPTS + """
-, truth AS (
-  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
-  FROM canonical2 ca JOIN canonical2 cb
-    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
-  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
-),
+, """ + _DUCK_TRUTH + """,
 agg AS (
   SELECT
     (SELECT CAST(count(*) AS BIGINT) FROM canonical2) AS n_entities,
@@ -1641,12 +1659,7 @@ FROM agg"""
 # joined against the scored stream ONCE, then unnested over the threshold
 # list — mirrors metrics.threshold_sweep's broadcast-cross-join plan.
 LINKAGE_ORACLES["eval_threshold_sweep"] = DUCK_TRANSCRIPTS + """
-, truth AS (
-  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
-  FROM canonical2 ca JOIN canonical2 cb
-    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
-  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
-),
+, """ + _DUCK_TRUTH + """,
 joined AS (
   SELECT (t.id_a IS NOT NULL) AS is_t, s.distance AS d
   FROM truth t FULL OUTER JOIN scored s ON t.id_a = s.id_a AND t.id_b = s.id_b
@@ -1784,20 +1797,7 @@ FROM skeys a JOIN skeys b ON a.block_key = b.block_key AND a.term < b.term"""
 # attach to their smallest center neighbor, else self. No recursion — the
 # whole assignment is two aggregates and three joins, mirrored exactly.
 LINKAGE_ORACLES["clusters_star"] = DUCK_TRANSCRIPTS + """
-, sym AS (
-  SELECT id_a AS src, id_b AS dst FROM matches
-  UNION ALL SELECT id_b, id_a FROM matches
-),
-min_nb AS (SELECT src, min(dst) AS min_nb FROM sym GROUP BY src),
-centers AS (
-  SELECT c.conv_id FROM canonical2 c LEFT JOIN min_nb m ON m.src = c.conv_id
-  WHERE m.min_nb IS NULL OR m.min_nb > c.conv_id
-),
-center_nb AS (
-  SELECT e.src, min(e.dst) AS star_nb
-  FROM sym e JOIN centers ct ON ct.conv_id = e.dst
-  GROUP BY e.src
-)
+, """ + _duck_star("matches") + """
 SELECT c.conv_id,
        CASE WHEN ct.conv_id IS NOT NULL THEN c.conv_id
             ELSE coalesce(cb.star_nb, c.conv_id) END AS star_id
@@ -1810,20 +1810,7 @@ LEFT JOIN center_nb cb ON cb.src = c.conv_id"""
 # decomposition tail.
 LINKAGE_ORACLES["eval_bcubed_star"] = DUCK_TRANSCRIPTS + """
 , matches1 AS (SELECT id_a, id_b FROM scored WHERE distance <= 1),
-sym AS (
-  SELECT id_a AS src, id_b AS dst FROM matches1
-  UNION ALL SELECT id_b, id_a FROM matches1
-),
-min_nb AS (SELECT src, min(dst) AS min_nb FROM sym GROUP BY src),
-centers AS (
-  SELECT c.conv_id FROM canonical2 c LEFT JOIN min_nb m ON m.src = c.conv_id
-  WHERE m.min_nb IS NULL OR m.min_nb > c.conv_id
-),
-center_nb AS (
-  SELECT e.src, min(e.dst) AS star_nb
-  FROM sym e JOIN centers ct ON ct.conv_id = e.dst
-  GROUP BY e.src
-),
+""" + _duck_star("matches1") + """,
 rec AS (
   SELECT c.conv_id,
          CASE WHEN ct.conv_id IS NOT NULL THEN c.conv_id
@@ -1908,12 +1895,7 @@ FROM uni GROUP BY id_a, id_b"""
 # joined against the banded truth, one agg by scheme; same completeness /
 # reduction-ratio encoding as eval_blocking_recall.
 LINKAGE_ORACLES["eval_scheme_quality"] = DUCK_TRANSCRIPTS + _DUCK_SCHEMES + """,
-truth AS (
-  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
-  FROM canonical2 ca JOIN canonical2 cb
-    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
-  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
-),
+""" + _DUCK_TRUTH + """,
 consts AS (
   SELECT (SELECT CAST(count(*) AS BIGINT) FROM canonical2) AS n_entities,
          (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--max-distance", type=int, default=2)
     ap.add_argument("--blocking-scheme", default="segments",
                     choices=["segments", "deletions"])
+    ap.add_argument("--cluster-strategy", default="cc", choices=["cc", "star"],
+                    help="cc: transitive connected components; star: one-hop "
+                         "diameter<=2 star clustering (mega-cluster mitigation)")
+    ap.add_argument("--contract-exact", action="store_true",
+                    help="collapse exact-duplicate fingerprints before linkage")
     args = ap.parse_args()
 
     # master/executors come from spark-submit; only job-level conf here
@@ -49,8 +54,10 @@ def main() -> None:
     from liblevenshtein_spark.plans.pipeline import run_linkage
 
     conf = LinkConfig(algorithm=args.algorithm, max_distance=args.max_distance,
-                      blocking_scheme=args.blocking_scheme)
-    res = run_linkage(spark.read.parquet(args.input), conf)
+                      blocking_scheme=args.blocking_scheme,
+                      cluster_strategy=args.cluster_strategy)
+    res = run_linkage(spark.read.parquet(args.input), conf,
+                      contract_exact=args.contract_exact)
     res.matches.write.mode("overwrite").parquet(f"{args.output}/matches")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     n_m = spark.read.parquet(f"{args.output}/matches").count()
