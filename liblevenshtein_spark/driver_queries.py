@@ -848,9 +848,12 @@ def _build_scheme_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ents = _canonical(spark, sf_dir).select(
         "conv_id", F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig")
     )
+    # materialized once: consumed by both the small_keys aggregation and
+    # the purge join below, which would otherwise re-run the q-gram explode
+    # + distinct shuffle twice inside this one build
     qk_raw = ents.select(
         "conv_id", F.explode(qgram_keys("sig", q=3, pos_bucket=8)).alias("block_key")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     small_keys = (
         qk_raw.groupBy("block_key")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -863,10 +866,7 @@ def _build_scheme_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     qg = (
         qa.join(qb, "block_key")
         .filter(F.col("_ida") < F.col("_idb"))
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-        )
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
         .distinct()
         .select("id_a", "id_b", F.lit(2).alias("scheme"))
     )
@@ -1735,8 +1735,12 @@ ba AS (
     SELECT id_a, id_b, tok_b, max(jw) AS best FROM crossed GROUP BY id_a, id_b, tok_b
   ) GROUP BY id_a, id_b
 )
-SELECT ab.id_a, ab.id_b, round((me_ab + me_ba) / 2.0 + 0.000000001, 4) AS me_sim
-FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b"""
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN ab.me_ab IS NULL THEN 0.0
+                  ELSE (ab.me_ab + ba.me_ba) / 2.0 END + 0.000000001, 4) AS me_sim
+FROM cand_pairs p
+LEFT JOIN ab ON ab.id_a = p.id_a AND ab.id_b = p.id_b
+LEFT JOIN ba ON ba.id_a = p.id_a AND ba.id_b = p.id_b"""
 
 # American Soundex in set-based SQL, mirroring Spark's UTF8String.soundex:
 # letter->digit map with H/W coded 7 and dropped (transparent — same codes

@@ -94,14 +94,21 @@ def candidate_pairs(
         .filter((F.col("c_build") > t) | (F.col("c_probe") > t))
     )
 
-    # Bounded existence probe (1-row limit on the tiny key-count agg, same
-    # pattern as the CC size probe): on an unskewed corpus there are NO hot
-    # keys, and the salted branch would still cost two broadcast left_anti
-    # scans of the full key tables, the empty hot-join sub-plan, and the
-    # union — skip straight to the plain equi-join. Logically identical:
-    # with hot_keys empty, left_anti passes everything through and hot_pairs
-    # is empty. The salted decomposition below is unchanged when skew exists
-    # (the candidate_pairs_salted gate entry forces it via a low threshold).
+    # Materialize the (tiny, bounded by corpus / threshold) hot-key
+    # aggregate ONCE: the existence probe reads it for free, and on the
+    # skewed path the four joins below reuse it instead of re-running the
+    # key-count aggregation per consumer.
+    hot_keys = hot_keys.localCheckpoint(eager=True)
+
+    # Bounded existence probe (1-row limit on the materialized key-count
+    # agg, same pattern as the CC size probe): on an unskewed corpus there
+    # are NO hot keys, and the salted branch would still cost two broadcast
+    # left_anti scans of the full key tables, the empty hot-join sub-plan,
+    # and the union — skip straight to the plain equi-join. Logically
+    # identical: with hot_keys empty, left_anti passes everything through
+    # and hot_pairs is empty. The salted decomposition below is unchanged
+    # when skew exists (the candidate_pairs_salted gate entry forces it via
+    # a low threshold).
     if not hot_keys.limit(1).count():
         return (
             build.select(F.col(id_col).alias("_ida"), "block_key")
@@ -113,11 +120,6 @@ def candidate_pairs(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-
-    # Skewed path: hot_keys is tiny (bounded by corpus / threshold) but is
-    # consumed by the probe above plus four joins below — checkpoint the
-    # aggregate once instead of recomputing the key-count agg per consumer.
-    hot_keys = hot_keys.localCheckpoint(eager=True)
 
     cold_build = build.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
     cold_probe = probe.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")

@@ -185,6 +185,12 @@ def monge_elkan_pairs(
     )
     # exactly two me_dir values per pair; a two-term IEEE sum is
     # order-independent, so the final round4 is deterministic
-    return per_dir.groupBy("id_a", "id_b").agg(
+    me = per_dir.groupBy("id_a", "id_b").agg(
         gate_round4(F.sum("me_dir") / 2.0).alias("me_sim")
+    )
+    # re-attach from the pair stream LEFT so a pair whose entity has no
+    # head tokens scores 0.0 instead of vanishing (same zero-token contract
+    # as tfidf_cosine_pairs)
+    return base.join(me, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce(F.col("me_sim"), F.lit(0.0)).alias("me_sim")
     )

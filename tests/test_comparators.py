@@ -165,3 +165,17 @@ class TestPhoneticKey:
         codes = {r["term"]: r["k"] for r in df.collect()}
         assert codes["smith"] == codes["smitha"]
         assert codes["blue"] == codes["bluea"]
+
+
+def test_me_empty_token_entity_pair_kept_at_zero(spark):
+    # same zero-token contract as tfidf: a pair whose entity's head text
+    # tokenizes to nothing scores 0.0 instead of being dropped
+    from liblevenshtein_spark.operators.comparators import monge_elkan_pairs
+
+    ents = spark.createDataFrame(
+        [("a", "alpha"), ("b", "   "), ("c", "\x1e")], ["conv_id", "fingerprint"]
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["me_sim"]
+           for r in monge_elkan_pairs(pairs, ents).collect()}
+    assert out == {("a", "b"): 0.0, ("b", "c"): 0.0}
