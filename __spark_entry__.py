@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # epoch-microsecond bigints), then round-3 additions, then the 27 entries the
 # r02 snapshot missed — followed by the 49 already-green ones.
 _PRIORITY = [
+    "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",
     "clusters_star",

@@ -771,6 +771,58 @@ def q_similarity_me(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan_pairs(pairs, canon, sep=SEP, head_chars=TURN_WIDTH)
 
 
+def q_similarity_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble match score over the scored pair stream — the standard ER
+    practice (Magellan-style feature fusion) of combining comparator
+    FAMILIES so no single failure mode owns the decision: banded-Levenshtein
+    similarity on full fingerprints (edit structure), Jaro-Winkler on the
+    16-char sigs (prefix-weighted short-string), and token TF-IDF cosine
+    (rare-vocabulary affinity), fused with fixed weights 0.5/0.2/0.3.
+    Every component is round4'd BEFORE the weighted sum (the repo's
+    cross-engine float convention); cost is one pass per comparator over
+    the already-blocked stream, nothing quadratic."""
+    from .operators.comparators import tfidf_cosine_pairs
+    from .operators.scoring import jaro_winkler_udf, normalized_similarity
+
+    ship_package(spark)
+    scored = q_score_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir)
+    lev = normalized_similarity(
+        scored, canon.select("conv_id", "fingerprint")
+    ).select("id_a", "id_b", gate_round4(F.col("similarity")).alias("sim_lev"))
+    sigs = canon.select(
+        "conv_id", F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig")
+    )
+    sa = sigs.select(F.col("conv_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("conv_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    jw = jaro_winkler_udf()
+    jws = (
+        scored.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", gate_round4(jw(F.col("sig_a"), F.col("sig_b"))).alias("sim_jw")
+        )
+    )
+    cos = tfidf_cosine_pairs(q_candidate_pairs(spark, sf_dir), canon, sep=SEP).select(
+        "id_a", "id_b", F.col("cosine").alias("sim_tfidf")
+    )
+    return (
+        lev.join(jws, ["id_a", "id_b"])
+        .join(cos, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "sim_lev",
+            "sim_jw",
+            "sim_tfidf",
+            gate_round4(
+                0.5 * F.col("sim_lev") + 0.2 * F.col("sim_jw") + 0.3 * F.col("sim_tfidf")
+            ).alias("fused"),
+        )
+    )
+
+
 def q_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic star clustering (operators.clustering.star_clusters)
     over the match graph — the bounded-diameter complement to transitive
@@ -1681,7 +1733,7 @@ FROM agg"""
 # TF-IDF cosine soft comparator: the exact smoothed-idf formula of
 # comparators.tfidf_cosine_pairs (ln((N+1)/(df+1)) + 1), sparse dot product
 # as an (id, token) equi-join from the candidate pairs; gate_round4 rounding.
-LINKAGE_ORACLES["similarity_tfidf"] = DUCK_TRANSCRIPTS + """
+_DUCK_TFIDF = """
 , toks AS (
   SELECT conv_id AS id,
          unnest(list_filter(regexp_split_to_array(replace(fingerprint, chr(30), ' '), '\\s+'), x -> x <> '')) AS token
@@ -1701,14 +1753,38 @@ dots AS (
   JOIN w wa ON wa.id = p.id_a
   JOIN w wb ON wb.id = p.id_b AND wb.token = wa.token
   GROUP BY p.id_a, p.id_b
+),
+cosv AS (
+  SELECT p.id_a, p.id_b,
+         round(CASE WHEN d.dot IS NULL THEN 0.0
+                    ELSE d.dot / (na.norm * nb.norm) END + 0.000000001, 4) AS cosine
+  FROM cand_pairs p
+  LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+  LEFT JOIN norms na ON na.id = p.id_a
+  LEFT JOIN norms nb ON nb.id = p.id_b
+)"""
+
+LINKAGE_ORACLES["similarity_tfidf"] = (
+    DUCK_TRANSCRIPTS + _DUCK_TFIDF
+    + "SELECT id_a, id_b, cosine FROM cosv"
 )
-SELECT p.id_a, p.id_b,
-       round(CASE WHEN d.dot IS NULL THEN 0.0
-                  ELSE d.dot / (na.norm * nb.norm) END + 0.000000001, 4) AS cosine
-FROM cand_pairs p
-LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
-LEFT JOIN norms na ON na.id = p.id_a
-LEFT JOIN norms nb ON nb.id = p.id_b"""
+
+# Ensemble fusion: lev-similarity + sig-JW + tfidf cosine, each round4'd
+# before the fixed-weight sum (0.5/0.2/0.3), over the scored pair stream.
+LINKAGE_ORACLES["similarity_fused"] = DUCK_TRANSCRIPTS + _DUCK_TFIDF + """,
+sims AS (
+  SELECT s.id_a, s.id_b,
+         round(CASE WHEN greatest(ca.fp_len, cb.fp_len) = 0 THEN 1.0
+               ELSE 1.0 - CAST(s.distance AS DOUBLE) / greatest(ca.fp_len, cb.fp_len)
+               END + 0.000000001, 4) AS sim_lev,
+         round(jaro_winkler_similarity(ca.sig, cb.sig) + 0.000000001, 4) AS sim_jw
+  FROM scored s
+  JOIN canonical2 ca ON ca.conv_id = s.id_a
+  JOIN canonical2 cb ON cb.conv_id = s.id_b
+)
+SELECT s.id_a, s.id_b, s.sim_lev, s.sim_jw, c.cosine AS sim_tfidf,
+       round(0.5 * s.sim_lev + 0.2 * s.sim_jw + 0.3 * c.cosine + 0.000000001, 4) AS fused
+FROM sims s JOIN cosv c ON c.id_a = s.id_a AND c.id_b = s.id_b"""
 
 # Monge-Elkan with JW inner over first-turn tokens: inner JW rounds to 4dp
 # BEFORE the max (same tie convention as similarity_jw's rank).
@@ -2078,6 +2154,7 @@ LINKAGE_QUERIES = {
     "candidate_pairs_union": q_candidate_pairs_union,
     "eval_bcubed_star": q_eval_bcubed_star,
     "eval_scheme_quality": q_eval_scheme_quality,
+    "similarity_fused": q_similarity_fused,
 }
 
 

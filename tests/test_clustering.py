@@ -205,3 +205,33 @@ class TestStarClusters:
         true_centers = {n for n in ids
                         if not any(b < n for a, b in sym if a == n)}
         assert true_centers == {"n0"}
+
+
+def test_star_clusters_order_invariant(spark):
+    """star_clusters must be a pure function of the (entities, matches)
+    SETS — invariant to input row order and partitioning (it composes only
+    min-aggregations and joins, no order-sensitive ops)."""
+    import random
+
+    from liblevenshtein_spark.operators.clustering import star_clusters
+
+    rng = random.Random(13)
+    ids = [f"e{i:03d}" for i in range(60)]
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.sample(ids, 2)
+        edges.add((min(a, b), max(a, b)))
+    edge_list = sorted(edges)
+
+    def run(order, parts):
+        e = spark.createDataFrame(order, ["id_a", "id_b"]).repartition(parts)
+        n = spark.createDataFrame([(i,) for i in ids], ["conv_id"]).repartition(parts)
+        return {
+            r["conv_id"]: r["star_id"] for r in star_clusters(n, e).collect()
+        }
+
+    base = run(edge_list, 4)
+    assert run(list(reversed(edge_list)), 7) == base
+    shuffled = edge_list[:]
+    rng.shuffle(shuffled)
+    assert run(shuffled, 1) == base
