@@ -43,13 +43,23 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The round-2 driver capture recorded only the FIRST 50 registered entries
-# (CORRECTNESS_r02), leaving the 27 newest without a driver row. Registration
-# order is therefore a deliverable: entries that still need a driver row go
-# FIRST — the one previously-red entry (event_sessions, now re-emitted as
-# epoch-microsecond bigints), then round-3 additions, then the 27 entries the
-# r02 snapshot missed — followed by the 49 already-green ones.
+# The driver capture window records only the FIRST ~50 registered entries, so
+# registration order is a deliverable.  Round-4 order per the r03 verdict:
+# (1) event_sessions — red for three rounds; the r04 fix casts the oracle's
+#     sum(cents) to BIGINT (DuckDB sum(BIGINT) returns HUGEINT, which the
+#     driver's Arrow-side hasher renders as decimal128 and mismatches);
+# (2) the five entries that have never had a driver CORRECTNESS row
+#     (score_pairs_grouped, boilerplate_spans, scrub_boilerplate,
+#     event_variant_stats, corpus_top_docs) — green in the builder gate at
+#     both scales, but union driver coverage needs their rows to hit 104/104;
+# (3) round-4 additions; then the r03-green entries.
 _PRIORITY = [
+    "event_sessions",
+    "score_pairs_grouped",
+    "boilerplate_spans",
+    "scrub_boilerplate",
+    "event_variant_stats",
+    "corpus_top_docs",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",
@@ -60,7 +70,6 @@ _PRIORITY = [
     "eval_threshold_sweep",
     "block_keys_phonetic",
     "candidate_pairs_phonetic",
-    "event_sessions",
     "cluster_split",
     "eval_bcubed",
     "eval_rand",

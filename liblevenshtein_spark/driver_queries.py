@@ -3360,7 +3360,7 @@ SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        CAST(count(*) AS INT) AS n_events,
-       sum(cents) AS sum_value_cents
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM s GROUP BY user_id, sess""",
     "event_json_stats": """
 SELECT event_type,

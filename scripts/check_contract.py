@@ -35,6 +35,69 @@ ONLY = argv[1].split(",") if len(argv) > 1 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def canon_duck_type(t) -> str:
+    """Collapse a DuckDB type to the class the driver's Arrow-side hasher can
+    distinguish.  HUGEINT gets its own tag on purpose: Spark has no int128, so
+    any oracle emitting one (e.g. an uncast sum(BIGINT)) renders as
+    decimal128 through Arrow and hash-mismatches even when values are equal —
+    the exact bug class behind the three-round event_sessions red."""
+    s = str(t).upper()
+    if s.startswith(("HUGEINT", "UHUGEINT")):
+        return "hugeint"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if "[]" in s or s.startswith(("LIST", "ARRAY")):
+        return "list"
+    if s.startswith(("STRUCT", "MAP", "UNION")):
+        return "nested"
+    if s in ("FLOAT", "REAL", "FLOAT4"):
+        return "float32"
+    if s in ("DOUBLE", "FLOAT8"):
+        return "float64"
+    if s.startswith(("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "INT")):
+        return "int"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.startswith("DATE"):
+        return "date"
+    if s.startswith(("VARCHAR", "STRING", "TEXT", "CHAR")):
+        return "str"
+    if s.startswith("BOOL"):
+        return "bool"
+    if s.startswith(("BLOB", "BINARY", "BYTEA")):
+        return "binary"
+    return s.lower()
+
+
+def canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith(("struct", "map")):
+        return "nested"
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float32", "double": "float64", "string": "str",
+        "boolean": "bool", "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp", "date": "date", "binary": "binary",
+    }.get(s, s)
+
+
+def type_mismatches(sdf_schema, scols, ocols, otypes):
+    """Per-column canonical-type diff between the Spark schema and the DuckDB
+    relation; returns a list of 'col: spark=X duck=Y' strings (empty = parity)."""
+    stypes = {f.name.lower(): canon_spark_type(f.dataType) for f in sdf_schema.fields}
+    dtypes = {c: canon_duck_type(t) for c, t in zip(ocols, otypes)}
+    bad = []
+    for c in sorted(set(c.lower() for c in scols) & set(ocols)):
+        if stypes.get(c) != dtypes.get(c):
+            bad.append(f"{c}: spark={stypes.get(c)} duck={dtypes.get(c)}")
+    return bad
+
+
 def norm_val(v):
     if v is None:
         return "NULL"
@@ -74,6 +137,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -89,6 +153,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = [c.lower() for c in rel.columns]
+            otypes = list(rel.types)
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -98,18 +163,23 @@ def main():
         ok_cols = sorted(c.lower() for c in scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         ok_hash = hash_rows([c.lower() for c in scols], srows) == hash_rows(ocols, orows)
+        bad_types = type_mismatches(sschema, scols, ocols, otypes)
+        ok_types = not bad_types
         sec = round(time.time() - t0, 2)
-        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        status = "OK  " if (ok_cols and ok_count and ok_hash and ok_types) else "FAIL"
         if status == "FAIL":
             failures += 1
         results[name] = {
             "rows_match": ok_count, "schema_match": ok_cols, "hash_match": ok_hash,
+            "type_match": ok_types, "type_mismatches": bad_types,
             "spark_rows": len(srows), "oracle_rows": len(orows),
             "err": None, "sec": sec,
         }
-        print(f"{status}  {name}: spark={len(srows)} duck={len(orows)} cols_ok={ok_cols} hash_ok={ok_hash} [{sec}s]")
+        print(f"{status}  {name}: spark={len(srows)} duck={len(orows)} cols_ok={ok_cols} hash_ok={ok_hash} types_ok={ok_types} [{sec}s]")
         if not ok_cols:
             print(f"      spark cols: {scols}  duck cols: {rel.columns}")
+        if bad_types:
+            print(f"      type mismatches: {bad_types}")
         if ok_cols and ok_count and not ok_hash:
             order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
             sset = {tuple(norm_val(r[i]) for i in order) for r in srows}
