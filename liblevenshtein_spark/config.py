@@ -42,6 +42,15 @@ class LinkConfig:
     deletion_depth: int | None = None
     # Cap on records sharing one raw block key before salting/demotion kicks in.
     hot_key_threshold: int = 5000
+    # Run the hot-key detection aggregate + bounded existence probe inside
+    # candidate_pairs (one eager driver action at plan-construction time).
+    # Default True: correct on skewed corpora, amortized in batch jobs.
+    # Set False for latency-sensitive micro-batches (streaming _link_batch
+    # invokes candidate_pairs per batch) where the batch is known to sit
+    # below hot_key_threshold per key — the plain equi-join is then
+    # logically identical and the per-batch blocking driver round-trip
+    # disappears.
+    skew_probe: bool = True
     # Segments scheme: join on xxhash64(key) bigints instead of raw
     # 'i|len|segment' strings (segments of multi-KB fingerprints otherwise
     # dominate shuffle bytes). Complete: equal segments hash equal; a hash

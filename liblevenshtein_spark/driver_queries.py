@@ -780,12 +780,23 @@ def q_similarity_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rare-vocabulary affinity), fused with fixed weights 0.5/0.2/0.3.
     Every component is round4'd BEFORE the weighted sum (the repo's
     cross-engine float convention); cost is one pass per comparator over
-    the already-blocked stream, nothing quadratic."""
+    the already-blocked stream, nothing quadratic.
+
+    Defined on the MATCH stream (distance <= n) only: the banded kernel
+    emits the sentinel n+1 for "beyond the band", not a true distance, so
+    1 - (n+1)/max_len would fabricate ~0.97+ similarity for long
+    fingerprints that are arbitrarily far apart.  Restricting to matches
+    keeps every sim_lev a real normalized distance.  Caveat (documented,
+    by design): sim_jw runs on the 16-char sigs that the deletion-
+    neighborhood blocking scheme also keys on, so it is positively
+    correlated with candidate membership and acts as a prefix-confidence
+    feature, not an independent signal — the 0.5-weight lev component on
+    the FULL fingerprint is the discriminating term."""
     from .operators.comparators import tfidf_cosine_pairs
     from .operators.scoring import jaro_winkler_udf, normalized_similarity
 
     ship_package(spark)
-    scored = q_score_pairs(spark, sf_dir)
+    scored = q_score_pairs(spark, sf_dir).filter(F.col("distance") <= 2)
     canon = _canonical(spark, sf_dir)
     lev = normalized_similarity(
         scored, canon.select("conv_id", "fingerprint")
@@ -975,9 +986,14 @@ def q_eval_scheme_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pairs_completeness"),
             gate_round4(
+                # n_entities casts to double BEFORE the multiply: bigint
+                # n*(n-1) overflows past ~3e9 entities (and ANSI mode would
+                # throw), while the DuckDB oracle already multiplies in
+                # DOUBLE — this keeps both engines on the same arithmetic
+                # at the 1e12-turn design scale.
                 1.0
                 - F.col("n_cand")
-                / (F.col("n_entities") * (F.col("n_entities") - 1) / 2)
+                / (F.col("n_entities").cast("double") * (F.col("n_entities") - 1) / 2)
             ).alias("reduction_ratio"),
         )
         .orderBy("scheme")
@@ -1781,6 +1797,7 @@ sims AS (
   FROM scored s
   JOIN canonical2 ca ON ca.conv_id = s.id_a
   JOIN canonical2 cb ON cb.conv_id = s.id_b
+  WHERE s.distance <= 2
 )
 SELECT s.id_a, s.id_b, s.sim_lev, s.sim_jw, c.cosine AS sim_tfidf,
        round(0.5 * s.sim_lev + 0.2 * s.sim_jw + 0.3 * c.cosine + 0.000000001, 4) AS fused

@@ -87,6 +87,25 @@ def candidate_pairs(
         )
         build = tagged.filter(F.col("_side") == 0).drop("_side")
         probe = tagged.filter(F.col("_side") == 1).drop("_side")
+    def _plain_pairs() -> DataFrame:
+        return (
+            build.select(F.col(id_col).alias("_ida"), "block_key")
+            .join(probe.select(F.col(id_col).alias("_idb"), "block_key"), "block_key")
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    # Latency path (conf.skew_probe=False): skip hot-key detection and its
+    # eager driver action entirely — streaming _link_batch calls this per
+    # micro-batch, and a batch known to sit below hot_key_threshold per key
+    # makes the plain equi-join logically identical (see LinkConfig).
+    if not conf.skew_probe:
+        return _plain_pairs()
+
     t = conf.hot_key_threshold
     hot_keys = (
         _key_counts(build, "c_build")
@@ -110,16 +129,7 @@ def candidate_pairs(
     # when skew exists (the candidate_pairs_salted gate entry forces it via
     # a low threshold).
     if not hot_keys.limit(1).count():
-        return (
-            build.select(F.col(id_col).alias("_ida"), "block_key")
-            .join(probe.select(F.col(id_col).alias("_idb"), "block_key"), "block_key")
-            .filter(F.col("_ida") != F.col("_idb"))
-            .select(
-                F.least("_ida", "_idb").alias("id_a"),
-                F.greatest("_ida", "_idb").alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        return _plain_pairs()
 
     cold_build = build.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
     cold_probe = probe.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")

@@ -25,6 +25,8 @@ cluster):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,8 +35,11 @@ from ..functions.text import gate_round4
 
 def _tokens(entities: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
     """(id, token) with one row per token OCCURRENCE; the turn separator is
-    treated as whitespace so tokens never span turn boundaries."""
-    txt = F.regexp_replace(F.col(text_col), sep, " ")
+    treated as whitespace so tokens never span turn boundaries.  `sep` is a
+    LITERAL string (the documented semantics; the DuckDB oracles use
+    replace(chr(30))), so regex metacharacters like '|' or '.' are escaped
+    before reaching Spark's Java-regex engine."""
+    txt = F.regexp_replace(F.col(text_col), re.escape(sep), " ")
     return entities.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(txt, r"\s+")).alias("token"),

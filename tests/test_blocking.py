@@ -100,6 +100,18 @@ def test_hot_key_salting_equivalence(spark):
     assert _spark_pairs(spark, items, base) == _spark_pairs(spark, items, salted)
 
 
+def test_skew_probe_off_equivalence(spark):
+    """conf.skew_probe=False (the streaming micro-batch latency path) skips
+    hot-key detection entirely; on a corpus below the hot threshold the
+    plain equi-join must produce the identical pair set."""
+    terms = gen_dictionary(120)
+    items = [(f"t{i:04d}", t) for i, t in enumerate(terms)]
+    probed = LinkConfig(algorithm="standard", max_distance=1, blocking_scheme="segments")
+    unprobed = LinkConfig(algorithm="standard", max_distance=1, blocking_scheme="segments",
+                          skew_probe=False)
+    assert _spark_pairs(spark, items, probed) == _spark_pairs(spark, items, unprobed)
+
+
 @pytest.mark.parametrize("n", [1, 2, 3])
 def test_multi_match_aware_window_boundaries(spark, n):
     """Adversarial gate for the PassJoin multi-match-aware probe window:

@@ -179,3 +179,24 @@ def test_me_empty_token_entity_pair_kept_at_zero(spark):
     out = {(r["id_a"], r["id_b"]): r["me_sim"]
            for r in monge_elkan_pairs(pairs, ents).collect()}
     assert out == {("a", "b"): 0.0, ("b", "c"): 0.0}
+
+
+def test_tokens_literal_metachar_separator(spark):
+    # the public API documents `sep` as a LITERAL separator; a regex
+    # metachar like '|' must split ONLY on '|', not on every character
+    ents = spark.createDataFrame(
+        [("a", "red|green"), ("b", "red|green")], ["conv_id", "fingerprint"]
+    )
+    out = tfidf_cosine_pairs(
+        _pairs(spark, [("a", "b")]), ents, sep="|"
+    ).collect()
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    # '.' as separator: an unescaped '.' would match EVERY char and
+    # blank both docs (cosine 0 via the zero-token contract)
+    ents2 = spark.createDataFrame(
+        [("a", "red.blue"), ("b", "blue.red")], ["conv_id", "fingerprint"]
+    )
+    out2 = tfidf_cosine_pairs(
+        _pairs(spark, [("a", "b")]), ents2, sep="."
+    ).collect()
+    assert out2[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
