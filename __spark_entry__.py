@@ -60,6 +60,7 @@ _PRIORITY = [
     "scrub_boilerplate",
     "event_variant_stats",
     "corpus_top_docs",
+    "eval_pairwise_f1_sampled",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -92,7 +92,7 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB CTE chain shared by every transcript-based oracle. NOTE: keep in
 # exact semantic lockstep with derive_corpus/derive_transcripts above.
 DUCK_TRANSCRIPTS = f"""
-WITH corpus AS (
+WITH corpus AS MATERIALIZED (
   SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
   UNION ALL
   SELECT 'd' || CAST(doc_id AS VARCHAR), substring(text, 1, length(text) - 1)
@@ -101,7 +101,7 @@ WITH corpus AS (
   SELECT 'e' || CAST(doc_id AS VARCHAR), substring(text, 1, length(text) - 2)
   FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
 ),
-transcripts AS (
+transcripts AS MATERIALIZED (
   SELECT conv_id,
          CAST(i AS INT) AS turn_idx,
          CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
@@ -113,32 +113,32 @@ transcripts AS (
     FROM corpus
   )
 ),
-canonical AS (
+canonical AS MATERIALIZED (
   SELECT conv_id,
          CAST(count(*) AS INT) AS n_turns,
          string_agg(text, chr(30) ORDER BY turn_idx) AS fingerprint
   FROM transcripts GROUP BY conv_id
 ),
-canonical2 AS (
+canonical2 AS MATERIALIZED (
   SELECT conv_id, n_turns, fingerprint,
          CAST(length(fingerprint) AS INT) AS fp_len,
          substring(fingerprint, 1, {SIG_LEN}) AS sig
   FROM canonical
 ),
-sig_keys AS (
+sig_keys AS MATERIALIZED (
   SELECT DISTINCT conv_id, sig AS block_key FROM canonical2
   UNION
   SELECT DISTINCT conv_id,
          substring(sig, 1, CAST(i AS INT) - 1) || substring(sig, CAST(i AS INT) + 1) AS block_key
   FROM (SELECT conv_id, sig, unnest(range(1, length(sig) + 1)) AS i FROM canonical2)
 ),
-cand_pairs AS (
+cand_pairs AS MATERIALIZED (
   SELECT DISTINCT least(a.conv_id, b.conv_id) AS id_a,
                   greatest(a.conv_id, b.conv_id) AS id_b
   FROM sig_keys a JOIN sig_keys b ON a.block_key = b.block_key
   WHERE a.conv_id < b.conv_id
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT p.id_a, p.id_b,
          CAST(least(levenshtein(ca.fingerprint, cb.fingerprint), 3) AS INT) AS distance
   FROM cand_pairs p
@@ -146,7 +146,7 @@ scored AS (
   JOIN canonical2 cb ON cb.conv_id = p.id_b
   WHERE abs(ca.fp_len - cb.fp_len) <= 2
 ),
-matches AS (
+matches AS MATERIALIZED (
   SELECT id_a, id_b, distance FROM scored WHERE distance <= 2
 )
 """
@@ -726,6 +726,62 @@ def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_df(spark, sf_dir, "truth_pairs", build)
+
+
+# Entity-sample rate for the sampled-truth eval mode: keep hash-bucket
+# < rate*10000 of entities (operators.sampling.sample_corpus convention).
+TRUTH_SAMPLE_RATE = 0.25
+
+
+def q_eval_pairwise_f1_sampled(spark: SparkSession, sf_dir: str,
+                               rate: float = TRUTH_SAMPLE_RATE) -> DataFrame:
+    """Sampled-truth pairwise F1 — the sf>=1 evaluation mode. The full
+    blocking-free truth scan (eval_pairwise_f1) is inherently quadratic
+    within equal-length bands: fine at sf0.1, unusable at sf>=1. This
+    entry draws a deterministic entity sample (portable-md5 hash bucket,
+    operators.sampling.sample_corpus — layout-independent, identical in
+    DuckDB) and computes the exact confusion ON THE INDUCED PAIR SUBGRAPH:
+    truth restricted to sampled×sampled pairs, predictions restricted the
+    same way, so precision/recall are exact for the sample.
+
+    Extrapolation (documented, standard pair-sampling estimator): entity
+    rate r keeps ~r^2 of all pairs; tp/fp/fn scale by ~1/r^2 with
+    variance driven by the largest duplicate groups (each group of size g
+    contributes Binomial(g, r) sampled members). precision/recall/F1 are
+    ratio estimators and carry no 1/r^2 factor — they are unbiased up to
+    group-size effects and are what this entry reports. Truth cost drops
+    from O(n^2/bands) to O((rn)^2/bands): r=0.25 -> 16x; sf1 uses r=0.05
+    via eval_truth_sample_rate for a 400x cut (scripts/bench_sf1.py)."""
+    from .operators.sampling import sample_corpus
+
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
+    samp = sample_corpus(canon, rate, key_col="conv_id",
+                         salt="truthsample").localCheckpoint(eager=False)
+    left = samp.select(
+        F.col("conv_id").alias("id_a"),
+        F.col("fingerprint").alias("fp_a"),
+        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
+    )
+    right = samp.select(
+        F.col("conv_id").alias("id_b"),
+        F.col("fingerprint").alias("fp_b"),
+        F.col("fp_len").alias("_lk"),
+    )
+    dist = distance_udf(2, "standard")
+    truth = (
+        left.join(right, "_lk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
+        .filter(F.col("distance") <= 2)
+        .select("id_a", "id_b")
+    )
+    ids = samp.select("conv_id")
+    preds = (
+        q_matches(spark, sf_dir)
+        .join(ids.withColumnRenamed("conv_id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("conv_id", "id_b"), "id_b", "left_semi")
+    )
+    return pairwise_confusion(truth, preds)
 
 
 def q_eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,6 +1602,39 @@ FROM conf""",
 # the gate is exact equality with full-history clustering.
 LINKAGE_ORACLES["clusters_incremental"] = LINKAGE_ORACLES["clusters"]
 
+# Sampled-truth eval: the portable-md5 entity sample (rate 0.25 -> bucket
+# < 2500 of 10000, same hash family as corpus_sample) induces the pair
+# subgraph on BOTH the truth scan and the prediction stream.
+LINKAGE_ORACLES["eval_pairwise_f1_sampled"] = DUCK_TRANSCRIPTS + """
+, samp AS MATERIALIZED (
+  SELECT * FROM canonical2
+  WHERE CAST(('0x' || substring(md5('truthsample' || '|' || conv_id), 1, 15)) AS BIGINT) % 10000 < 2500
+),
+struth AS MATERIALIZED (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM samp ca JOIN samp cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+),
+spreds AS (
+  SELECT m.id_a, m.id_b FROM matches m
+  JOIN samp a ON a.conv_id = m.id_a
+  JOIN samp b ON b.conv_id = m.id_b
+),
+conf AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL AND m.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN t.id_a IS NULL THEN 1 END), 0) AS BIGINT) AS fp,
+    CAST(coalesce(sum(CASE WHEN m.id_a IS NULL THEN 1 END), 0) AS BIGINT) AS fn
+  FROM struth t FULL OUTER JOIN spreds m
+    ON t.id_a = m.id_a AND t.id_b = m.id_b
+)
+SELECT tp, fp, fn,
+  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fp) + 0.5) END AS BIGINT) AS precision_1e4,
+  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fn) + 0.5) END AS BIGINT) AS recall_1e4,
+  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE floor(10000.0 * 2 * tp / (2 * tp + fp + fn) + 0.5) END AS BIGINT) AS f1_1e4
+FROM conf"""
+
 # Shared oracle scaffold for the extrinsic clustering metrics: CC over the
 # STRICT (distance<=1) match set, gold entity = substring(conv_id, 2), then
 # the (cluster, gold) contingency table `cg` both metrics decompose over.
@@ -1750,27 +1839,27 @@ FROM agg"""
 # comparators.tfidf_cosine_pairs (ln((N+1)/(df+1)) + 1), sparse dot product
 # as an (id, token) equi-join from the candidate pairs; gate_round4 rounding.
 _DUCK_TFIDF = """
-, toks AS (
+, toks AS MATERIALIZED (
   SELECT conv_id AS id,
          unnest(list_filter(regexp_split_to_array(replace(fingerprint, chr(30), ' '), '\\s+'), x -> x <> '')) AS token
   FROM canonical2
 ),
-tf AS (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, token),
-dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+tf AS MATERIALIZED (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, token),
+dfreq AS MATERIALIZED (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
 nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM canonical2),
-w AS (
+w AS MATERIALIZED (
   SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
   FROM tf JOIN dfreq USING (token) CROSS JOIN nd
 ),
-norms AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
-dots AS (
+norms AS MATERIALIZED (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
+dots AS MATERIALIZED (
   SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
   FROM cand_pairs p
   JOIN w wa ON wa.id = p.id_a
   JOIN w wb ON wb.id = p.id_b AND wb.token = wa.token
   GROUP BY p.id_a, p.id_b
 ),
-cosv AS (
+cosv AS MATERIALIZED (
   SELECT p.id_a, p.id_b,
          round(CASE WHEN d.dot IS NULL THEN 0.0
                     ELSE d.dot / (na.norm * nb.norm) END + 0.000000001, 4) AS cosine
@@ -1806,7 +1895,7 @@ FROM sims s JOIN cosv c ON c.id_a = s.id_a AND c.id_b = s.id_b"""
 # Monge-Elkan with JW inner over first-turn tokens: inner JW rounds to 4dp
 # BEFORE the max (same tie convention as similarity_jw's rank).
 LINKAGE_ORACLES["similarity_me"] = DUCK_TRANSCRIPTS + f"""
-, toks AS (
+, toks AS MATERIALIZED (
   SELECT DISTINCT conv_id AS id,
          unnest(list_filter(regexp_split_to_array(replace(substring(fingerprint, 1, {TURN_WIDTH}), chr(30), ' '), '\\s+'), x -> x <> '')) AS token
   FROM canonical2
@@ -2153,6 +2242,7 @@ LINKAGE_QUERIES = {
     "ledger_lineage": q_ledger_lineage,
     "stream_linkage_matches": q_stream_linkage_matches,
     "eval_pairwise_f1": q_eval_pairwise_f1,
+    "eval_pairwise_f1_sampled": q_eval_pairwise_f1_sampled,
     "eval_bcubed": q_eval_bcubed,
     "eval_rand": q_eval_rand,
     "eval_blocking_recall": q_eval_blocking_recall,
@@ -2940,14 +3030,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DUCK_TOKENS = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks, text
   FROM documents
 )
 """
 
 DUCK_SHINGLES = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -3147,7 +3237,7 @@ JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE round(i.n_inter / least(sa.n_sh, sb.n_sh) + 0.000000001, 4) >= {CONTAINMENT_THRESHOLD}""",
     "decontaminate": f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -3187,7 +3277,7 @@ SELECT CAST(CAST(('0x' || substring(md5('shard' || '|' || CAST(doc_id AS VARCHAR
        CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1""",
     "repetition_stats": """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -3218,7 +3308,7 @@ LEFT JOIN pg USING (doc_id)""",
     # gaps-and-islands merge of overlapping/adjacent windows (running max
     # of span ends) — the same three stages as operators.corpus_quality
     "boilerplate_spans": """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -3246,7 +3336,7 @@ SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS span_tokens
 FROM islands GROUP BY doc_id, isl""",
     "scrub_boilerplate": """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -3452,14 +3542,14 @@ ranked AS (
 SELECT doc_id, dup_group, quality_score, (rn = 1) AS is_kept FROM ranked""",
     "tfidf_terms": DUCK_TOKENS + f""",
 terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
 nd AS (SELECT count(*) AS n FROM documents),
 dfq AS (
   SELECT term,
          CAST(round(ln((nd.n + 1) / (count(*) + 1.0)) * {analytics.IDF_SCALE}) AS BIGINT) AS idf_1e4
   FROM tf, nd GROUP BY term, nd.n
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT tf.doc_id, tf.term, CAST(tf.tf AS INT) AS tf, dfq.idf_1e4,
          CAST(tf.tf * dfq.idf_1e4 AS BIGINT) AS tfidf_1e4
   FROM tf JOIN dfq USING (term)

@@ -52,6 +52,7 @@ def tfidf_cosine_pairs(
     id_col: str = "conv_id",
     text_col: str = "fingerprint",
     sep: str = "\x1e",
+    topk_tokens: int | None = None,
 ) -> DataFrame:
     """TF-IDF cosine similarity for each blocked candidate pair.
 
@@ -63,6 +64,17 @@ def tfidf_cosine_pairs(
     an (id, token) equi-join driven from the candidate pairs.  Every stage
     is candidate- or vocabulary-bounded; nothing is quadratic in the corpus.
     Pairs with no shared token keep cosine = 0.0 (left join + coalesce).
+
+    `topk_tokens`: optional per-document weight-vector truncation — keep
+    only each document's K highest-weight tokens (ties broken by token for
+    determinism) before norms and dot products.  The dot-product fan-out is
+    Σ_pairs |tokens(a)|, linear in candidates × document length; on 100 TB
+    corpora with multi-thousand-token conversations this caps the constant
+    at K per document.  The truncated cosine is exact over the kept
+    vectors (norms computed AFTER truncation, so cosine stays <= 1);
+    recall trade: a pair whose shared vocabulary is entirely outside both
+    top-K sets scores 0.  None (the default and the gate path) keeps the
+    exact full-vocabulary score — K=∞ equivalence is test-gated.
     """
     toks = _tokens(entities, id_col, text_col, sep)
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -82,6 +94,17 @@ def tfidf_cosine_pairs(
             ).alias("w"),
         )
     )
+    if topk_tokens is not None:
+        # rank-within-doc window + WindowGroupLimit pushdown: the filter on
+        # row_number is pushed into the sort, so no full-rank materialization
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("token"))
+        w = (
+            w.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= topk_tokens)
+            .drop("_rk")
+        )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
 
     base = pairs.select("id_a", "id_b")

@@ -200,3 +200,34 @@ def test_tokens_literal_metachar_separator(spark):
         _pairs(spark, [("a", "b")]), ents2, sep="."
     ).collect()
     assert out2[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+
+
+class TestTfidfTopK:
+    def test_k_large_equals_exact(self, spark):
+        # K >= vocabulary size must be bit-identical to the exact path
+        ents = _entities(
+            spark,
+            [("a", "red blue green cyan"), ("b", "red blue yellow"),
+             ("c", "green cyan red red")],
+        )
+        pairs = _pairs(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+        exact = {(r["id_a"], r["id_b"]): r["cosine"]
+                 for r in tfidf_cosine_pairs(pairs, ents).collect()}
+        capped = {(r["id_a"], r["id_b"]): r["cosine"]
+                  for r in tfidf_cosine_pairs(pairs, ents, topk_tokens=100).collect()}
+        assert exact == capped
+
+    def test_k1_keeps_highest_weight_token(self, spark):
+        # 'rare' (df=2) outweighs 'common' (df=3); with K=1 both a and b
+        # keep only 'rare', so cosine(a,b) = 1.0 over the truncated vectors
+        ents = _entities(
+            spark,
+            [("a", "common rare"), ("b", "common rare"), ("c", "common solo")],
+        )
+        out = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in tfidf_cosine_pairs(
+                   _pairs(spark, [("a", "b"), ("a", "c")]), ents, topk_tokens=1
+               ).collect()}
+        assert out[("a", "b")] == pytest.approx(1.0, abs=1e-4)
+        # c keeps 'solo' (rarer than common) -> no overlap with a's 'rare'
+        assert out[("a", "c")] == 0.0

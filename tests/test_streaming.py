@@ -265,3 +265,59 @@ def test_fold_clusters_state_incremental_maintenance(spark, corpus, tmp_path):
     shutil.rmtree(str(tmp_path / "state" / "clusters_hwm"))
     healed = fold_clusters_state(spark, state)
     assert {tuple(r) for r in healed.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_midbatch_kill_no_lost_or_duplicate_matches(spark, corpus, tmp_path):
+    """Exactly-once sink audit (the streaming twin of scored_resume): kill
+    the stream INSIDE a micro-batch — after the matches append, before the
+    dict_keys/entities state fold, i.e. before the checkpoint commit —
+    then restart against the same checkpoint.  The failed batch must
+    replay (raw sink contains duplicate rows for it), and the deduped
+    match set must equal the batch oracle exactly: nothing lost to the
+    crash, nothing duplicated after sink dedup."""
+    from liblevenshtein_spark.streaming import incremental
+
+    src, df = corpus
+    state = str(tmp_path / "state")
+
+    real_append = incremental._append
+    calls = {"matches": 0, "killed": False}
+
+    def flaky_append(frame, path):
+        real_append(frame, path)
+        if path.endswith("matches"):
+            calls["matches"] += 1
+            if calls["matches"] == 2 and not calls["killed"]:
+                calls["killed"] = True
+                raise RuntimeError("injected kill: match sink written, state fold lost")
+
+    incremental._append = flaky_append
+    try:
+        q = start_incremental_linkage(
+            stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+        )
+        with pytest.raises(Exception, match="injected kill"):
+            q.awaitTermination(timeout=600)
+    finally:
+        incremental._append = real_append
+    assert calls["killed"], "kill must have fired mid-stream"
+
+    q2 = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+    )
+    q2.awaitTermination(timeout=600)
+
+    raw = spark.read.parquet(str(tmp_path / "state" / "matches"))
+    deduped = matches_from_sink(spark, state)
+    n_raw, n_dedup = raw.count(), deduped.count()
+    assert n_raw > n_dedup, "replayed batch must have re-appended its matches"
+
+    batch_df, canon = _batch_matches(df)
+    want = {(r.id_a, r.id_b, r.distance) for r in batch_df.collect()}
+    got = {(r.id_a, r.id_b, r.distance) for r in deduped.collect()}
+    assert got == want and len(want) > 0
+
+    want_clusters = assign_clusters(canon.select("conv_id"), batch_df.select("id_a", "id_b"))
+    got_clusters = clusters_from_sink(spark, state)
+    assert ({tuple(r) for r in got_clusters.collect()}
+            == {tuple(r) for r in want_clusters.collect()})
