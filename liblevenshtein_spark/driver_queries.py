@@ -812,6 +812,23 @@ def q_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(pairs, canon, sep=SEP)
 
 
+def q_similarity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 fan-out-capped TF-IDF variant through the hard gate:
+    each document's weight vector truncated to its K=5 highest-weight
+    tokens (w DESC, token ASC tie-break — deterministic in both engines)
+    BEFORE norms and dot products, so cosine is exact over the kept
+    vectors. K=5 at gate scale is small enough that truncation actually
+    bites (long fingerprints have dozens of tokens), gating the kept-set
+    selection, the post-truncation norm, and the zero-overlap contract
+    cross-engine. Scale rationale: BENCH_TFIDF_TOPK.json (18.5x weight-row
+    fan-out cut on a long-doc corpus)."""
+    from .operators.comparators import tfidf_cosine_pairs
+
+    pairs = q_candidate_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir)
+    return tfidf_cosine_pairs(pairs, canon, sep=SEP, topk_tokens=5)
+
+
 def q_similarity_me(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric set-Monge-Elkan similarity (Monge & Elkan 1996) with the
     Jaro-Winkler inner kernel over each candidate pair's FIRST-TURN tokens
@@ -1874,6 +1891,45 @@ LINKAGE_ORACLES["similarity_tfidf"] = (
     + "SELECT id_a, id_b, cosine FROM cosv"
 )
 
+# Top-K-truncated variant: per-doc weight vectors cut to the K=5 highest
+# weights (w DESC, token ASC tie-break) before norms/dots — mirrors
+# comparators.tfidf_cosine_pairs(topk_tokens=5) exactly.
+LINKAGE_ORACLES["similarity_tfidf_topk"] = DUCK_TRANSCRIPTS + """
+, toks AS MATERIALIZED (
+  SELECT conv_id AS id,
+         unnest(list_filter(regexp_split_to_array(replace(fingerprint, chr(30), ' '), '\\s+'), x -> x <> '')) AS token
+  FROM canonical2
+),
+tf AS MATERIALIZED (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, token),
+dfreq AS MATERIALIZED (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM canonical2),
+w0 AS MATERIALIZED (
+  SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+w AS MATERIALIZED (
+  SELECT id, token, w FROM (
+    SELECT id, token, w,
+           row_number() OVER (PARTITION BY id ORDER BY w DESC, token ASC) AS rk
+    FROM w0
+  ) WHERE rk <= 5
+),
+norms AS MATERIALIZED (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
+dots AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+  FROM cand_pairs p
+  JOIN w wa ON wa.id = p.id_a
+  JOIN w wb ON wb.id = p.id_b AND wb.token = wa.token
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN d.dot IS NULL THEN 0.0
+                  ELSE d.dot / (na.norm * nb.norm) END + 0.000000001, 4) AS cosine
+FROM cand_pairs p
+LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+LEFT JOIN norms na ON na.id = p.id_a
+LEFT JOIN norms nb ON nb.id = p.id_b"""
+
 # Ensemble fusion: lev-similarity + sig-JW + tfidf cosine, each round4'd
 # before the fixed-weight sum (0.5/0.2/0.3), over the scored pair stream.
 LINKAGE_ORACLES["similarity_fused"] = DUCK_TRANSCRIPTS + _DUCK_TFIDF + """,
@@ -2253,6 +2309,7 @@ LINKAGE_QUERIES = {
     "meta_blocking": q_meta_blocking,
     "review_queue": q_review_queue,
     "similarity_tfidf": q_similarity_tfidf,
+    "similarity_tfidf_topk": q_similarity_tfidf_topk,
     "similarity_me": q_similarity_me,
     "eval_threshold_sweep": q_eval_threshold_sweep,
     "block_keys_phonetic": q_block_keys_phonetic,
