@@ -61,6 +61,7 @@ _PRIORITY = [
     "event_variant_stats",
     "corpus_top_docs",
     "eval_pairwise_f1_sampled",
+    "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",
     "similarity_fused",
     "eval_scheme_quality",

@@ -1209,6 +1209,65 @@ def q_eval_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_blocking_recall_sampled(spark: SparkSession, sf_dir: str,
+                                   rate: float = TRUTH_SAMPLE_RATE) -> DataFrame:
+    """Sampled-truth twin of `eval_blocking_recall` — the second of the two
+    quadratic truth scans that must not run full at sf>=1. Same portable-md5
+    entity sample ('truthsample' salt, shared with eval_pairwise_f1_sampled
+    so one sample serves both audits): truth, candidate set, entity count,
+    and C(n,2) denominator are ALL computed on the induced subgraph, so
+    pairs_completeness and reduction_ratio are exact for the sample and
+    consistent estimators of the full-corpus ratios (see
+    q_eval_pairwise_f1_sampled for the variance notes)."""
+    from .functions.text import gate_round4
+    from .operators.sampling import sample_corpus
+
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
+    samp = sample_corpus(canon, rate, key_col="conv_id",
+                         salt="truthsample").localCheckpoint(eager=False)
+    left = samp.select(
+        F.col("conv_id").alias("id_a"),
+        F.col("fingerprint").alias("fp_a"),
+        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
+    )
+    right = samp.select(
+        F.col("conv_id").alias("id_b"),
+        F.col("fingerprint").alias("fp_b"),
+        F.col("fp_len").alias("_lk"),
+    )
+    dist = distance_udf(2, "standard")
+    truth = (
+        left.join(right, "_lk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
+        .filter(F.col("distance") <= 2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    ids = samp.select("conv_id")
+    cand = (
+        q_candidate_pairs(spark, sf_dir)
+        .join(ids.withColumnRenamed("conv_id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("conv_id", "id_b"), "id_b", "left_semi")
+    )
+    caught = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    agg = (
+        samp.agg(F.count("*").cast("bigint").alias("n_entities"))
+        .crossJoin(truth.agg(F.count("*").cast("bigint").alias("n_true")))
+        .crossJoin(cand.agg(F.count("*").cast("bigint").alias("n_cand")))
+        .crossJoin(caught.agg(F.count("*").cast("bigint").alias("n_caught")))
+    )
+    total = F.col("n_entities").cast("double") * (F.col("n_entities") - 1) / 2
+    pc = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        F.col("n_caught") / F.col("n_true"))
+    rr = F.lit(1.0) - F.col("n_cand") / total
+    return agg.select(
+        "n_entities", "n_true", "n_cand", "n_caught",
+        gate_round4(pc).alias("pairs_completeness"),
+        gate_round4(rr).alias("reduction_ratio"),
+    )
+
+
 def q_clusters_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested entity resolution at two strictness levels in one output:
     cluster_d1 (edges at distance<=1, near-certain merges) and cluster_d2
@@ -1651,6 +1710,42 @@ SELECT tp, fp, fn,
   CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE floor(10000.0 * tp / (tp + fn) + 0.5) END AS BIGINT) AS recall_1e4,
   CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE floor(10000.0 * 2 * tp / (2 * tp + fp + fn) + 0.5) END AS BIGINT) AS f1_1e4
 FROM conf"""
+
+# Sampled blocking audit: same entity sample as eval_pairwise_f1_sampled;
+# truth, candidates, n and the C(n,2) denominator all on the induced
+# subgraph.
+LINKAGE_ORACLES["eval_blocking_recall_sampled"] = DUCK_TRANSCRIPTS + """
+, samp AS MATERIALIZED (
+  SELECT * FROM canonical2
+  WHERE CAST(('0x' || substring(md5('truthsample' || '|' || conv_id), 1, 15)) AS BIGINT) % 10000 < 2500
+),
+struth AS MATERIALIZED (
+  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
+  FROM samp ca JOIN samp cb
+    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
+  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
+),
+scand AS MATERIALIZED (
+  SELECT c.id_a, c.id_b FROM cand_pairs c
+  JOIN samp a ON a.conv_id = c.id_a
+  JOIN samp b ON b.conv_id = c.id_b
+),
+agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_entities,
+    (SELECT CAST(count(*) AS BIGINT) FROM struth) AS n_true,
+    (SELECT CAST(count(*) AS BIGINT) FROM scand) AS n_cand,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM scand c JOIN struth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ) AS n_caught
+)
+SELECT n_entities, n_true, n_cand, n_caught,
+       round(CASE WHEN n_true = 0 THEN 1.0
+                  ELSE CAST(n_caught AS DOUBLE) / n_true
+             END + 0.000000001, 4) AS pairs_completeness,
+       round(1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_entities AS DOUBLE) * (n_entities - 1) / 2)
+             + 0.000000001, 4) AS reduction_ratio
+FROM agg"""
 
 # Shared oracle scaffold for the extrinsic clustering metrics: CC over the
 # STRICT (distance<=1) match set, gold entity = substring(conv_id, 2), then
@@ -2302,6 +2397,7 @@ LINKAGE_QUERIES = {
     "eval_bcubed": q_eval_bcubed,
     "eval_rand": q_eval_rand,
     "eval_blocking_recall": q_eval_blocking_recall,
+    "eval_blocking_recall_sampled": q_eval_blocking_recall_sampled,
     "clusters_multilevel": q_clusters_multilevel,
     "fs_model": q_fs_model,
     "pair_weights": q_pair_weights,
