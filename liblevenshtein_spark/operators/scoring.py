@@ -295,7 +295,15 @@ def match_filter(scored: DataFrame, conf: LinkConfig) -> DataFrame:
 
 def normalized_similarity(scored: DataFrame, entities: DataFrame,
                           id_col: str = "conv_id", text_col: str = "fingerprint") -> DataFrame:
-    """Optional 1 - d / max(len) similarity column (P6 option)."""
+    """Optional 1 - d / max(len) similarity column (P6 option).
+
+    Sentinel caveat: the banded kernel emits n+1 for "beyond the band", so
+    on a row with distance == max_distance+1 this column is an UPPER bound
+    on the true similarity, not an estimate — the `distance` column rides
+    along so consumers can (and should) filter to distance <= n before
+    treating similarity as a score. Ensemble consumers must not fuse
+    sentinel rows (similarity_fused restricts to the match stream for
+    exactly this reason)."""
     lens = entities.select(F.col(id_col), F.length(text_col).alias("_len"))
     la = lens.select(F.col(id_col).alias("id_a"), F.col("_len").alias("len_a"))
     lb = lens.select(F.col(id_col).alias("id_b"), F.col("_len").alias("len_b"))
