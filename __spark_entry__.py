@@ -112,8 +112,6 @@ _PRIORITY = [
     "corpus_cube",
     "event_hop_windows",
     "event_props_map",
-    "event_variant_stats",
-    "corpus_top_docs",
 ]
 
 

@@ -28,7 +28,8 @@ from .functions.blocking import deletion_neighborhood
 from .operators.canonicalize import canonicalize
 from .operators.topk import topk_candidates
 from .operators.clustering import assign_clusters, fold_clusters
-from .operators.metrics import bcubed, pairwise_confusion, rand_stats
+from .operators.metrics import (banded_truth_pairs, bcubed,
+                                pairwise_confusion, rand_stats)
 from .operators.scoring import distance_udf
 from .operators.transduce import compile_dictionary, transduce, transduce_per_query
 from .session import ship_package
@@ -707,23 +708,7 @@ def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         ship_package(spark)
         canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
-        left = canon.select(
-            F.col("conv_id").alias("id_a"),
-            F.col("fingerprint").alias("fp_a"),
-            F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
-        )
-        right = canon.select(
-            F.col("conv_id").alias("id_b"),
-            F.col("fingerprint").alias("fp_b"),
-            F.col("fp_len").alias("_lk"),
-        )
-        dist = distance_udf(2, "standard")
-        return (
-            left.join(right, "_lk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
-            .filter(F.col("distance") <= 2)
-        )
+        return banded_truth_pairs(canon, 2, "standard")
 
     return _cached_df(spark, sf_dir, "truth_pairs", build)
 
@@ -750,31 +735,19 @@ def q_eval_pairwise_f1_sampled(spark: SparkSession, sf_dir: str,
     contributes Binomial(g, r) sampled members). precision/recall/F1 are
     ratio estimators and carry no 1/r^2 factor — they are unbiased up to
     group-size effects and are what this entry reports. Truth cost drops
-    from O(n^2/bands) to O((rn)^2/bands): r=0.25 -> 16x; sf1 uses r=0.05
-    via eval_truth_sample_rate for a 400x cut (scripts/bench_sf1.py)."""
+    from O(n^2/bands) to O((rn)^2/bands): r=0.25 -> 16x; sf1 passes
+    rate=0.05 (TRUTH_RATE_SF1 in scripts/bench_sf1.py) for a 400x cut.
+
+    NOTE: the registered DuckDB oracle is PINNED to the default rate
+    (hash bucket < TRUTH_SAMPLE_RATE*10000 = 2500) — gate comparisons
+    must call this with the default; a custom `rate` is for standalone
+    use (as in bench_sf1) and has no matching oracle."""
     from .operators.sampling import sample_corpus
 
     canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
     samp = sample_corpus(canon, rate, key_col="conv_id",
                          salt="truthsample").localCheckpoint(eager=False)
-    left = samp.select(
-        F.col("conv_id").alias("id_a"),
-        F.col("fingerprint").alias("fp_a"),
-        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
-    )
-    right = samp.select(
-        F.col("conv_id").alias("id_b"),
-        F.col("fingerprint").alias("fp_b"),
-        F.col("fp_len").alias("_lk"),
-    )
-    dist = distance_udf(2, "standard")
-    truth = (
-        left.join(right, "_lk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
-        .filter(F.col("distance") <= 2)
-        .select("id_a", "id_b")
-    )
+    truth = banded_truth_pairs(samp, 2, "standard").select("id_a", "id_b")
     ids = samp.select("conv_id")
     preds = (
         q_matches(spark, sf_dir)
@@ -1169,22 +1142,8 @@ def q_eval_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     else is counts — the candidate set is never joined to texts."""
     ship_package(spark)
     canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
-    left = canon.select(
-        F.col("conv_id").alias("id_a"),
-        F.col("fingerprint").alias("fp_a"),
-        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
-    )
-    right = canon.select(
-        F.col("conv_id").alias("id_b"),
-        F.col("fingerprint").alias("fp_b"),
-        F.col("fp_len").alias("_lk"),
-    )
-    dist = distance_udf(2, "standard")
     truth = (
-        left.join(right, "_lk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
-        .filter(F.col("distance") <= 2)
+        banded_truth_pairs(canon, 2, "standard")
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
@@ -1225,22 +1184,8 @@ def q_eval_blocking_recall_sampled(spark: SparkSession, sf_dir: str,
     canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
     samp = sample_corpus(canon, rate, key_col="conv_id",
                          salt="truthsample").localCheckpoint(eager=False)
-    left = samp.select(
-        F.col("conv_id").alias("id_a"),
-        F.col("fingerprint").alias("fp_a"),
-        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
-    )
-    right = samp.select(
-        F.col("conv_id").alias("id_b"),
-        F.col("fingerprint").alias("fp_b"),
-        F.col("fp_len").alias("_lk"),
-    )
-    dist = distance_udf(2, "standard")
     truth = (
-        left.join(right, "_lk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
-        .filter(F.col("distance") <= 2)
+        banded_truth_pairs(samp, 2, "standard")
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
@@ -1260,7 +1205,11 @@ def q_eval_blocking_recall_sampled(spark: SparkSession, sf_dir: str,
     total = F.col("n_entities").cast("double") * (F.col("n_entities") - 1) / 2
     pc = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
         F.col("n_caught") / F.col("n_true"))
-    rr = F.lit(1.0) - F.col("n_cand") / total
+    # n_entities <= 1 makes C(n,2) = 0: guard like the n_true == 0 guard
+    # above (Spark non-ANSI division yields NULL, DuckDB IEEE yields -inf
+    # — the engines would diverge on a degenerate-but-legal tiny sample)
+    rr = F.when(F.col("n_entities") <= 1, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("n_cand") / total)
     return agg.select(
         "n_entities", "n_true", "n_cand", "n_caught",
         gate_round4(pc).alias("pairs_completeness"),
@@ -1743,8 +1692,9 @@ SELECT n_entities, n_true, n_cand, n_caught,
        round(CASE WHEN n_true = 0 THEN 1.0
                   ELSE CAST(n_caught AS DOUBLE) / n_true
              END + 0.000000001, 4) AS pairs_completeness,
-       round(1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_entities AS DOUBLE) * (n_entities - 1) / 2)
-             + 0.000000001, 4) AS reduction_ratio
+       round(CASE WHEN n_entities <= 1 THEN 1.0
+                  ELSE 1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_entities AS DOUBLE) * (n_entities - 1) / 2)
+             END + 0.000000001, 4) AS reduction_ratio
 FROM agg"""
 
 # Shared oracle scaffold for the extrinsic clustering metrics: CC over the
@@ -1950,7 +1900,30 @@ FROM agg"""
 # TF-IDF cosine soft comparator: the exact smoothed-idf formula of
 # comparators.tfidf_cosine_pairs (ln((N+1)/(df+1)) + 1), sparse dot product
 # as an (id, token) equi-join from the candidate pairs; gate_round4 rounding.
-_DUCK_TFIDF = """
+def _duck_tfidf_sql(topk: int | None = None) -> str:
+    """One source of truth for the TF-IDF oracle CTE chain; `topk` inserts
+    the per-doc weight-vector truncation CTE (mirrors
+    comparators.tfidf_cosine_pairs(topk_tokens=topk): rank on the
+    4dp-ROUNDED weight DESC, token ASC — round-before-rank keeps the kept
+    set identical across engines when weights differ by < 1 ulp)."""
+    if topk is None:
+        w_cte = """w AS MATERIALIZED (
+  SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),"""
+    else:
+        w_cte = f"""w0 AS MATERIALIZED (
+  SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+w AS MATERIALIZED (
+  SELECT id, token, w FROM (
+    SELECT id, token, w,
+           row_number() OVER (PARTITION BY id ORDER BY round(w, 4) DESC, token ASC) AS rk
+    FROM w0
+  ) WHERE rk <= {topk}
+),"""
+    return """
 , toks AS MATERIALIZED (
   SELECT conv_id AS id,
          unnest(list_filter(regexp_split_to_array(replace(fingerprint, chr(30), ' '), '\\s+'), x -> x <> '')) AS token
@@ -1959,10 +1932,7 @@ _DUCK_TFIDF = """
 tf AS MATERIALIZED (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, token),
 dfreq AS MATERIALIZED (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
 nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM canonical2),
-w AS MATERIALIZED (
-  SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
-  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
-),
+""" + w_cte + """
 norms AS MATERIALIZED (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
 dots AS MATERIALIZED (
   SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
@@ -1981,49 +1951,22 @@ cosv AS MATERIALIZED (
   LEFT JOIN norms nb ON nb.id = p.id_b
 )"""
 
+
+_DUCK_TFIDF = _duck_tfidf_sql()
+
 LINKAGE_ORACLES["similarity_tfidf"] = (
     DUCK_TRANSCRIPTS + _DUCK_TFIDF
     + "SELECT id_a, id_b, cosine FROM cosv"
 )
 
 # Top-K-truncated variant: per-doc weight vectors cut to the K=5 highest
-# weights (w DESC, token ASC tie-break) before norms/dots — mirrors
-# comparators.tfidf_cosine_pairs(topk_tokens=5) exactly.
-LINKAGE_ORACLES["similarity_tfidf_topk"] = DUCK_TRANSCRIPTS + """
-, toks AS MATERIALIZED (
-  SELECT conv_id AS id,
-         unnest(list_filter(regexp_split_to_array(replace(fingerprint, chr(30), ' '), '\\s+'), x -> x <> '')) AS token
-  FROM canonical2
-),
-tf AS MATERIALIZED (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, token),
-dfreq AS MATERIALIZED (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
-nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM canonical2),
-w0 AS MATERIALIZED (
-  SELECT id, token, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
-  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
-),
-w AS MATERIALIZED (
-  SELECT id, token, w FROM (
-    SELECT id, token, w,
-           row_number() OVER (PARTITION BY id ORDER BY w DESC, token ASC) AS rk
-    FROM w0
-  ) WHERE rk <= 5
-),
-norms AS MATERIALIZED (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
-dots AS MATERIALIZED (
-  SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
-  FROM cand_pairs p
-  JOIN w wa ON wa.id = p.id_a
-  JOIN w wb ON wb.id = p.id_b AND wb.token = wa.token
-  GROUP BY p.id_a, p.id_b
+# weights (round(w,4) DESC, token ASC tie-break) before norms/dots —
+# mirrors comparators.tfidf_cosine_pairs(topk_tokens=5) exactly, via the
+# same _duck_tfidf_sql template as the exact entry (one source of truth).
+LINKAGE_ORACLES["similarity_tfidf_topk"] = (
+    DUCK_TRANSCRIPTS + _duck_tfidf_sql(topk=5)
+    + "SELECT id_a, id_b, cosine FROM cosv"
 )
-SELECT p.id_a, p.id_b,
-       round(CASE WHEN d.dot IS NULL THEN 0.0
-                  ELSE d.dot / (na.norm * nb.norm) END + 0.000000001, 4) AS cosine
-FROM cand_pairs p
-LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
-LEFT JOIN norms na ON na.id = p.id_a
-LEFT JOIN norms nb ON nb.id = p.id_b"""
 
 # Ensemble fusion: lev-similarity + sig-JW + tfidf cosine, each round4'd
 # before the fixed-weight sum (0.5/0.2/0.3), over the scored pair stream.

@@ -70,11 +70,16 @@ def candidate_pairs(
     side is tens of keys per entity — re-evaluating it 3x dominated the
     blocking stage at the 210k-entity smoke scale). On a cluster this is
     the natural place for an Iceberg/parquet intermediate instead."""
+    # On the latency path (skew_probe=False, streaming micro-batches) the
+    # checkpoints are LAZY: they still cut key-explode re-evaluation across
+    # consumers, but materialize inside the batch's own action instead of
+    # as a blocking driver job at plan-construction time.
+    eager = conf.skew_probe
     if build is probe:
         # deletion scheme: FastSS neighborhoods are symmetric and block_keys
         # returns the SAME frame for both roles — one materialization, not
         # two identical ones
-        build = probe = build.localCheckpoint(eager=True)
+        build = probe = build.localCheckpoint(eager=eager)
     else:
         # one side-tagged checkpoint instead of two: both key explosions
         # materialize in a single job (fixed per-job cost is the dominant
@@ -83,7 +88,7 @@ def candidate_pairs(
         tagged = (
             build.select(id_col, "block_key", F.lit(0).alias("_side"))
             .unionByName(probe.select(id_col, "block_key", F.lit(1).alias("_side")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
         build = tagged.filter(F.col("_side") == 0).drop("_side")
         probe = tagged.filter(F.col("_side") == 1).drop("_side")

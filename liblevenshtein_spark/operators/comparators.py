@@ -99,7 +99,13 @@ def tfidf_cosine_pairs(
         # row_number is pushed into the sort, so no full-rank materialization
         from pyspark.sql import Window
 
-        win = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("token"))
+        # round-before-rank: rank on the 4dp-rounded weight so near-equal
+        # weights become EXACT ties broken by token ASC — cross-engine ulps
+        # (JVM Math.log vs libm log) can otherwise flip which token holds
+        # rank K vs the DuckDB oracle (same convention as monge_elkan's
+        # round-before-max)
+        win = Window.partitionBy("id").orderBy(
+            F.round(F.col("w"), 4).desc(), F.asc("token"))
         w = (
             w.withColumn("_rk", F.row_number().over(win))
             .filter(F.col("_rk") <= topk_tokens)

@@ -11,7 +11,45 @@ from pyspark.sql import functions as F
 __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
     "pairwise_confusion", "bcubed", "rand_stats", "fs_model",
+    "banded_truth_pairs",
 ]
+
+
+def banded_truth_pairs(canon: DataFrame, max_distance: int = 2,
+                       algorithm: str = "standard") -> DataFrame:
+    """Blocking-FREE exhaustive truth scan, the single source of truth
+    semantics for every evaluation entry (pairwise F1, threshold sweep,
+    blocking recall, and their sampled twins): all canonical-ordered
+    (id_a, id_b, distance) pairs within `max_distance`, found by a
+    length-banded equi-join — |len_a - len_b| <= n is a necessary
+    condition for distance <= n, expressed as an explode of the 2n+1
+    target lengths so Catalyst plans a hash equi-join, never a cross
+    join. Quadratic WITHIN equal-length bands by construction (it is an
+    audit, not a pipeline stage); at sf>=1 feed it a hash-sampled entity
+    frame (operators.sampling.sample_corpus) instead of the full corpus.
+
+    `canon` must carry (conv_id, fingerprint, fp_len)."""
+    from .scoring import distance_udf
+
+    left = canon.select(
+        F.col("conv_id").alias("id_a"),
+        F.col("fingerprint").alias("fp_a"),
+        F.explode(F.array(*[F.col("fp_len") + F.lit(d)
+                            for d in range(-max_distance, max_distance + 1)])
+                  ).alias("_lk"),
+    )
+    right = canon.select(
+        F.col("conv_id").alias("id_b"),
+        F.col("fingerprint").alias("fp_b"),
+        F.col("fp_len").alias("_lk"),
+    )
+    dist = distance_udf(max_distance, algorithm)
+    return (
+        left.join(right, "_lk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )
 
 
 def pairwise_confusion(truth: DataFrame, preds: DataFrame) -> DataFrame:

@@ -35,11 +35,11 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from liblevenshtein_spark import LinkConfig  # noqa: E402
-from liblevenshtein_spark.operators.scoring import distance_udf  # noqa: E402
 from liblevenshtein_spark.operators.candidates import block_keys, candidate_pairs  # noqa: E402
 from liblevenshtein_spark.operators.canonicalize import canonicalize  # noqa: E402
 from liblevenshtein_spark.operators.clustering import assign_clusters  # noqa: E402
-from liblevenshtein_spark.operators.metrics import pairwise_confusion  # noqa: E402
+from liblevenshtein_spark.operators.metrics import (  # noqa: E402
+    banded_truth_pairs, pairwise_confusion)
 from liblevenshtein_spark.operators.sampling import sample_corpus  # noqa: E402
 from liblevenshtein_spark.operators.scoring import match_filter, score_pairs  # noqa: E402
 from liblevenshtein_spark.session import build_session  # noqa: E402
@@ -79,7 +79,11 @@ def main() -> None:
 
     cache = f"/tmp/lev_sf1_corpus_{args.n_base}"
     planted_path = cache + "_planted"
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+    # cache is valid only if BOTH writes committed — a crash between the
+    # corpus and planted writes must not leave a half-cache that skips
+    # regeneration and then reads missing/partial planted truth
+    if not (os.path.exists(os.path.join(cache, "_SUCCESS"))
+            and os.path.exists(os.path.join(planted_path, "_SUCCESS"))):
         rows, planted = gen_transcript_rows(
             n_base=args.n_base, dup_fraction=1.0, max_edits=2, max_dups=2, seed=1042,
         )
@@ -143,22 +147,7 @@ def main() -> None:
         TRUTH_RATE_SF1, key_col="conv_id", salt="truthsample",
     ).localCheckpoint(eager=True)
     n_sampled = samp.count()
-    left = samp.select(
-        F.col("conv_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
-        F.explode(F.array(*[F.col("fp_len") + F.lit(d) for d in range(-2, 3)])).alias("_lk"),
-    )
-    right = samp.select(
-        F.col("conv_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
-        F.col("fp_len").alias("_lk"),
-    )
-    dist = distance_udf(2, "standard")
-    truth = (
-        left.join(right, "_lk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist("fp_a", "fp_b").alias("distance"))
-        .filter(F.col("distance") <= 2)
-        .select("id_a", "id_b")
-    )
+    truth = banded_truth_pairs(samp, 2, "standard").select("id_a", "id_b")
     ids = samp.select("conv_id")
     preds = (
         matches.select("id_a", "id_b")

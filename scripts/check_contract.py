@@ -54,6 +54,8 @@ def canon_duck_type(t) -> str:
         return "float32"
     if s in ("DOUBLE", "FLOAT8"):
         return "float64"
+    if s.startswith("INTERVAL"):  # before the INT catch-all below
+        return "interval"
     if s.startswith(("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
                      "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "INT")):
         return "int"
