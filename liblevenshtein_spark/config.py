@@ -24,6 +24,19 @@ class LinkConfig:
     algorithm: str = "standard"
     max_distance: int = 2
     include_distance: bool = True  # reference's includeDistance builder flag
+    # Comparison alphabet for the distance kernels:
+    #   'codepoint' : Unicode code points (Python semantics; the default)
+    #   'utf16'     : UTF-16 code units — bit-for-bit the Java reference's
+    #                 String.charAt comparison `[PK]` (astral characters
+    #                 count as their surrogate pair). The two only differ
+    #                 outside the BMP. Blocking keys stay code-point-based
+    #                 and remain COMPLETE because d_codepoint <= d_utf16
+    #                 (property-tested, tests/test_kernel_properties.py),
+    #                 so any pair within a utf16 budget is also within the
+    #                 same code-point budget the keys are built for; the
+    #                 native |length| prefilter is likewise sound since
+    #                 |cp_len_a - cp_len_b| <= d_codepoint.
+    units: str = "codepoint"
 
     # --- blocking ---------------------------------------------------------
     # 'segments'  : PassJoin-style even segments + shifted-substring probes
@@ -86,6 +99,8 @@ class LinkConfig:
             raise ValueError(
                 "max_distance must be <= 200 (uint8 DP-cell kernel limit)"
             )
+        if self.units not in ("codepoint", "utf16"):
+            raise ValueError("units must be 'codepoint' or 'utf16'")
         if self.blocking_scheme not in ("segments", "deletions"):
             raise ValueError("blocking_scheme must be 'segments' or 'deletions'")
         if self.cluster_strategy not in ("cc", "star"):

@@ -62,8 +62,8 @@ _CHUNK = 128  # DP rows per lazily-transposed char block
 
 def _encode(strings, max_len: int) -> np.ndarray:
     """Pad/encode a list of strings to a (batch, max_len) uint32 codepoint
-    matrix. Comparison semantics are Python code points (SURVEY.md §7.3
-    documents the benign UTF-16 delta vs the Java reference)."""
+    matrix. Comparison semantics are Python code points (SURVEY.md §7.3;
+    `units="utf16"` selects Java code-unit parity instead)."""
     out = np.zeros((len(strings), max_len), dtype=np.uint32)
     for i, s in enumerate(strings):  # encode loop only; DP never loops rows
         if s:
@@ -73,19 +73,55 @@ def _encode(strings, max_len: int) -> np.ndarray:
     return out
 
 
+def _encode_u16(bufs, max_len: int) -> np.ndarray:
+    """Pad/encode a list of UTF-16-LE byte strings to a (batch, max_len)
+    uint16 code-UNIT matrix: astral code points occupy two cells (their
+    surrogate pair), exactly the symbols Java's `String.charAt` compares.
+    Closes the documented UTF-16 delta vs the reference (SURVEY.md §7.3)."""
+    out = np.zeros((len(bufs), max(max_len, 1)), dtype=np.uint16)
+    for i, b in enumerate(bufs):  # encode loop only; DP never loops rows
+        if b:
+            out[i, : len(b) >> 1] = np.frombuffer(b, dtype=np.uint16)
+    return out
+
+
 def _narrow(A: np.ndarray, B: np.ndarray):
     maxcp = max(int(A.max(initial=0)), int(B.max(initial=0)))
     cdt = np.uint8 if maxcp < 256 else (np.uint16 if maxcp < 65536 else np.uint32)
     return A.astype(cdt, copy=False), B.astype(cdt, copy=False), cdt
 
 
-def batch_banded_distance(a_list, b_list, n: int, algorithm: str = "standard") -> np.ndarray:
+def batch_banded_distance(a_list, b_list, n: int, algorithm: str = "standard",
+                          units: str = "codepoint") -> np.ndarray:
     """Exact variant distance for each pair (a_list[i], b_list[i]) if it is
-    <= n, else the sentinel n+1. Returns int32 array of len(a_list)."""
-    _validate(n, algorithm)
+    <= n, else the sentinel n+1. Returns int32 array of len(a_list).
+
+    ``units`` picks the comparison alphabet: ``"codepoint"`` (default —
+    Unicode code points, the natural Python semantics) or ``"utf16"`` —
+    UTF-16 code units, bit-for-bit the Java reference's `String.charAt`
+    semantics `[PK]` (astral characters count as their surrogate pair, so
+    e.g. d("\\U0001D49C", "A") is 2, not 1). The two differ only when a
+    string leaves the BMP; lengths, the band and the length prefilter all
+    switch to code-unit counts together."""
+    _validate(n, algorithm, units)
     bsz = len(a_list)
     if bsz == 0:
         return np.empty(0, dtype=np.int32)
+    if units == "utf16":
+        a_u16 = [s.encode("utf-16-le") for s in a_list]
+        b_u16 = [s.encode("utf-16-le") for s in b_list]
+        la = np.fromiter((len(b) >> 1 for b in a_u16), dtype=np.int64, count=bsz)
+        lb = np.fromiter((len(b) >> 1 for b in b_u16), dtype=np.int64, count=bsz)
+
+        def encode_sub(idx):
+            lamax = int(la[idx].max())
+            lbmax = int(lb[idx].max())
+            return _narrow(
+                _encode_u16([a_u16[i] for i in idx], lamax),
+                _encode_u16([b_u16[i] for i in idx], max(lbmax, 1)),
+            )[:2]
+
+        return _dispatch(la, lb, encode_sub, n, algorithm)
     la = np.fromiter((len(s) for s in a_list), dtype=np.int64, count=bsz)
     lb = np.fromiter((len(s) for s in b_list), dtype=np.int64, count=bsz)
 
@@ -99,11 +135,17 @@ def batch_banded_distance(a_list, b_list, n: int, algorithm: str = "standard") -
     return _dispatch(la, lb, encode_sub, n, algorithm)
 
 
-def batch_banded_distance_arrow(a_arr, b_arr, n: int, algorithm: str = "standard") -> np.ndarray:
+def batch_banded_distance_arrow(a_arr, b_arr, n: int, algorithm: str = "standard",
+                                units: str = "codepoint") -> np.ndarray:
     """Arrow-native entry: decode pa.StringArray offset/data buffers into
     codepoint matrices without materializing Python strings (ASCII/Latin-1
-    fast path — multi-byte UTF-8 batches fall back to the list path)."""
-    _validate(n, algorithm)
+    fast path — multi-byte UTF-8 batches fall back to the list path).
+
+    The ASCII fast path is units-agnostic: below U+0080 code points and
+    UTF-16 code units coincide, so ``units="utf16"`` costs nothing unless
+    a batch actually contains multi-byte text (then the list fallback
+    re-encodes to UTF-16-LE)."""
+    _validate(n, algorithm, units)
     import pyarrow as pa  # local import: pandas-UDF workers may not need it
 
     bsz = len(a_arr)
@@ -114,7 +156,7 @@ def batch_banded_distance_arrow(a_arr, b_arr, n: int, algorithm: str = "standard
         # Nulls become "" (same semantics as the pandas-UDF fillna("") path).
         a_list = ["" if s is None else s for s in a_arr.to_pylist()]
         b_list = ["" if s is None else s for s in b_arr.to_pylist()]
-        return batch_banded_distance(a_list, b_list, n, algorithm)
+        return batch_banded_distance(a_list, b_list, n, algorithm, units)
 
     da = _arrow_parts(a_arr)
     db = _arrow_parts(b_arr)
@@ -189,9 +231,11 @@ def _gather_ascii(buf: np.ndarray, off: np.ndarray, lens: np.ndarray, idx: np.nd
     return out
 
 
-def _validate(n: int, algorithm: str) -> None:
+def _validate(n: int, algorithm: str, units: str = "codepoint") -> None:
     if algorithm not in ("standard", "transposition", "merge_and_split"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if units not in ("codepoint", "utf16"):
+        raise ValueError(f"unknown units {units!r}")
     if n < 0:
         raise ValueError("max distance n must be >= 0")
     if n > _MAX_N:
@@ -405,6 +449,7 @@ def _bwin2(BTb: np.ndarray, B: np.ndarray,
     return out
 
 
-def banded_distance(a: str, b: str, n: int, algorithm: str = "standard") -> int:
+def banded_distance(a: str, b: str, n: int, algorithm: str = "standard",
+                    units: str = "codepoint") -> int:
     """Scalar convenience wrapper (tests/debug)."""
-    return int(batch_banded_distance([a], [b], n, algorithm)[0])
+    return int(batch_banded_distance([a], [b], n, algorithm, units)[0])

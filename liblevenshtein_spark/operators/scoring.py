@@ -23,7 +23,7 @@ __all__ = ["distance_udf", "jaro_winkler_udf", "attach_texts", "score_pairs",
            "match_filter", "normalized_similarity"]
 
 
-def distance_udf(n: int, algorithm: str):
+def distance_udf(n: int, algorithm: str, units: str = "codepoint"):
     """Arrow-batched pandas UDF computing the variant distance (or n+1).
 
     Marked nondeterministic (it is in fact deterministic) so Catalyst never
@@ -34,7 +34,7 @@ def distance_udf(n: int, algorithm: str):
     @pandas_udf("integer")
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
         out = batch_banded_distance(
-            a.fillna("").tolist(), b.fillna("").tolist(), n, algorithm
+            a.fillna("").tolist(), b.fillna("").tolist(), n, algorithm, units
         )
         return pd.Series(out)
 
@@ -114,6 +114,9 @@ def score_attached(with_texts: DataFrame, conf: LinkConfig,
 
     n = conf.max_distance
     algorithm = conf.algorithm
+    units = conf.units
+    # Length prefilter counts code points; sound for units='utf16' too,
+    # since |cp_len_a - cp_len_b| <= d_codepoint <= d_utf16 (config.py).
     feasible = with_texts.filter(
         F.abs(F.length(text_a) - F.length(text_b)) <= n
     )
@@ -127,7 +130,7 @@ def score_attached(with_texts: DataFrame, conf: LinkConfig,
 
         for batch in _prefetched(batches):
             d = batch_banded_distance_arrow(
-                batch.column(text_a), batch.column(text_b), n, algorithm
+                batch.column(text_a), batch.column(text_b), n, algorithm, units
             )
             yield pa.RecordBatch.from_arrays(
                 [batch.column(c) for c in keep_names] + [pa.array(d, type=pa.int32())],
@@ -194,7 +197,7 @@ def score_pairs_pandas(
     feasible = with_texts.filter(
         F.abs(F.length("text_a") - F.length("text_b")) <= n
     )
-    dist = distance_udf(n, conf.algorithm)
+    dist = distance_udf(n, conf.algorithm, conf.units)
     return feasible.select(
         "id_a", "id_b", dist(F.col("text_a"), F.col("text_b")).alias("distance")
     )
@@ -231,6 +234,7 @@ def score_pairs_grouped(
     NOT the default anywhere."""
     n = conf.max_distance
     algorithm = conf.algorithm
+    units = conf.units
     pb = pairs.select(
         "id_a", "id_b",
         F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_buckets)).cast("int").alias("bucket"),
@@ -267,7 +271,7 @@ def score_pairs_grouped(
         d = batch_banded_distance(
             [t for t, f in zip(texts_a, feasible) if f],
             [t for t, f in zip(texts_b, feasible) if f],
-            n, algorithm,
+            n, algorithm, units,
         )
         return pd.DataFrame(
             {"id_a": sub["id_a"].values, "id_b": sub["id_b"].values, "distance": d}
