@@ -63,6 +63,7 @@ _PRIORITY = [
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",
+    "dictionary_binary_roundtrip",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

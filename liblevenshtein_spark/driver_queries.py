@@ -652,6 +652,22 @@ def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_terms_text(spark, path)
 
 
+def q_dictionary_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 serialize/deserialize, binary form: persist the word dictionary in
+    the front-coded LLD1 block format (the reference's protobuf/bytecode
+    serializer analogue `[PK] serialization/`) and read it back through the
+    binaryFile source — the decoded term set must be unchanged. Shares the
+    plain-text entry's oracle: the on-disk encoding must be invisible."""
+    import tempfile
+
+    from .sources.dictionary_io import read_terms_binary, write_terms_binary
+
+    ship_package(spark)
+    path = tempfile.mkdtemp(prefix="levdictb_") + "/terms"
+    write_terms_binary(_word_dictionary(spark, sf_dir), path, num_files=4)
+    return read_terms_binary(spark, path)
+
+
 def q_stream_linkage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of `matches`: the derived transcripts are
     drained through the incremental-linkage stream in two micro-batches; the
@@ -1565,6 +1581,7 @@ SELECT q.query_id, q.query_term, q.n, d.term AS candidate,
 FROM nq q CROSS JOIN dict d
 WHERE levenshtein(q.query_term, d.term) <= q.n""",
     "dictionary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
+    "dictionary_binary_roundtrip": DUCK_WORDS + "SELECT term FROM dict",
     "spell_suggest": DUCK_WORDS + """
 SELECT query_id, candidate, distance, rank FROM (
   SELECT q.query_id, d.term AS candidate,
@@ -2331,6 +2348,7 @@ LINKAGE_QUERIES = {
     "transduce_transposition": q_transduce_transposition,
     "transduce_merge_split": q_transduce_merge_split,
     "dictionary_roundtrip": q_dictionary_roundtrip,
+    "dictionary_binary_roundtrip": q_dictionary_binary_roundtrip,
     "spell_suggest": q_spell_suggest,
     "similarity_jw": q_similarity_jw,
     "ledger_lineage": q_ledger_lineage,
