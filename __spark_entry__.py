@@ -64,6 +64,7 @@ _PRIORITY = [
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",
     "dictionary_binary_roundtrip",
+    "golden_records",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

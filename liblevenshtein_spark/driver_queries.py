@@ -382,6 +382,34 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship (data fusion) over the entity clusters —
+    operators/clustering.py::golden_records: longest-value completeness rule
+    for the fingerprint (reported as survivor length + source id; the src's
+    fingerprint IS the surviving value), most-frequent rule for the 8-char
+    prefix, numeric sum/max fusion for n_turns. All tie-breaks deterministic
+    (min id / lexicographic), so the fused records hash-match the SQL
+    replica exactly."""
+    from .operators.clustering import golden_records
+
+    ship_package(spark)
+    clusters = q_clusters(spark, sf_dir)
+    ents = _canonical(spark, sf_dir).select(
+        "conv_id", "n_turns", "fingerprint",
+        F.substring("fingerprint", 1, 8).alias("prefix8"),
+    )
+    out = golden_records(clusters, ents, longest=("fingerprint",),
+                         mode=("prefix8",), sums=("n_turns",), maxs=("n_turns",))
+    return out.select(
+        "cluster_id", "n_members", "rep",
+        F.length("fingerprint_survivor").cast("int").alias("survivor_len"),
+        F.col("fingerprint_survivor_src").alias("survivor_src"),
+        "prefix8_mode",
+        F.col("n_turns_sum").cast("bigint").alias("n_turns_sum"),
+        F.col("n_turns_max").cast("int").alias("n_turns_max"),
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -1555,6 +1583,50 @@ SELECT a.cluster_id,
        CAST(max(c.fp_len) AS INT) AS max_fp_len
 FROM assign a JOIN canonical2 c ON c.conv_id = a.conv_id
 GROUP BY a.cluster_id""",
+    "golden_records": DUCK_TRANSCRIPTS + """,
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+),
+ents AS (
+  SELECT a.cluster_id, c.conv_id, c.n_turns, c.fingerprint, c.fp_len,
+         substring(c.fingerprint, 1, 8) AS prefix8
+  FROM assign a JOIN canonical2 c ON c.conv_id = a.conv_id
+),
+base AS (
+  SELECT cluster_id, CAST(count(*) AS INT) AS n_members, min(conv_id) AS rep,
+         CAST(sum(n_turns) AS BIGINT) AS n_turns_sum,
+         CAST(max(n_turns) AS INT) AS n_turns_max
+  FROM ents GROUP BY cluster_id
+),
+surv AS (
+  SELECT cluster_id, fp_len AS survivor_len, conv_id AS survivor_src,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY fp_len DESC, conv_id ASC) AS r
+  FROM ents
+),
+md AS (
+  SELECT cluster_id, prefix8 AS prefix8_mode,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY count(*) DESC, prefix8 ASC) AS r
+  FROM ents GROUP BY cluster_id, prefix8
+)
+SELECT b.cluster_id, b.n_members, b.rep, s.survivor_len, s.survivor_src,
+       m.prefix8_mode, b.n_turns_sum, b.n_turns_max
+FROM base b
+JOIN surv s ON s.cluster_id = b.cluster_id AND s.r = 1
+JOIN md m ON m.cluster_id = b.cluster_id AND m.r = 1""",
     "topk_candidates": DUCK_TRANSCRIPTS + """
 SELECT query_id, candidate, distance, rank FROM (
   SELECT id_a AS query_id, id_b AS candidate, distance,
@@ -2342,6 +2414,7 @@ LINKAGE_QUERIES = {
     "cluster_split": q_cluster_split,
     "cluster_stats": q_cluster_stats,
     "cluster_canonical": q_cluster_canonical,
+    "golden_records": q_golden_records,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_per_query_n": q_transduce_per_query_n,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
-           "fold_clusters"]
+           "fold_clusters", "golden_records"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -257,3 +257,80 @@ def star_clusters(entities: DataFrame, matches: DataFrame,
             .alias("star_id"),
         )
     )
+
+
+def golden_records(assignment: DataFrame, entities: DataFrame,
+                   id_col: str = "conv_id", cluster_col: str = "cluster_id",
+                   longest: tuple[str, ...] = (), mode: tuple[str, ...] = (),
+                   sums: tuple[str, ...] = (), maxs: tuple[str, ...] = ()) -> DataFrame:
+    """Field-level survivorship (data fusion): one fused GOLDEN RECORD per
+    entity cluster, with a deterministic survivor rule per attribute —
+    the step after clustering in a classic ER pipeline (the reference stops
+    at candidate sets; this mirrors the merge/fusion stage of
+    Fellegi–Sunter-era record linkage systems `[PK]`).
+
+    Rules (all ties broken deterministically so the result is
+    engine-reproducible and oracle-checkable):
+
+    * ``longest``  — completeness rule: keep the cluster's longest value
+      (code-point length), ties -> the value of the smallest ``id_col``;
+      emits ``<col>_survivor`` and its source id ``<col>_survivor_src``.
+    * ``mode``     — frequency rule: the cluster's most frequent value,
+      ties -> lexicographically smallest value; emits ``<col>_mode``.
+    * ``sums`` / ``maxs`` — numeric fusion aggregates (``<col>_sum`` /
+      ``<col>_max``).
+
+    Always emits ``n_members`` and ``rep`` (min member id). Scale shape:
+    every rule is keyed by ``cluster_col`` — the ``longest`` fields share
+    ONE window pass (single shuffle), each ``mode`` field is a
+    (cluster, value) hash agg with map-side combine feeding a tiny
+    per-cluster window, and the numeric aggregates ride the base hash agg.
+    Post-ER clusters are small by construction (mega-clusters are a defect
+    the star strategy exists to prevent), so per-cluster windows never see
+    pathological partitions."""
+    from pyspark.sql import Window
+
+    joined = assignment.select(id_col, cluster_col).join(entities, id_col)
+
+    base = joined.groupBy(cluster_col).agg(
+        F.count("*").cast("int").alias("n_members"),
+        F.min(id_col).alias("rep"),
+        *[F.sum(c).alias(f"{c}_sum") for c in sums],
+        *[F.max(c).alias(f"{c}_max") for c in maxs],
+    )
+    out = base
+
+    if longest:
+        # all fields rank inside ONE window projection (same partitioning,
+        # one shuffle); each field then contributes its rank-1 winner row
+        w = Window.partitionBy(cluster_col)
+        proj = [cluster_col]
+        for c in longest:
+            rank = F.row_number().over(
+                w.orderBy(F.length(c).desc_nulls_last(), F.col(id_col).asc())
+            )
+            proj += [F.col(c).alias(f"{c}_survivor"),
+                     F.col(id_col).alias(f"{c}_survivor_src"),
+                     rank.alias(f"_r_{c}")]
+        surv = joined.select(*proj)
+        for c in longest:
+            out = out.join(
+                surv.filter(F.col(f"_r_{c}") == 1)
+                    .select(cluster_col, f"{c}_survivor", f"{c}_survivor_src"),
+                cluster_col, "left")
+
+    for c in mode:
+        counts = (
+            joined.filter(F.col(c).isNotNull())
+            .groupBy(cluster_col, c).agg(F.count("*").alias("_n"))
+        )
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("_n").desc(), F.col(c).asc()
+        )
+        winner = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(cluster_col, F.col(c).alias(f"{c}_mode"))
+        )
+        out = out.join(winner, cluster_col, "left")
+    return out

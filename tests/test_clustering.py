@@ -235,3 +235,46 @@ def test_star_clusters_order_invariant(spark):
     shuffled = edge_list[:]
     rng.shuffle(shuffled)
     assert run(shuffled, 1) == base
+
+
+def test_golden_records_survivorship(spark):
+    """Field-level fusion rules: longest-value (tie -> min id), mode
+    (tie -> lexicographically smallest), sums/maxs, null handling, and
+    two longest fields sharing one window pass."""
+    from liblevenshtein_spark.operators.clustering import golden_records
+
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")],
+        "conv_id string, cluster_id string",
+    )
+    ents = spark.createDataFrame(
+        [  # conv_id, name, alt, city, n
+            ("a", "jon", "xx", "nyc", 2),
+            ("b", "jonathan", "y", "sf", 3),   # longest name
+            ("c", "jonathon", None, "nyc", 1), # same len as 'd' would tie; null alt
+            ("z", "solo", "s", None, 7),
+        ],
+        "conv_id string, name string, alt string, city string, n int",
+    )
+    out = {r.cluster_id: r for r in golden_records(
+        assign, ents, longest=("name", "alt"), mode=("city",),
+        sums=("n",), maxs=("n",),
+    ).collect()}
+
+    g = out["a"]
+    assert g.n_members == 3 and g.rep == "a"
+    # 'jonathan' and 'jonathon' both len 8: min id 'b' wins
+    assert g.name_survivor == "jonathan" and g.name_survivor_src == "b"
+    assert g.alt_survivor == "xx" and g.alt_survivor_src == "a"  # nulls lose
+    assert g.city_mode == "nyc"           # 2 vs 1
+    assert g.n_sum == 6 and g.n_max == 3
+    s = out["z"]
+    assert s.n_members == 1 and s.city_mode is None and s.n_sum == 7
+
+    # mode tie: equal counts -> lexicographically smallest value
+    assign2 = spark.createDataFrame([("a", "a"), ("b", "a")],
+                                    "conv_id string, cluster_id string")
+    ents2 = spark.createDataFrame([("a", "q"), ("b", "p")],
+                                  "conv_id string, city string")
+    tie = golden_records(assign2, ents2, mode=("city",)).collect()[0]
+    assert tie.city_mode == "p"
