@@ -1617,16 +1617,18 @@ surv AS (
   FROM ents
 ),
 md AS (
+  -- NULL values never win the mode (engine filters isNotNull before
+  -- counting), and an all-NULL cluster still emits a row (LEFT JOIN below)
   SELECT cluster_id, prefix8 AS prefix8_mode,
          row_number() OVER (PARTITION BY cluster_id
                             ORDER BY count(*) DESC, prefix8 ASC) AS r
-  FROM ents GROUP BY cluster_id, prefix8
+  FROM ents WHERE prefix8 IS NOT NULL GROUP BY cluster_id, prefix8
 )
 SELECT b.cluster_id, b.n_members, b.rep, s.survivor_len, s.survivor_src,
        m.prefix8_mode, b.n_turns_sum, b.n_turns_max
 FROM base b
 JOIN surv s ON s.cluster_id = b.cluster_id AND s.r = 1
-JOIN md m ON m.cluster_id = b.cluster_id AND m.r = 1""",
+LEFT JOIN md m ON m.cluster_id = b.cluster_id AND m.r = 1""",
     "topk_candidates": DUCK_TRANSCRIPTS + """
 SELECT query_id, candidate, distance, rank FROM (
   SELECT id_a AS query_id, id_b AS candidate, distance,

@@ -16,7 +16,8 @@ __all__ = [
 
 
 def banded_truth_pairs(canon: DataFrame, max_distance: int = 2,
-                       algorithm: str = "standard") -> DataFrame:
+                       algorithm: str = "standard",
+                       units: str = "codepoint") -> DataFrame:
     """Blocking-FREE exhaustive truth scan, the single source of truth
     semantics for every evaluation entry (pairwise F1, threshold sweep,
     blocking recall, and their sampled twins): all canonical-ordered
@@ -28,7 +29,11 @@ def banded_truth_pairs(canon: DataFrame, max_distance: int = 2,
     audit, not a pipeline stage); at sf>=1 feed it a hash-sampled entity
     frame (operators.sampling.sample_corpus) instead of the full corpus.
 
-    `canon` must carry (conv_id, fingerprint, fp_len)."""
+    `canon` must carry (conv_id, fingerprint, fp_len). `units` must match
+    the pipeline under audit (LinkConfig.units) so truth distances are in
+    the same unit system as the scored distances; the code-point length
+    band stays a valid necessary condition under utf16 too, because one
+    UTF-16 code-unit edit changes the code-point count by at most one."""
     from .scoring import distance_udf
 
     left = canon.select(
@@ -43,7 +48,7 @@ def banded_truth_pairs(canon: DataFrame, max_distance: int = 2,
         F.col("fingerprint").alias("fp_b"),
         F.col("fp_len").alias("_lk"),
     )
-    dist = distance_udf(max_distance, algorithm)
+    dist = distance_udf(max_distance, algorithm, units)
     return (
         left.join(right, "_lk")
         .filter(F.col("id_a") < F.col("id_b"))

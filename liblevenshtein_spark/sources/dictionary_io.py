@@ -25,7 +25,6 @@ three equivalents:
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import struct
 import zlib
@@ -152,12 +151,28 @@ def write_terms_binary(terms: DataFrame, path: str, term_col: str = "term",
 
     Same distribution shape as `write_terms_text`: repartitionByRange +
     sortWithinPartitions, then each partition front-codes its own sorted
-    run and writes one `part-NNNNN.lld` file (tmp-file + atomic rename), so
-    no single node ever holds the whole dictionary and filename-order
-    concatenation preserves the global sort. Requires a filesystem every
-    executor and the driver can reach (local / NFS — the sandbox's case);
-    an object-store deployment would swap the direct `open()` for a
-    committer-backed sink."""
+    run and writes one `part-NNNNN.lld` file, so no single node ever holds
+    the whole dictionary and filename-order concatenation preserves the
+    global sort. Write protocol (a minimal stage-then-commit committer,
+    mirroring what Spark's FileOutputCommitter gives the text path):
+
+    * tasks write into a hidden `_staging-<token>/` subdirectory (leading
+      underscore = invisible to Spark's file index, so a concurrent or
+      self-referencing read of `path` never sees in-flight output);
+    * each task attempt writes to an attempt-unique tmp name before an
+      atomic rename, so speculative / zombie attempts can't corrupt a
+      committed block;
+    * only after the job succeeds does the driver swap staged files in and
+      delete the previous generation — a failed job leaves the old
+      dictionary fully intact, and `write_terms_binary(read_terms_binary(
+      spark, p)..., p)` is safe because the input files outlive the read.
+
+    Requires a filesystem every executor and the driver can reach
+    (local / NFS — the sandbox's case); an object-store deployment would
+    swap the direct `open()` for a committer-backed sink."""
+    import shutil
+    import uuid
+
     out = terms.select(F.col(term_col).alias("value")).dropna().distinct()
     out = (
         out.repartitionByRange(num_files, "value")
@@ -166,9 +181,8 @@ def write_terms_binary(terms: DataFrame, path: str, term_col: str = "term",
     )
     out = out.sortWithinPartitions("value")
 
-    os.makedirs(path, exist_ok=True)
-    for old in _glob.glob(os.path.join(path, "part-*.lld")):
-        os.remove(old)
+    stage = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    os.makedirs(stage, exist_ok=True)
 
     def write_part(rows) -> None:
         from pyspark import TaskContext
@@ -176,32 +190,52 @@ def write_terms_binary(terms: DataFrame, path: str, term_col: str = "term",
         chunk = [r["value"] for r in rows]
         if not chunk:
             return  # range partitioner may leave trailing partitions empty
-        pid = TaskContext.get().partitionId()
-        dest = os.path.join(path, f"part-{pid:05d}.lld")
-        tmp = dest + ".tmp"
+        ctx = TaskContext.get()
+        dest = os.path.join(stage, f"part-{ctx.partitionId():05d}.lld")
+        tmp = f"{dest}.{ctx.taskAttemptId()}.tmp"
         with open(tmp, "wb") as f:
             f.write(_encode_block(chunk))
         os.replace(tmp, dest)
 
-    out.foreachPartition(write_part)
-    if not _glob.glob(os.path.join(path, "part-*.lld")):
-        # empty dictionary: keep the directory self-describing
-        with open(os.path.join(path, "part-00000.lld"), "wb") as f:
-            f.write(_encode_block([]))
+    try:
+        out.foreachPartition(write_part)
+        staged = sorted(f for f in os.listdir(stage) if f.endswith(".lld"))
+        if not staged:
+            # empty dictionary: keep the directory self-describing
+            with open(os.path.join(stage, "part-00000.lld"), "wb") as f:
+                f.write(_encode_block([]))
+            staged = ["part-00000.lld"]
+        # commit point: the job succeeded — retire the old generation and
+        # move the staged files in (plain listdir string checks; glob would
+        # misread metacharacters in user paths as patterns)
+        for old in os.listdir(path):
+            if old.startswith("part-") and old.endswith(".lld"):
+                os.remove(os.path.join(path, old))
+        for name in staged:
+            os.replace(os.path.join(stage, name), os.path.join(path, name))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def read_terms_binary(spark: SparkSession, path: str, term_col: str = "term") -> DataFrame:
     """Load an LLD1 binary dictionary back into a (term) DataFrame: the
     `binaryFile` source parallelizes over block files; decoding is a
-    mapInPandas per file (CRC-checked)."""
+    mapInPandas per file (CRC-checked). Empty terms are dropped, matching
+    `read_terms_text`'s contract exactly."""
+    import re
+
     import pandas as pd
 
+    # Spark resolves load() paths with Hadoop glob semantics; escape
+    # metacharacters so a literal '[v2]'-style directory name is not read
+    # as a character class (Hadoop's GlobPattern honours backslash escapes)
+    safe_path = re.sub(r"([\[\]{}*?\\])", r"\\\1", path)
     files = (
         spark.read.format("binaryFile")
         # directory + pathGlobFilter (not a glob IN the path): FileStreamSink
         # otherwise stats the glob literally and logs a spurious WARN
         .option("pathGlobFilter", "*.lld")
-        .load(path)
+        .load(safe_path)
         .select("path", "content")
     )
 
@@ -210,4 +244,7 @@ def read_terms_binary(spark: SparkSession, path: str, term_col: str = "term") ->
             for p, blob in zip(pdf["path"], pdf["content"]):
                 yield pd.DataFrame({term_col: _decode_block(bytes(blob), p)})
 
-    return files.mapInPandas(decode, f"{term_col} string")
+    return (
+        files.mapInPandas(decode, f"{term_col} string")
+        .filter(F.col(term_col) != "")
+    )

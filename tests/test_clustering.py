@@ -278,3 +278,13 @@ def test_golden_records_survivorship(spark):
                                   "conv_id string, city string")
     tie = golden_records(assign2, ents2, mode=("city",)).collect()[0]
     assert tie.city_mode == "p"
+
+    # NULL is never the mode, even when it is the most frequent value
+    # (the gate oracle replicates this with WHERE ... IS NOT NULL)
+    assign3 = spark.createDataFrame([(i, "a") for i in "abcde"],
+                                    "conv_id string, cluster_id string")
+    ents3 = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", None), ("d", "abc"), ("e", "abc")],
+        "conv_id string, city string")
+    nullmaj = golden_records(assign3, ents3, mode=("city",)).collect()[0]
+    assert nullmaj.city_mode == "abc"

@@ -79,3 +79,50 @@ def test_empty_and_overwrite(spark, tmp_path):
     empty = spark.createDataFrame([], "term string")
     write_terms_binary(empty, path, num_files=2)
     assert read_terms_binary(spark, path).count() == 0
+
+
+def test_self_referencing_rewrite(spark, tmp_path):
+    """write(read(p).filter(...), p) must not destroy its own input: the
+    stage-then-commit protocol only retires the old generation after the
+    job (and therefore the read) has completed."""
+    path = str(tmp_path / "dict_self")
+    df = spark.createDataFrame([(w,) for w in WORDS], "term string")
+    write_terms_binary(df, path, num_files=2)
+    from pyspark.sql import functions as F
+
+    kept = read_terms_binary(spark, path).filter(F.length("term") > 2)
+    expected = sorted(w for w in set(WORDS) if len(w) > 2)
+    write_terms_binary(kept, path, num_files=2)
+    assert sorted(r.term for r in read_terms_binary(spark, path).collect()) == expected
+    # no staging residue left behind
+    assert all(not f.startswith("_staging") for f in os.listdir(path))
+
+
+def test_glob_metachar_path(spark, tmp_path):
+    """Paths containing glob metacharacters are treated literally by the
+    writer's commit step (a '[v2]' segment must not be read as a character
+    class and trigger the empty-dictionary fallback over real data)."""
+    path = str(tmp_path / "dict[v2]")
+    df = spark.createDataFrame([(w,) for w in WORDS], "term string")
+    write_terms_binary(df, path, num_files=2)
+    files = [f for f in os.listdir(path) if f.endswith(".lld")]
+    assert files and "part-00000.lld" in files
+    concat = []
+    for name in sorted(files):
+        with open(os.path.join(path, name), "rb") as f:
+            concat.extend(_decode_block(f.read(), name))
+    assert concat == sorted(set(WORDS))
+    # overwrite on the same metachar path retires the old generation
+    write_terms_binary(df.limit(3), path, num_files=1)
+    assert read_terms_binary(spark, path).count() == 3
+
+
+def test_empty_string_parity_with_text(spark, tmp_path):
+    """Both serializations drop the empty term on read — the formats share
+    one contract, so the two gate entries can share one oracle."""
+    df = spark.createDataFrame([("",), ("a",), ("ab",)], "term string")
+    bin_path, txt_path = str(tmp_path / "b0"), str(tmp_path / "t0")
+    write_terms_binary(df, bin_path, num_files=1)
+    write_terms_text(df, txt_path, num_files=1)
+    assert sorted(r.term for r in read_terms_binary(spark, bin_path).collect()) == ["a", "ab"]
+    assert sorted(r.term for r in read_terms_text(spark, txt_path).collect()) == ["a", "ab"]

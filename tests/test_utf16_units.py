@@ -149,3 +149,21 @@ def test_scoring_pipeline_utf16(spark):
               transduce(queries, compile_dictionary(terms, conf_16), conf_16).collect()}
     assert got_cp == {"\U0001D49Cx": 1, "yx": 1}   # both 1 edit in code points
     assert got_16 == {"\U0001D49Cx": 1}            # 'yx' is 3 unit edits: dropped
+
+
+def test_banded_truth_pairs_units(spark):
+    """The evaluation truth scan must measure in the same units as the
+    pipeline under audit: with units='utf16' the astral pair ('𝒜x','yx')
+    (d_cp=1, d_utf16=2) drops out of a max_distance=1 truth set."""
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_spark.operators.metrics import banded_truth_pairs
+
+    canon = spark.createDataFrame(
+        [("e1", "\U0001D49Cx"), ("e2", "yx")],
+        "conv_id string, fingerprint string",
+    ).withColumn("fp_len", F.length("fingerprint"))
+    cp = banded_truth_pairs(canon, 1, "standard").collect()
+    u16 = banded_truth_pairs(canon, 1, "standard", units="utf16").collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in cp] == [("e1", "e2", 1)]
+    assert u16 == []
