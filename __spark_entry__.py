@@ -65,6 +65,8 @@ _PRIORITY = [
     "similarity_tfidf_topk",
     "dictionary_binary_roundtrip",
     "golden_records",
+    "stable_entity_ids",
+    "match_provenance",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -410,6 +410,48 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stable_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-stitching across runs — operators/clustering.py::stable_entity_ids.
+    A 'previous run' is simulated deterministically in BOTH engines by
+    clustering the md5-parity half of the match edges (portable split:
+    substring(md5(id_a || '|' || id_b), 1, 1) < '8' — Spark and DuckDB
+    render identical lowercase hex), previous entity ids are 'ent:' + that
+    run's cluster root, and the current full-history assignment then
+    inherits ids by mutual-best member overlap; unmatched clusters mint
+    'new:' ids. Run-to-run id persistence is what downstream joins key on
+    at 10^12-turn scale — cluster roots alone rename on every merge."""
+    from .operators.clustering import stable_entity_ids
+
+    ship_package(spark)
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    is_hist = F.substring(F.md5(F.concat_ws("|", "id_a", "id_b")), 1, 1) < "8"
+    prev = assign_clusters(entities, matches.filter(is_hist)).select(
+        "conv_id", F.concat(F.lit("ent:"), "cluster_id").alias("entity_id"))
+    curr = q_clusters(spark, sf_dir)
+    return stable_entity_ids(prev, curr)
+
+
+def q_match_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match explainability — operators/metrics.py::match_provenance over
+    the multi-scheme pair stream (_scheme_pairs: deletions / purged q-grams
+    / sorted-neighborhood): every accepted match annotated with the sorted
+    comma-joined list of schemes that proposed it and the scheme count.
+    The audit table behind blocking-budget decisions: a match carried by
+    one scheme alone is that scheme's keep-evidence."""
+    from .operators.metrics import match_provenance
+
+    uni = _scheme_pairs(spark, sf_dir)
+    named = uni.withColumn(
+        "scheme",
+        F.when(F.col("scheme") == 1, F.lit("deletions"))
+         .when(F.col("scheme") == 2, F.lit("qgrams"))
+         .otherwise(F.lit("snm")),
+    )
+    matches = q_matches(spark, sf_dir)
+    return match_provenance(matches, named)
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -1629,6 +1671,59 @@ SELECT b.cluster_id, b.n_members, b.rep, s.survivor_len, s.survivor_src,
 FROM base b
 JOIN surv s ON s.cluster_id = b.cluster_id AND s.r = 1
 LEFT JOIN md m ON m.cluster_id = b.cluster_id AND m.r = 1""",
+    "stable_entity_ids": DUCK_TRANSCRIPTS + """,
+split AS (
+  SELECT id_a, id_b,
+         substring(md5(id_a || '|' || id_b), 1, 1) < '8' AS is_hist
+  FROM matches
+),
+edges_h AS (
+  SELECT id_a AS src, id_b AS dst FROM split WHERE is_hist
+  UNION ALL SELECT id_b, id_a FROM split WHERE is_hist
+),
+reach_h AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges_h e ON e.src = r.node
+  ) SELECT * FROM r
+),
+prev AS (
+  SELECT node AS conv_id, 'ent:' || min(root) AS entity_id
+  FROM reach_h GROUP BY node
+),
+edges_f AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach_f AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges_f e ON e.src = r.node
+  ) SELECT * FROM r
+),
+curr AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach_f GROUP BY node
+),
+overlap AS (
+  SELECT c.cluster_id, p.entity_id, count(*) AS n
+  FROM curr c JOIN prev p ON p.conv_id = c.conv_id
+  GROUP BY c.cluster_id, p.entity_id
+),
+ranked AS (
+  SELECT cluster_id, entity_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, entity_id ASC) AS rc,
+         row_number() OVER (PARTITION BY entity_id
+                            ORDER BY n DESC, cluster_id ASC) AS re
+  FROM overlap
+),
+carried AS (SELECT cluster_id, entity_id FROM ranked WHERE rc = 1 AND re = 1)
+SELECT c.conv_id, c.cluster_id,
+       coalesce(k.entity_id, 'new:' || c.cluster_id) AS entity_id,
+       CAST(k.entity_id IS NOT NULL AS INT) AS carried
+FROM curr c LEFT JOIN carried k ON k.cluster_id = c.cluster_id""",
     "topk_candidates": DUCK_TRANSCRIPTS + """
 SELECT query_id, candidate, distance, rank FROM (
   SELECT id_a AS query_id, id_b AS candidate, distance,
@@ -2262,6 +2357,28 @@ SELECT id_a, id_b, CAST(sum(scheme) AS INT) AS schemes,
        CAST(count(*) AS INT) AS n_schemes
 FROM uni GROUP BY id_a, id_b"""
 
+# Match explainability: the scheme-tagged pair stream named and rolled up
+# per pair, left-joined onto the accepted matches (left join: a match no
+# scheme proposed would surface as schemes='' — a blocking-recall hole).
+LINKAGE_ORACLES["match_provenance"] = DUCK_TRANSCRIPTS + _DUCK_SCHEMES + """,
+named AS (
+  SELECT id_a, id_b,
+         CASE scheme WHEN 1 THEN 'deletions'
+                     WHEN 2 THEN 'qgrams'
+                     ELSE 'snm' END AS scheme
+  FROM uni
+),
+per_pair AS (
+  SELECT id_a, id_b,
+         string_agg(DISTINCT scheme, ',' ORDER BY scheme) AS schemes,
+         CAST(count(DISTINCT scheme) AS INT) AS n_schemes
+  FROM named GROUP BY id_a, id_b
+)
+SELECT m.id_a, m.id_b, m.distance,
+       coalesce(p.schemes, '') AS schemes,
+       coalesce(p.n_schemes, 0) AS n_schemes
+FROM matches m LEFT JOIN per_pair p ON p.id_a = m.id_a AND p.id_b = m.id_b"""
+
 # Per-scheme blocking quality: the union's scheme-tagged pair stream left-
 # joined against the banded truth, one agg by scheme; same completeness /
 # reduction-ratio encoding as eval_blocking_recall.
@@ -2417,6 +2534,8 @@ LINKAGE_QUERIES = {
     "cluster_stats": q_cluster_stats,
     "cluster_canonical": q_cluster_canonical,
     "golden_records": q_golden_records,
+    "stable_entity_ids": q_stable_entity_ids,
+    "match_provenance": q_match_provenance,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_per_query_n": q_transduce_per_query_n,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
-           "fold_clusters", "golden_records"]
+           "fold_clusters", "golden_records", "stable_entity_ids"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -334,3 +334,63 @@ def golden_records(assignment: DataFrame, entities: DataFrame,
         )
         out = out.join(winner, cluster_col, "left")
     return out
+
+
+def stable_entity_ids(prev: DataFrame, curr: DataFrame,
+                      id_col: str = "conv_id",
+                      cluster_col: str = "cluster_id",
+                      entity_col: str = "entity_id") -> DataFrame:
+    """ID-stitching across linkage runs: carry PERSISTENT entity ids from a
+    previous assignment onto the current one, so downstream consumers keep
+    a stable key while clusters merge, split, and absorb new records.
+
+    CC cluster ids here are min-member ids, which are NOT stable: a newly
+    ingested record with a smaller id, or a merge of two clusters, renames
+    the cluster even though the entity is "the same". Production ER systems
+    solve this with an id-crosswalk step after every run `[PK]` (the
+    reference's transducer has no run-to-run state; this is pipeline
+    infrastructure the 10^12-turn deployment needs).
+
+    Matching rule — deterministic MUTUAL best overlap: count shared members
+    per (current cluster, previous entity); a cluster inherits an entity id
+    iff each is the other's argmax (ties broken by smallest entity id /
+    cluster id). Mutual-best is the standard greedy 1-1 approximation of
+    max-weight bipartite matching that both engines can express with two
+    window ranks — no iteration, no driver loop. Clusters that win no
+    previous id (genuinely new entities, or the minority fragment of a
+    split) mint ``new:<cluster_id>`` — a deterministic placeholder a
+    publisher would swap for a sequence/UUID at commit time; the ``new:``
+    namespace keeps minted ids collision-free against carried ``ent:*``
+    ids even when a moved record's conv_id roots both an old entity and a
+    new cluster.
+
+    Inputs: ``prev`` (id_col, entity_col), ``curr`` (id_col, cluster_col).
+    Output: one row per current record (id, cluster_id, entity_id,
+    carried:int). Scale shape: the overlap table is at most one row per
+    record before the hash agg's map-side combine collapses it to one row
+    per (cluster, entity) — O(|clusters|) survivors; the two ranking
+    windows run on that collapsed table, never on the corpus."""
+    from pyspark.sql import Window
+
+    overlap = (
+        curr.join(prev, id_col)
+        .groupBy(cluster_col, entity_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    wc = Window.partitionBy(cluster_col).orderBy(
+        F.col("_n").desc(), F.col(entity_col).asc())
+    we = Window.partitionBy(entity_col).orderBy(
+        F.col("_n").desc(), F.col(cluster_col).asc())
+    carried = (
+        overlap.withColumn("_rc", F.row_number().over(wc))
+        .withColumn("_re", F.row_number().over(we))
+        .filter((F.col("_rc") == 1) & (F.col("_re") == 1))
+        .select(cluster_col, entity_col)
+    )
+    return (
+        curr.join(carried, cluster_col, "left")
+        .withColumn("carried", F.col(entity_col).isNotNull().cast("int"))
+        .withColumn(entity_col, F.coalesce(
+            F.col(entity_col), F.concat(F.lit("new:"), F.col(cluster_col))))
+        .select(id_col, cluster_col, entity_col, "carried")
+    )

@@ -11,8 +11,37 @@ from pyspark.sql import functions as F
 __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
     "pairwise_confusion", "bcubed", "rand_stats", "fs_model",
-    "banded_truth_pairs",
+    "banded_truth_pairs", "match_provenance",
 ]
+
+
+def match_provenance(matches: DataFrame, scheme_pairs: DataFrame,
+                     scheme_col: str = "scheme") -> DataFrame:
+    """Explainability for every accepted match: WHICH blocking scheme(s)
+    proposed the pair. ER audits ask this constantly — a match found only
+    by one scheme is the evidence for keeping that scheme's candidate
+    budget, and a match found by none (possible when matches come from an
+    external/manual source) is a blocking-recall hole surfaced as
+    schemes=''. Output: the match columns plus ``schemes`` (sorted
+    comma-joined scheme names — a hash-stable string, not a set) and
+    ``n_schemes``.
+
+    Scale shape: one hash agg of the scheme-tagged pair stream (narrow:
+    ids + scheme name, map-side combined) and one left join keyed on the
+    pair ids — the match set is tiny relative to candidates, so AQE
+    broadcast-joins it in practice; no texts and no kernel ride this."""
+    per_pair = (
+        scheme_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set(scheme_col)), ",").alias("schemes"),
+            F.count_distinct(scheme_col).cast("int").alias("n_schemes"),
+        )
+    )
+    return (
+        matches.join(per_pair, ["id_a", "id_b"], "left")
+        .withColumn("schemes", F.coalesce("schemes", F.lit("")))
+        .withColumn("n_schemes", F.coalesce("n_schemes", F.lit(0)))
+    )
 
 
 def banded_truth_pairs(canon: DataFrame, max_distance: int = 2,

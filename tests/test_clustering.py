@@ -288,3 +288,53 @@ def test_golden_records_survivorship(spark):
         "conv_id string, city string")
     nullmaj = golden_records(assign3, ents3, mode=("city",)).collect()[0]
     assert nullmaj.city_mode == "abc"
+
+
+def test_stable_entity_ids(spark):
+    """ID-stitching semantics: carried ids under merge, mutual-best on
+    split (majority fragment keeps the id, minority mints), pure-new
+    clusters mint, and a moved record can't collide a minted id with a
+    carried one (new:/ent: namespaces)."""
+    from liblevenshtein_spark.operators.clustering import stable_entity_ids
+
+    # prev run: {a,b}=ent:a  {c,d,e}=ent:c  {z}=ent:z
+    prev = spark.createDataFrame(
+        [("a", "ent:a"), ("b", "ent:a"), ("c", "ent:c"), ("d", "ent:c"),
+         ("e", "ent:c"), ("z", "ent:z")],
+        "conv_id string, entity_id string",
+    )
+    # curr run: {a,b,z} merged; {c} split off; {d,e} majority fragment;
+    # {q} brand new
+    curr = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("z", "a"),
+         ("c", "c"), ("d", "d"), ("e", "d"), ("q", "q")],
+        "conv_id string, cluster_id string",
+    )
+    out = {r.conv_id: r for r in stable_entity_ids(prev, curr).collect()}
+    assert len(out) == 7
+    # merged cluster: overlap(a-cluster, ent:a)=2 beats overlap(.., ent:z)=1
+    assert out["a"].entity_id == "ent:a" and out["a"].carried == 1
+    assert out["z"].entity_id == "ent:a"
+    # split: {d,e} has overlap 2 with ent:c, {c} only 1 -> majority carries
+    assert out["d"].entity_id == "ent:c" and out["e"].entity_id == "ent:c"
+    assert out["c"].entity_id == "new:c" and out["c"].carried == 0
+    # brand-new record mints
+    assert out["q"].entity_id == "new:q" and out["q"].carried == 0
+    # uniqueness: each entity id maps to exactly one current cluster
+    pairs = {(r.cluster_id, r.entity_id) for r in out.values()}
+    ids = [e for _, e in pairs]
+    assert len(ids) == len(set(ids))
+
+
+def test_stable_entity_ids_tie_break(spark):
+    """Equal overlaps resolve deterministically: cluster side prefers the
+    smallest entity id, entity side the smallest cluster id."""
+    from liblevenshtein_spark.operators.clustering import stable_entity_ids
+
+    prev = spark.createDataFrame(
+        [("a", "ent:p"), ("b", "ent:q")], "conv_id string, entity_id string")
+    curr = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "conv_id string, cluster_id string")
+    out = {r.conv_id: r for r in stable_entity_ids(prev, curr).collect()}
+    # both entities overlap the merged cluster once: ent:p wins (lex min)
+    assert out["a"].entity_id == "ent:p" and out["b"].entity_id == "ent:p"

@@ -165,3 +165,26 @@ def test_pairwise_confusion_perfect_and_empty(spark):
     zero = pairwise_confusion(empty, empty).collect()[0]
     assert (zero.tp, zero.fp, zero.fn) == (0, 0, 0)
     assert (zero.precision_1e4, zero.recall_1e4, zero.f1_1e4) == (0, 0, 0)
+
+
+def test_match_provenance(spark):
+    """Per-match scheme provenance: sorted comma-joined names, distinct
+    counting, and the schemes='' hole for a match no scheme proposed."""
+    from liblevenshtein_spark.operators.metrics import match_provenance
+
+    matches = spark.createDataFrame(
+        [("a", "b", 1), ("c", "d", 2), ("x", "y", 0)],
+        "id_a string, id_b string, distance int",
+    )
+    schemes = spark.createDataFrame(
+        [("a", "b", "qgrams"), ("a", "b", "deletions"), ("a", "b", "qgrams"),
+         ("c", "d", "snm"), ("m", "n", "deletions")],
+        "id_a string, id_b string, scheme string",
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           match_provenance(matches, schemes).collect()}
+    assert len(out) == 3  # left join keeps all matches, no row for (m,n)
+    assert out[("a", "b")].schemes == "deletions,qgrams"
+    assert out[("a", "b")].n_schemes == 2
+    assert out[("c", "d")].schemes == "snm" and out[("c", "d")].n_schemes == 1
+    assert out[("x", "y")].schemes == "" and out[("x", "y")].n_schemes == 0
