@@ -338,3 +338,47 @@ def test_stable_entity_ids_tie_break(spark):
     out = {r.conv_id: r for r in stable_entity_ids(prev, curr).collect()}
     # both entities overlap the merged cluster once: ent:p wins (lex min)
     assert out["a"].entity_id == "ent:p" and out["b"].entity_id == "ent:p"
+
+
+def test_stable_entity_ids_random_parity(spark):
+    """Randomized parity vs an independent pure-Python mutual-best
+    reference, plus the uniqueness invariant (an entity id never lands on
+    two clusters) — the gate oracle shares the SQL formulation, so this
+    reference is deliberately written differently (dict scans, no
+    windows)."""
+    from liblevenshtein_spark.operators.clustering import stable_entity_ids
+
+    rng = random.Random(77)
+    ids = [f"v{i:03d}" for i in range(120)]
+    prev_rows = [(i, f"ent:e{rng.randrange(25):02d}") for i in ids]
+    # current clustering is an independent random partition
+    curr_rows = [(i, f"c{rng.randrange(30):02d}") for i in ids]
+
+    # reference: mutual best by (count desc, name asc) on both sides
+    from collections import Counter
+    ov = Counter()
+    pe = dict(prev_rows)
+    for i, c in curr_rows:
+        ov[(c, pe[i])] += 1
+    best_c = {}
+    for (c, e), n in ov.items():
+        k = (-n, e)
+        if c not in best_c or k < best_c[c][0]:
+            best_c[c] = (k, e)
+    best_e = {}
+    for (c, e), n in ov.items():
+        k = (-n, c)
+        if e not in best_e or k < best_e[e][0]:
+            best_e[e] = (k, c)
+    carried = {c: e for c, (_, e) in best_c.items() if best_e[e][1] == c}
+    want = {i: carried.get(c, f"new:{c}") for i, c in curr_rows}
+
+    prev = spark.createDataFrame(prev_rows, "conv_id string, entity_id string")
+    curr = spark.createDataFrame(curr_rows, "conv_id string, cluster_id string")
+    got_rows = stable_entity_ids(prev, curr).collect()
+    got = {r.conv_id: r.entity_id for r in got_rows}
+    assert got == want
+    # uniqueness: one entity id -> at most one cluster
+    m = {}
+    for r in got_rows:
+        assert m.setdefault(r.entity_id, r.cluster_id) == r.cluster_id
