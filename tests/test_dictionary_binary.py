@@ -126,3 +126,15 @@ def test_empty_string_parity_with_text(spark, tmp_path):
     write_terms_text(df, txt_path, num_files=1)
     assert sorted(r.term for r in read_terms_binary(spark, bin_path).collect()) == ["a", "ab"]
     assert sorted(r.term for r in read_terms_text(spark, txt_path).collect()) == ["a", "ab"]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=60))
+def test_lld1_codec_roundtrips_arbitrary_unicode(terms):
+    """Property: any sorted unique term list (including '', astral chars,
+    embedded separators) survives encode->decode bit-exactly."""
+    terms = sorted(set(terms))
+    assert _decode_block(_encode_block(terms)) == terms
