@@ -20,7 +20,7 @@ CTE is the connected-components oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import LinkConfig
@@ -432,6 +432,28 @@ def q_stable_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_entity_ids(prev, curr)
 
 
+# Single source of truth for the scheme-bit -> name mapping: both the Spark
+# CASE chain and the DuckDB oracle CASE are generated from this dict, and
+# NEITHER has a fallback branch — an unmapped future scheme value becomes
+# NULL in both engines (dropped by collect_set / string_agg identically)
+# instead of being silently mislabeled as some existing scheme.
+SCHEME_NAMES = {1: "deletions", 2: "qgrams", 4: "snm"}
+
+
+def _scheme_name_col() -> Column:
+    expr = None
+    for bit, name in sorted(SCHEME_NAMES.items()):
+        cond = F.col("scheme") == bit
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def _scheme_name_sql() -> str:
+    whens = " ".join(f"WHEN {bit} THEN '{name}'"
+                     for bit, name in sorted(SCHEME_NAMES.items()))
+    return f"CASE scheme {whens} END"
+
+
 def q_match_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match explainability — operators/metrics.py::match_provenance over
     the multi-scheme pair stream (_scheme_pairs: deletions / purged q-grams
@@ -442,12 +464,7 @@ def q_match_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.metrics import match_provenance
 
     uni = _scheme_pairs(spark, sf_dir)
-    named = uni.withColumn(
-        "scheme",
-        F.when(F.col("scheme") == 1, F.lit("deletions"))
-         .when(F.col("scheme") == 2, F.lit("qgrams"))
-         .otherwise(F.lit("snm")),
-    )
+    named = uni.withColumn("scheme", _scheme_name_col())
     matches = q_matches(spark, sf_dir)
     return match_provenance(matches, named)
 
@@ -2360,12 +2377,9 @@ FROM uni GROUP BY id_a, id_b"""
 # Match explainability: the scheme-tagged pair stream named and rolled up
 # per pair, left-joined onto the accepted matches (left join: a match no
 # scheme proposed would surface as schemes='' — a blocking-recall hole).
-LINKAGE_ORACLES["match_provenance"] = DUCK_TRANSCRIPTS + _DUCK_SCHEMES + """,
+LINKAGE_ORACLES["match_provenance"] = DUCK_TRANSCRIPTS + _DUCK_SCHEMES + f""",
 named AS (
-  SELECT id_a, id_b,
-         CASE scheme WHEN 1 THEN 'deletions'
-                     WHEN 2 THEN 'qgrams'
-                     ELSE 'snm' END AS scheme
+  SELECT id_a, id_b, {_scheme_name_sql()} AS scheme
   FROM uni
 ),
 per_pair AS (

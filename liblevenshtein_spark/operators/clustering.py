@@ -339,7 +339,8 @@ def golden_records(assignment: DataFrame, entities: DataFrame,
 def stable_entity_ids(prev: DataFrame, curr: DataFrame,
                       id_col: str = "conv_id",
                       cluster_col: str = "cluster_id",
-                      entity_col: str = "entity_id") -> DataFrame:
+                      entity_col: str = "entity_id",
+                      mint_namespace: str = "new") -> DataFrame:
     """ID-stitching across linkage runs: carry PERSISTENT entity ids from a
     previous assignment onto the current one, so downstream consumers keep
     a stable key while clusters merge, split, and absorb new records.
@@ -358,11 +359,16 @@ def stable_entity_ids(prev: DataFrame, curr: DataFrame,
     max-weight bipartite matching that both engines can express with two
     window ranks — no iteration, no driver loop. Clusters that win no
     previous id (genuinely new entities, or the minority fragment of a
-    split) mint ``new:<cluster_id>`` — a deterministic placeholder a
-    publisher would swap for a sequence/UUID at commit time; the ``new:``
-    namespace keeps minted ids collision-free against carried ``ent:*``
-    ids even when a moved record's conv_id roots both an old entity and a
-    new cluster.
+    split) mint ``<mint_namespace>:<cluster_id>``.
+
+    Uniqueness contract: every entity id maps to at most one cluster
+    PROVIDED no id in ``prev`` already lives in ``mint_namespace``. When
+    the operator's own output is chained as the next run's ``prev`` (the
+    normal production loop), pass a fresh per-run namespace — a run id,
+    batch id, or date (``mint_namespace=f"run{n}"``) — exactly as a
+    publisher would allocate from a sequence; a reused namespace could
+    collide a carried ``new:X`` with a later cluster minting ``new:X``
+    after a split moves record X.
 
     Inputs: ``prev`` (id_col, entity_col), ``curr`` (id_col, cluster_col).
     Output: one row per current record (id, cluster_id, entity_id,
@@ -391,6 +397,7 @@ def stable_entity_ids(prev: DataFrame, curr: DataFrame,
         curr.join(carried, cluster_col, "left")
         .withColumn("carried", F.col(entity_col).isNotNull().cast("int"))
         .withColumn(entity_col, F.coalesce(
-            F.col(entity_col), F.concat(F.lit("new:"), F.col(cluster_col))))
+            F.col(entity_col),
+            F.concat(F.lit(f"{mint_namespace}:"), F.col(cluster_col))))
         .select(id_col, cluster_col, entity_col, "carried")
     )

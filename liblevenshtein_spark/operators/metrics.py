@@ -30,11 +30,14 @@ def match_provenance(matches: DataFrame, scheme_pairs: DataFrame,
     ids + scheme name, map-side combined) and one left join keyed on the
     pair ids — the match set is tiny relative to candidates, so AQE
     broadcast-joins it in practice; no texts and no kernel ride this."""
+    # one agg pass: collect_set already dedups, so n_schemes is the set
+    # size — a count_distinct here would plan a second two-phase aggregate
+    dedup = F.sort_array(F.collect_set(scheme_col))
     per_pair = (
         scheme_pairs.groupBy("id_a", "id_b")
         .agg(
-            F.array_join(F.sort_array(F.collect_set(scheme_col)), ",").alias("schemes"),
-            F.count_distinct(scheme_col).cast("int").alias("n_schemes"),
+            F.array_join(dedup, ",").alias("schemes"),
+            F.size(dedup).cast("int").alias("n_schemes"),
         )
     )
     return (

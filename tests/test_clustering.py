@@ -340,6 +340,40 @@ def test_stable_entity_ids_tie_break(spark):
     assert out["a"].entity_id == "ent:p" and out["b"].entity_id == "ent:p"
 
 
+def test_stable_entity_ids_chained_runs(spark):
+    """Chaining output as the next run's prev with per-run mint namespaces:
+    the adversarial case is a cluster that minted 'new:b' (root b) whose
+    members later split so that b roots a NEW cluster while the majority
+    carries the old id — with a fresh namespace the minted id cannot
+    collide with the carried one, so uniqueness holds across the chain."""
+    from liblevenshtein_spark.operators.clustering import stable_entity_ids
+
+    # run 1: {b,x,y} is brand new -> mints 'new:b'
+    prev1 = spark.createDataFrame(
+        [("z", "ent:z")], "conv_id string, entity_id string")
+    curr1 = spark.createDataFrame(
+        [("b", "b"), ("x", "b"), ("y", "b"), ("z", "z")],
+        "conv_id string, cluster_id string")
+    run1 = stable_entity_ids(prev1, curr1)
+    assert {r.entity_id for r in run1.collect()} == {"new:b", "ent:z"}
+
+    # run 2: the cluster splits — {x,y} (root x) keeps the majority, {b}
+    # is alone again; chained with a fresh namespace 'run2'
+    curr2 = spark.createDataFrame(
+        [("b", "b"), ("x", "x"), ("y", "x"), ("z", "z")],
+        "conv_id string, cluster_id string")
+    out = {r.conv_id: r for r in stable_entity_ids(
+        run1.select("conv_id", "entity_id"), curr2,
+        mint_namespace="run2").collect()}
+    assert out["x"].entity_id == "new:b" and out["y"].entity_id == "new:b"
+    assert out["b"].entity_id == "run2:b"   # no collision with carried new:b
+    assert out["z"].entity_id == "ent:z"
+    ids = [(r.entity_id, r.cluster_id) for r in out.values()]
+    per_entity = {}
+    for e, c in ids:
+        assert per_entity.setdefault(e, c) == c  # uniqueness across the chain
+
+
 def test_stable_entity_ids_random_parity(spark):
     """Randomized parity vs an independent pure-Python mutual-best
     reference, plus the uniqueness invariant (an entity id never lands on
