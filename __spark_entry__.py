@@ -67,6 +67,10 @@ _PRIORITY = [
     "golden_records",
     "stable_entity_ids",
     "match_provenance",
+    "edge_support",
+    "cluster_cohesion",
+    "clusters_robust",
+    "match_one_to_one",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -469,6 +469,119 @@ def q_match_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_provenance(matches, named)
 
 
+def _noisy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match graph + planted noise bridges, the shared input of the graph-
+    audit entries (edge_support / cluster_cohesion / clusters_robust).
+
+    The derived corpus's genuine match graph is triangle-clean (c/d/e
+    triples), so bridge pruning would be a no-op on it; to make the gate
+    actually exercise the defense, deterministic FALSE-POSITIVE edges are
+    planted in both engines: every doc with doc_id % 40 == 0 whose
+    successor doc exists gains a spurious distance-2 edge between the two
+    base records — the signature of threshold drift welding unrelated
+    entities. Unioned with the real matches and deduped to min distance."""
+    def build() -> DataFrame:
+        matches = q_matches(spark, sf_dir).select("id_a", "id_b", "distance")
+        d1 = _docs(spark, sf_dir).select(F.col("doc_id").alias("i")).filter(
+            F.col("i") % 40 == 0)
+        d2 = _docs(spark, sf_dir).select(F.col("doc_id").alias("j"))
+        ca = F.concat(F.lit("c"), F.col("i").cast("string"))
+        cb = F.concat(F.lit("c"), F.col("j").cast("string"))
+        bridges = d1.join(d2, F.col("j") == F.col("i") + 1).select(
+            F.least(ca, cb).alias("id_a"),
+            F.greatest(ca, cb).alias("id_b"),
+            F.lit(2).cast("int").alias("distance"),
+        )
+        return (
+            matches.unionByName(bridges)
+            .groupBy("id_a", "id_b")
+            .agg(F.min("distance").cast("int").alias("distance"))
+        )
+
+    return _cached_df(spark, sf_dir, "noisy_matches", build)
+
+
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-graph triangle support (operators/graph.py::edge_support) over
+    the noise-injected match graph: for every edge, the number of common
+    neighbors corroborating it. support=0 rows are exactly the
+    uncorroborated links `clusters_robust` prunes — here the planted
+    bridges plus genuine pairs with no shared third duplicate. One
+    adjacency self-join on ids; no texts, no kernel."""
+    from .operators.graph import edge_support
+
+    return edge_support(_noisy_matches(spark, sf_dir)).select(
+        "id_a", "id_b",
+        F.col("distance").cast("int").alias("distance"),
+        F.col("support").cast("int").alias("support"),
+    )
+
+
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster edge density (operators/graph.py::cluster_cohesion) of
+    the noisy match graph's CC clusters: the mega-cluster drift metric —
+    bridge-welded clusters surface as size-6 density-~0.3 rows while
+    genuine duplicate groups stay near 1.0. Two hash aggs + a key join;
+    output O(|clusters|)."""
+    from .operators.graph import cluster_cohesion
+
+    noisy = _noisy_matches(spark, sf_dir)
+    ents = _canonical(spark, sf_dir).select("conv_id")
+    assign = assign_clusters(ents, noisy)
+    return cluster_cohesion(assign, noisy).select(
+        "cluster_id",
+        F.col("size").cast("int").alias("size"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        "density",
+    )
+
+
+def q_clusters_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge-pruned re-clustering (operators/graph.py::robust_clusters)
+    over the noise-injected match graph: clusters larger than 3 are
+    suspect; inside them, weak (distance >= 2) edges with zero triangle
+    support are dropped and the suspect subgraph re-clustered. The planted
+    bridges all die (distance 2, support 0), restoring the genuine c/d/e
+    clusters; real distance-2 edges survive where a triangle corroborates
+    them, and strong distance-1 edges are never touched. The oracle
+    recomputes the whole prune in SQL with two recursive-CTE CC passes."""
+    from .operators.graph import robust_clusters
+
+    noisy = _noisy_matches(spark, sf_dir)
+    ents = _canonical(spark, sf_dir).select("conv_id")
+    return robust_clusters(ents, noisy, min_support=1, size_threshold=3,
+                           weak_distance=2)
+
+
+def q_match_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source linkage assignment (operators/matching.py::one_to_one):
+    the cross-source matches (probe records d*/e* vs reference records c*)
+    reduced to a greedy maximum-weight ONE-TO-ONE matching via iterated
+    locally-dominant edge selection (Preis 1999) — each reference record
+    is consumed by at most one probe and vice versa, the assignment
+    constraint every two-source ER deployment ends with. `round` audits
+    the peel depth (round 1 = mutual best). The engine runs to fixpoint;
+    the oracle unrolls 6 rounds of the identical peel (row mismatch if
+    convergence ever needed more — degree is bounded by the dup-group
+    size here, so 6 is ample)."""
+    from .operators.matching import one_to_one
+
+    pairs = (
+        q_matches(spark, sf_dir)
+        .filter(F.col("id_a").startswith("c") & ~F.col("id_b").startswith("c"))
+        .select(
+            F.col("id_b").alias("probe_id"),
+            F.col("id_a").alias("ref_id"),
+            "distance",
+        )
+    )
+    return one_to_one(pairs, "probe_id", "ref_id", "distance").select(
+        "probe_id", "ref_id",
+        F.col("distance").cast("int").alias("distance"),
+        "round",
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -2529,6 +2642,133 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(q_clusters(spark, sf_dir), SPLIT_FRACTIONS)
 
 
+# Shared oracle fragment for the graph-audit entries: noisy match graph
+# (matches + planted bridges), adjacency, per-edge triangle support, and the
+# baseline CC assignment over the noisy edges. Keep in exact lockstep with
+# _noisy_matches / operators/graph.py.
+_DUCK_NOISY = """,
+bridges AS (
+  SELECT least('c' || CAST(d1.doc_id AS VARCHAR), 'c' || CAST(d1.doc_id + 1 AS VARCHAR)) AS id_a,
+         greatest('c' || CAST(d1.doc_id AS VARCHAR), 'c' || CAST(d1.doc_id + 1 AS VARCHAR)) AS id_b,
+         2 AS distance
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 40 = 0
+),
+noisy AS MATERIALIZED (
+  SELECT id_a, id_b, CAST(min(distance) AS INT) AS distance
+  FROM (SELECT id_a, id_b, distance FROM matches
+        UNION ALL SELECT id_a, id_b, distance FROM bridges)
+  GROUP BY id_a, id_b
+),
+nadj AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM noisy
+  UNION ALL SELECT id_b, id_a FROM noisy
+),
+nsupp AS MATERIALIZED (
+  SELECT n.id_a, n.id_b, n.distance, CAST(coalesce(t.support, 0) AS INT) AS support
+  FROM noisy n LEFT JOIN (
+    SELECT n2.id_a, n2.id_b, count(*) AS support
+    FROM noisy n2
+    JOIN nadj x ON x.u = n2.id_a
+    JOIN nadj y ON y.u = n2.id_b AND y.v = x.v
+    GROUP BY n2.id_a, n2.id_b
+  ) t ON t.id_a = n.id_a AND t.id_b = n.id_b
+),
+nedges AS (
+  SELECT id_a AS src, id_b AS dst FROM noisy
+  UNION ALL SELECT id_b, id_a FROM noisy
+),
+nreach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN nedges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+nassign AS MATERIALIZED (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM nreach GROUP BY node
+)
+"""
+
+LINKAGE_ORACLES["edge_support"] = DUCK_TRANSCRIPTS + _DUCK_NOISY + """
+SELECT id_a, id_b, distance, support FROM nsupp"""
+
+LINKAGE_ORACLES["cluster_cohesion"] = DUCK_TRANSCRIPTS + _DUCK_NOISY + """,
+nsizes AS (
+  SELECT cluster_id, CAST(count(*) AS INT) AS size FROM nassign GROUP BY cluster_id
+),
+nintra AS (
+  SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+  FROM noisy n JOIN nassign a ON a.conv_id = n.id_a
+  GROUP BY a.cluster_id
+)
+SELECT s.cluster_id, s.size,
+       CAST(coalesce(i.n_edges, 0) AS BIGINT) AS n_edges,
+       round(CAST(coalesce(i.n_edges, 0) AS DOUBLE)
+             / (CAST(s.size AS DOUBLE) * (s.size - 1) / 2)
+             + 0.000000001, 4) AS density
+FROM nsizes s LEFT JOIN nintra i ON i.cluster_id = s.cluster_id
+WHERE s.size >= 2"""
+
+LINKAGE_ORACLES["clusters_robust"] = DUCK_TRANSCRIPTS + _DUCK_NOISY + """,
+nsuspect AS (
+  SELECT cluster_id FROM nassign GROUP BY cluster_id HAVING count(*) > 3
+),
+nkept AS (
+  SELECT s.id_a, s.id_b FROM nsupp s
+  JOIN nassign a ON a.conv_id = s.id_a
+  WHERE NOT (a.cluster_id IN (SELECT cluster_id FROM nsuspect)
+             AND s.support < 1 AND s.distance >= 2)
+),
+kedges AS (
+  SELECT id_a AS src, id_b AS dst FROM nkept
+  UNION ALL SELECT id_b, id_a FROM nkept
+),
+kreach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN kedges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS conv_id, min(root) AS cluster_id FROM kreach GROUP BY node"""
+
+
+def _one_to_one_oracle(rounds: int) -> str:
+    """Template-generated unrolled peel: K rounds of locally-dominant edge
+    selection, each round = two window ranks + NOT IN removals — the exact
+    SQL mirror of operators/matching.py::one_to_one's loop body."""
+    parts = [""",
+o2o_rem0 AS MATERIALIZED (
+  SELECT id_b AS probe_id, id_a AS ref_id, distance FROM matches
+  WHERE id_a LIKE 'c%' AND id_b NOT LIKE 'c%'
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+o2o_dom{k} AS MATERIALIZED (
+  SELECT probe_id, ref_id, distance, {k} AS round FROM (
+    SELECT probe_id, ref_id, distance,
+           row_number() OVER (PARTITION BY probe_id ORDER BY distance, ref_id) AS rl,
+           row_number() OVER (PARTITION BY ref_id ORDER BY distance, probe_id) AS rr
+    FROM o2o_rem{k - 1}
+  ) WHERE rl = 1 AND rr = 1
+),
+o2o_rem{k} AS MATERIALIZED (
+  SELECT r.* FROM o2o_rem{k - 1} r
+  WHERE r.probe_id NOT IN (SELECT probe_id FROM o2o_dom{k})
+    AND r.ref_id NOT IN (SELECT ref_id FROM o2o_dom{k})
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT probe_id, ref_id, CAST(distance AS INT) AS distance, "
+        f"CAST(round AS INT) AS round FROM o2o_dom{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+LINKAGE_ORACLES["match_one_to_one"] = DUCK_TRANSCRIPTS + _one_to_one_oracle(6)
+
+
 LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
@@ -2550,6 +2790,10 @@ LINKAGE_QUERIES = {
     "golden_records": q_golden_records,
     "stable_entity_ids": q_stable_entity_ids,
     "match_provenance": q_match_provenance,
+    "edge_support": q_edge_support,
+    "cluster_cohesion": q_cluster_cohesion,
+    "clusters_robust": q_clusters_robust,
+    "match_one_to_one": q_match_one_to_one,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_per_query_n": q_transduce_per_query_n,

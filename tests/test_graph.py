@@ -1,0 +1,169 @@
+"""Match-graph audit operators (operators/graph.py): edge_support vs a
+brute-force common-neighbor count, cluster_cohesion arithmetic, and
+robust_clusters vs a pure-Python prune-then-union-find reference —
+including randomized graphs so the equivalence isn't fixture-shaped."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from liblevenshtein_spark.operators.graph import (
+    cluster_cohesion,
+    edge_support,
+    robust_clusters,
+)
+
+
+def _support_ref(edges):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+
+
+def _cc_ref(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in nodes}
+
+
+def _robust_ref(nodes, wedges, min_support=1, size_threshold=3,
+                weak_distance=None):
+    edges = [(a, b) for a, b, _ in wedges]
+    base = _cc_ref(nodes, edges)
+    sizes: dict = {}
+    for n, c in base.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    support = _support_ref(edges)
+    kept = []
+    for a, b, w in wedges:
+        suspect = sizes[base[a]] > size_threshold
+        weak = weak_distance is None or w >= weak_distance
+        if suspect and support[(a, b)] < min_support and weak:
+            continue
+        kept.append((a, b))
+    return _cc_ref(nodes, kept)
+
+
+def _edges_df(spark, wedges):
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in wedges], "id_a string, id_b string, distance int"
+    )
+
+
+def _random_wedges(rng, n_nodes, n_edges):
+    nodes = [f"n{i:03d}" for i in range(n_nodes)]
+    pairs = set()
+    while len(pairs) < n_edges:
+        a, b = rng.sample(nodes, 2)
+        pairs.add((min(a, b), max(a, b)))
+    return nodes, [(a, b, rng.randint(1, 3)) for a, b in sorted(pairs)]
+
+
+def test_edge_support_triangle_and_bridge(spark):
+    wedges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 2), ("c", "d", 2)]
+    out = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in edge_support(_edges_df(spark, wedges)).collect()
+    }
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("c", "d"): 0}
+
+
+def test_edge_support_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes, wedges = _random_wedges(rng, 30, 60)
+        ref = _support_ref([(a, b) for a, b, _ in wedges])
+        out = {
+            (r["id_a"], r["id_b"]): r["support"]
+            for r in edge_support(_edges_df(spark, wedges)).collect()
+        }
+        assert out == ref, f"trial {trial}"
+
+
+def test_edge_support_preserves_columns(spark):
+    wedges = [("a", "b", 1), ("a", "c", 2)]
+    out = edge_support(_edges_df(spark, wedges))
+    assert set(out.columns) == {"id_a", "id_b", "distance", "support"}
+
+
+def test_cluster_cohesion_density(spark):
+    # clique {a,b,c} density 1.0; chain {d,e,f} density 2/3; singleton g excluded
+    wedges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+              ("d", "e", 1), ("e", "f", 1)]
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+         ("f", "d"), ("g", "g")],
+        "conv_id string, cluster_id string",
+    )
+    out = {r["cluster_id"]: r for r in
+           cluster_cohesion(assign, _edges_df(spark, wedges)).collect()}
+    assert set(out) == {"a", "d"}
+    assert out["a"]["size"] == 3 and out["a"]["n_edges"] == 3
+    assert abs(out["a"]["density"] - 1.0) < 1e-6
+    assert out["d"]["n_edges"] == 2 and abs(out["d"]["density"] - 0.6667) < 1e-3
+
+
+def test_robust_clusters_drops_bridge_keeps_triangle(spark):
+    # two triangles welded by one weak bridge -> bridge dropped, triangles kept
+    wedges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+              ("x", "y", 1), ("x", "z", 1), ("y", "z", 1),
+              ("c", "x", 2)]
+    nodes = ["a", "b", "c", "x", "y", "z"]
+    ents = spark.createDataFrame([(n,) for n in nodes], "conv_id string")
+    out = {
+        r["conv_id"]: r["cluster_id"]
+        for r in robust_clusters(ents, _edges_df(spark, wedges)).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_robust_clusters_weak_distance_protects_strong_edges(spark):
+    # chain of strong (distance-1) edges in an oversized cluster: with
+    # weak_distance=2 nothing is dropped even though supports are 0
+    wedges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1)]
+    nodes = ["a", "b", "c", "d", "e"]
+    ents = spark.createDataFrame([(n,) for n in nodes], "conv_id string")
+    out = {r["conv_id"]: r["cluster_id"] for r in
+           robust_clusters(ents, _edges_df(spark, wedges),
+                           weak_distance=2).collect()}
+    assert set(out.values()) == {"a"}
+    out2 = {r["conv_id"]: r["cluster_id"] for r in
+            robust_clusters(ents, _edges_df(spark, wedges)).collect()}
+    assert out2 == {n: n for n in nodes}  # all support-0 edges dropped
+
+
+def test_robust_clusters_matches_reference_random(spark):
+    rng = random.Random(13)
+    for trial, weak in itertools.product(range(2), [None, 2]):
+        n_nodes, n_edges = 40, 55
+        nodes, wedges = _random_wedges(rng, n_nodes, n_edges)
+        ref = _robust_ref(nodes, wedges, weak_distance=weak)
+        ents = spark.createDataFrame([(n,) for n in nodes], "conv_id string")
+        out = {r["conv_id"]: r["cluster_id"] for r in
+               robust_clusters(ents, _edges_df(spark, wedges),
+                               weak_distance=weak).collect()}
+        assert out == ref, f"trial {trial} weak={weak}"
+
+
+def test_robust_clusters_untouched_small_clusters(spark):
+    # a support-0 weak edge in a SMALL (size <= threshold) cluster survives
+    wedges = [("a", "b", 2)]
+    ents = spark.createDataFrame([("a",), ("b",), ("c",)], "conv_id string")
+    out = {r["conv_id"]: r["cluster_id"] for r in
+           robust_clusters(ents, _edges_df(spark, wedges)).collect()}
+    assert out == {"a": "a", "b": "a", "c": "c"}

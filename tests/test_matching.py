@@ -1,0 +1,92 @@
+"""one_to_one (operators/matching.py) vs a sequential greedy reference:
+iterated locally-dominant matching under a strict total edge order must
+return EXACTLY the sequential greedy matching (Preis 1999), with the
+matching constraint (each node at most once) and deterministic rounds."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from liblevenshtein_spark.operators.matching import one_to_one
+
+
+def _greedy_ref(wedges, ascending=True):
+    """Sequential greedy matching under (weight, left, right) order."""
+    order = sorted(wedges, key=lambda e: (e[2] if ascending else -e[2], e[0], e[1]))
+    used_l: set = set()
+    used_r: set = set()
+    out = []
+    for a, b, w in order:
+        if a in used_l or b in used_r:
+            continue
+        used_l.add(a)
+        used_r.add(b)
+        out.append((a, b, w))
+    return sorted(out)
+
+
+def _pairs_df(spark, wedges):
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in wedges], "id_a string, id_b string, distance int"
+    )
+
+
+def test_one_to_one_basic_contention(spark):
+    # both probes prefer r1; the closer one wins round 1, the loser takes r2
+    wedges = [("p1", "r1", 1), ("p2", "r1", 2), ("p2", "r2", 3)]
+    rows = one_to_one(_pairs_df(spark, wedges)).collect()
+    got = {(r["id_a"], r["id_b"]): (r["distance"], r["round"]) for r in rows}
+    assert got == {("p1", "r1"): (1, 1), ("p2", "r2"): (3, 2)}
+
+
+def test_one_to_one_is_a_matching_and_equals_sequential_greedy(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        lefts = [f"p{i:02d}" for i in range(15)]
+        rights = [f"r{i:02d}" for i in range(12)]
+        pairs = set()
+        while len(pairs) < 45:
+            pairs.add((rng.choice(lefts), rng.choice(rights)))
+        wedges = [(a, b, rng.randint(1, 4)) for a, b in sorted(pairs)]
+        ref = _greedy_ref(wedges)
+        rows = one_to_one(_pairs_df(spark, wedges)).collect()
+        got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in rows)
+        assert got == ref, f"trial {trial}"
+        assert len({a for a, _, _ in got}) == len(got)
+        assert len({b for _, b, _ in got}) == len(got)
+
+
+def test_one_to_one_descending_weight(spark):
+    wedges = [("p1", "r1", 5), ("p2", "r1", 9), ("p1", "r2", 7)]
+    rows = one_to_one(_pairs_df(spark, wedges), ascending=False).collect()
+    got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in rows)
+    assert got == _greedy_ref(wedges, ascending=False)
+
+
+def test_one_to_one_empty_input(spark):
+    out = one_to_one(_pairs_df(spark, []).limit(0))
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "distance", "round"]
+
+
+def test_one_to_one_round_monotone_quality(spark):
+    # a perfect chain of contention: p_i prefers r_i but loses to p_{i-1}? no —
+    # construct explicit cascade: every probe's best is r1, second-best r2, ...
+    wedges = []
+    for i in range(1, 5):
+        for j in range(1, 5):
+            wedges.append((f"p{i}", f"r{j}", i + j))
+    rows = one_to_one(_pairs_df(spark, wedges)).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # greedy: (p1,r1) w2; then (p2,r2) w4 ... diagonal
+    assert got == {("p1", "r1"), ("p2", "r2"), ("p3", "r3"), ("p4", "r4")}
+    rounds = {r["id_a"]: r["round"] for r in rows}
+    assert rounds == {"p1": 1, "p2": 2, "p3": 3, "p4": 4}
+
+
+def test_one_to_one_nonconvergence_guard(spark):
+    wedges = [("p1", "r1", 1), ("p2", "r1", 2), ("p2", "r2", 3), ("p3", "r2", 4)]
+    with pytest.raises(RuntimeError):
+        one_to_one(_pairs_df(spark, wedges), max_rounds=1)
