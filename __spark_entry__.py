@@ -71,6 +71,8 @@ _PRIORITY = [
     "cluster_cohesion",
     "clusters_robust",
     "match_one_to_one",
+    "entity_history",
+    "spell_suggest_weighted",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -582,6 +582,38 @@ def q_match_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 entity-history intervals (operators/clustering.py::
+    entity_history) across three simulated linkage runs: the match edges
+    are split by a portable md5 hex digit into monotone-growing subsets
+    (< '6', < 'b', all) — run over run, clusters merge and their min-id
+    roots rename, exactly the churn the history table records. Output is
+    one validity interval per (record, entity id) island with the
+    warehouse convention valid_to = next interval's valid_from (NULL +
+    is_current=1 on the open one). The oracle replays all three CC runs
+    as recursive CTEs and the gaps-and-islands collapse in SQL windows."""
+    from .operators.clustering import entity_history
+
+    ship_package(spark)
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
+    ents = _canonical(spark, sf_dir).select("conv_id")
+    digit = F.substring(F.md5(F.concat_ws("|", "id_a", "id_b")), 1, 1)
+    runs = None
+    for run_id, thresh in ((1, "6"), (2, "b"), (3, None)):
+        sub = matches if thresh is None else matches.filter(digit < thresh)
+        a = assign_clusters(ents, sub).select(
+            F.lit(run_id).cast("int").alias("run_id"), "conv_id",
+            F.concat(F.lit("ent:"), "cluster_id").alias("entity_id"),
+        )
+        runs = a if runs is None else runs.unionByName(a)
+    return entity_history(runs).select(
+        "conv_id", "entity_id",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("int").alias("valid_to"),
+        "is_current",
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -751,6 +783,47 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transduce(_word_queries(d), compile_dictionary(d, conf), conf)
     return topk_candidates(out.select("query_id", "candidate", "distance"), k=3).select(
         "query_id", "candidate", "distance", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_spell_suggest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted spelling correction — the production ranking the
+    reference's own demo implies (README.md:26-33 corrects toward COMMON
+    words): transduce at n=2, then rank candidates by (distance ASC,
+    corpus frequency DESC, term ASC) and keep the 3 best. The frequency
+    table is one hash agg over the corpus token stream (map-side combine),
+    joined to the candidate set BY TERM after blocking — frequencies never
+    ride the transduce join, so the scale shape of `spell_suggest` is
+    unchanged plus one broadcast-sized dictionary join."""
+    from pyspark.sql import Window
+
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="deletions")
+    doc_words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    nation_words = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(F.lower(F.col("n_name")).alias("term"))
+    )
+    freqs = (
+        doc_words.unionByName(nation_words)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    d = freqs.select("term")
+    out = transduce(_word_queries(d), compile_dictionary(d, conf), conf)
+    scored = out.join(freqs.withColumnRenamed("term", "candidate"), "candidate")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("freq").desc(), F.col("candidate").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "candidate",
+                F.col("distance").cast("int").alias("distance"), "freq", "rank")
     )
 
 
@@ -2769,6 +2842,84 @@ o2o_rem{k} AS MATERIALIZED (
 LINKAGE_ORACLES["match_one_to_one"] = DUCK_TRANSCRIPTS + _one_to_one_oracle(6)
 
 
+def _run_assign_sql(run_id: int, where: str) -> str:
+    """One simulated linkage run for the entity_history oracle: CC over the
+    md5-split match subset as a recursive CTE, emitting (run_id, conv_id,
+    'ent:' || cluster_id)."""
+    return f""",
+hedges{run_id} AS (
+  SELECT id_a AS src, id_b AS dst FROM hsplit {where}
+  UNION ALL SELECT id_b, id_a FROM hsplit {where}
+),
+hreach{run_id} AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM canonical2
+    UNION
+    SELECT e.dst, r.root FROM r JOIN hedges{run_id} e ON e.src = r.node
+  ) SELECT * FROM r
+),
+hrun{run_id} AS (
+  SELECT {run_id} AS run_id, node AS conv_id,
+         'ent:' || min(root) AS entity_id
+  FROM hreach{run_id} GROUP BY node
+)"""
+
+
+LINKAGE_ORACLES["entity_history"] = DUCK_TRANSCRIPTS + """,
+hsplit AS MATERIALIZED (
+  SELECT id_a, id_b, substring(md5(id_a || '|' || id_b), 1, 1) AS digit
+  FROM matches
+)""" + _run_assign_sql(1, "WHERE digit < '6'") \
+     + _run_assign_sql(2, "WHERE digit < 'b'") \
+     + _run_assign_sql(3, "") + """,
+hruns AS (
+  SELECT * FROM hrun1 UNION ALL SELECT * FROM hrun2 UNION ALL SELECT * FROM hrun3
+),
+hflagged AS (
+  SELECT *, CASE WHEN lag(entity_id) OVER w IS NULL
+                   OR lag(entity_id) OVER w <> entity_id THEN 1 ELSE 0 END AS chg
+  FROM hruns WINDOW w AS (PARTITION BY conv_id ORDER BY run_id)
+),
+hislands AS (
+  SELECT *, sum(chg) OVER (PARTITION BY conv_id ORDER BY run_id) AS isl
+  FROM hflagged
+),
+hiv AS (
+  SELECT conv_id, entity_id, CAST(min(run_id) AS INT) AS valid_from
+  FROM hislands GROUP BY conv_id, entity_id, isl
+)
+SELECT conv_id, entity_id, valid_from,
+       CAST(lead(valid_from) OVER w2 AS INT) AS valid_to,
+       CAST(lead(valid_from) OVER w2 IS NULL AS INT) AS is_current
+FROM hiv WINDOW w2 AS (PARTITION BY conv_id ORDER BY valid_from)"""
+
+
+LINKAGE_ORACLES["spell_suggest_weighted"] = """
+WITH freqs AS MATERIALIZED (
+  SELECT w AS term, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+    UNION ALL
+    SELECT lower(n_name) FROM nation
+  ) GROUP BY w
+),
+queries AS (
+  SELECT 'q_' || term AS query_id, substring(term, 2) AS query_term
+  FROM freqs WHERE length(term) > 2
+)
+SELECT query_id, candidate, distance, freq, rank FROM (
+  SELECT q.query_id, d.term AS candidate,
+         CAST(levenshtein(q.query_term, d.term) AS INT) AS distance,
+         d.freq,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY levenshtein(q.query_term, d.term) ASC, d.freq DESC, d.term ASC
+         ) AS INT) AS rank
+  FROM queries q CROSS JOIN freqs d
+  WHERE levenshtein(q.query_term, d.term) <= 2
+) WHERE rank <= 3"""
+
+
 LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
@@ -2794,6 +2945,8 @@ LINKAGE_QUERIES = {
     "cluster_cohesion": q_cluster_cohesion,
     "clusters_robust": q_clusters_robust,
     "match_one_to_one": q_match_one_to_one,
+    "entity_history": q_entity_history,
+    "spell_suggest_weighted": q_spell_suggest_weighted,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_per_query_n": q_transduce_per_query_n,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
-           "fold_clusters", "golden_records", "stable_entity_ids"]
+           "fold_clusters", "golden_records", "stable_entity_ids", "entity_history"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -400,4 +400,51 @@ def stable_entity_ids(prev: DataFrame, curr: DataFrame,
             F.col(entity_col),
             F.concat(F.lit(f"{mint_namespace}:"), F.col(cluster_col))))
         .select(id_col, cluster_col, entity_col, "carried")
+    )
+
+
+def entity_history(assignments: DataFrame, id_col: str = "conv_id",
+                   run_col: str = "run_id",
+                   entity_col: str = "entity_id") -> DataFrame:
+    """SCD2-style entity history: collapse per-run entity assignments into
+    validity intervals — the temporal twin of `stable_entity_ids` (which
+    stitches ids ACROSS runs; this records WHEN each id held).
+
+    Input: one row per (record, run): (id_col, run_col, entity_col), where
+    run_col is an orderable run number/date. Consecutive runs in which a
+    record kept the same entity id collapse into one interval
+    (gaps-and-islands); a record that leaves and later returns to an entity
+    id gets two intervals, as SCD2 requires. Output: one row per interval —
+    (id, entity_id, valid_from, valid_to, is_current) with the warehouse
+    convention valid_to = the NEXT interval's valid_from (exclusive bound),
+    NULL + is_current=1 on the open interval. "Consecutive" means adjacent
+    observations of the record, so a record absent from some runs treats
+    its next observed run as adjacent.
+
+    Scale shape: two window passes partitioned by record id (change flag
+    via lag, island id via running sum) + one hash agg + one lead window on
+    the collapsed intervals — runs-per-record is small (one per linkage
+    run), so partitions are tiny; nothing is ever corpus-global. This is
+    the history TABLE builder a 10^12-turn deployment materializes after
+    every linkage run so downstream joins can time-travel entity ids."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(run_col)
+    prev = F.lag(entity_col).over(w)
+    flagged = assignments.select(id_col, run_col, entity_col).withColumn(
+        "_chg", F.when(prev.isNull() | (prev != F.col(entity_col)), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "_isl", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = islands.groupBy(id_col, "_isl", entity_col).agg(
+        F.min(run_col).alias("valid_from")
+    )
+    wv = Window.partitionBy(id_col).orderBy("valid_from")
+    nxt = F.lead("valid_from").over(wv)
+    return iv.select(
+        id_col, entity_col,
+        F.col("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
     )
