@@ -73,6 +73,8 @@ _PRIORITY = [
     "match_one_to_one",
     "entity_history",
     "spell_suggest_weighted",
+    "transduce_prefix",
+    "event_funnel",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -827,6 +827,39 @@ def q_spell_suggest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transduce_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-tolerant transduce (autocomplete correction — the incremental-
+    search extension of the Schulz–Mihov automaton family): a dictionary
+    term is accepted iff SOME prefix of it is within n=1 of the query, and
+    the emitted distance is d_prefix(q, t) = min over prefixes p of t of
+    d(q, p). Re-expressed Spark-natively with EXISTING gated operators: the
+    dictionary explodes to its (term, prefix) pairs (bounded by max term
+    length — exactly what a type-ahead index materializes), the distinct
+    prefixes become the compiled dictionary, standard transduce runs at
+    n=1, and a groupBy-min folds prefix hits back to terms. Completeness is
+    inherited from transduce's recall=1.0 guarantee because the prefix
+    explosion is exhaustive."""
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=1,
+                      blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    prefixes = d.select(
+        "term",
+        F.explode(
+            F.expr("transform(sequence(1, length(term)), i -> substring(term, 1, i))")
+        ).alias("candidate"),
+    )
+    pdict = prefixes.select(F.col("candidate").alias("term")).distinct()
+    out = transduce(_word_queries(d), compile_dictionary(pdict, conf), conf)
+    return (
+        out.select("query_id", "candidate", "distance")
+        .join(prefixes, "candidate")
+        .groupBy("query_id", "term")
+        .agg(F.min("distance").cast("int").alias("distance"))
+        .select("query_id", F.col("term").alias("candidate"), "distance")
+    )
+
+
 def q_similarity_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro-Winkler re-ranking of the transduce candidate set — record
     linkage's standard short-string comparator as a SECOND scoring family
@@ -2894,6 +2927,18 @@ SELECT conv_id, entity_id, valid_from,
 FROM hiv WINDOW w2 AS (PARTITION BY conv_id ORDER BY valid_from)"""
 
 
+LINKAGE_ORACLES["transduce_prefix"] = DUCK_WORDS + """,
+prefixes AS MATERIALIZED (
+  SELECT term, substring(term, 1, CAST(L AS INT)) AS prefix
+  FROM (SELECT term, unnest(range(1, length(term) + 1)) AS L FROM dict)
+)
+SELECT q.query_id, p.term AS candidate,
+       CAST(min(levenshtein(q.query_term, p.prefix)) AS INT) AS distance
+FROM queries q CROSS JOIN prefixes p
+GROUP BY q.query_id, p.term
+HAVING min(levenshtein(q.query_term, p.prefix)) <= 1"""
+
+
 LINKAGE_ORACLES["spell_suggest_weighted"] = """
 WITH freqs AS MATERIALIZED (
   SELECT w AS term, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -2947,6 +2992,7 @@ LINKAGE_QUERIES = {
     "match_one_to_one": q_match_one_to_one,
     "entity_history": q_entity_history,
     "spell_suggest_weighted": q_spell_suggest_weighted,
+    "transduce_prefix": q_transduce_prefix,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_per_query_n": q_transduce_per_query_n,
@@ -3298,6 +3344,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.ivf_index(e, cents), e.filter(F.col("vec_id") < 10), cents,
         k=5, nprobe=len(cents),
     )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel analysis (operators/analytics.py::
+    event_funnel) over the events table: per user, earliest 'view', then
+    earliest 'click' strictly after it, then earliest 'purchase' strictly
+    after that — the greedy-completion funnel (the MATCH_RECOGNIZE shape
+    Spark lacks natively, re-expressed as stage-filtered hash aggs chained
+    by per-user key joins). Timestamps ride as epoch-microsecond bigints
+    (the event_sessions convention); `stage` counts stages reached."""
+    from .operators.analytics import event_funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_funnel(events, ["view", "click", "purchase"])
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4544,6 +4604,31 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
     + "SELECT id_a, id_b, distance FROM scored",
 }
 
+DATA_ORACLES["event_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.view_us
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.click_us
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.view_us, s2.click_us, s3.purchase_us,
+       CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id"""
+
+
 DATA_QUERIES = {
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
@@ -4569,6 +4654,7 @@ DATA_QUERIES = {
     "embed_lsh_ann": q_embed_lsh_ann,
     "ann_ivf_topk": q_ann_ivf_topk,
     "event_sessions": q_event_sessions,
+    "event_funnel": q_event_funnel,
     "event_json_stats": q_event_json_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_resize": q_multimodal_resize,

@@ -290,3 +290,49 @@ def event_running_totals(events: DataFrame, buckets: int = 4) -> DataFrame:
         F.count("*").over(cum).cast("int").alias("running_n"),
         F.ntile(buckets).over(wv).cast("int").alias("value_quartile"),
     )
+
+
+def event_funnel(events: DataFrame, stages: list[str],
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE/funnel-analysis shape
+    Spark lacks as a primitive): for each user, the earliest stage-1 event,
+    then the earliest stage-2 event STRICTLY AFTER it, and so on — the
+    greedy earliest-completion funnel every product-analytics engine
+    computes. Emits one row per user who reached stage 1:
+    (user, <stage>_us bigint nullable per stage, stage:int = stages
+    reached). Timestamps are epoch microseconds (the engine's portable
+    timestamp convention). Monotone by construction: a NULL stage implies
+    NULL for every later stage.
+
+    Scale shape: one filtered user-keyed hash agg per stage (map-side
+    combine), chained by key joins on the per-user stage table — which is
+    at most one row per user, so each join is AQE-broadcastable against
+    the next filtered event stream; the corpus-sized events table is
+    scanned once per stage with the stage filter pushed to the scan. No
+    windows over the raw event stream, no per-user event materialization."""
+    # events tables carry TIMESTAMP_NTZ; unix_micros requires TIMESTAMP
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cols: list[str] = []
+    out = None
+    for i, st in enumerate(stages):
+        col = f"{st}_us"
+        stream = events.filter(F.col(type_col) == st).select(
+            user_col, us.alias("_ts"))
+        if out is None:
+            out = stream.groupBy(user_col).agg(F.min("_ts").alias(col))
+        else:
+            prev = cols[-1]
+            nxt = (
+                stream.join(out.select(user_col, prev), user_col)
+                .filter(F.col("_ts") > F.col(prev))
+                .groupBy(user_col)
+                .agg(F.min("_ts").alias(col))
+            )
+            out = out.join(nxt, user_col, "left")
+        cols.append(col)
+    stage = None
+    for c in cols:
+        term = F.col(c).isNotNull().cast("int")
+        stage = term if stage is None else stage + term
+    return out.select(user_col, *cols, stage.cast("int").alias("stage"))

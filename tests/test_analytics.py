@@ -251,3 +251,40 @@ def test_event_props_map_per_key(spark):
     assert rows["k"].n_events == 2 and rows["k"].sum_val == 8
     assert rows["k"].min_val == 3 and rows["k"].max_val == 5
     assert rows["j"].n_events == 1 and rows["j"].sum_val == -2
+
+
+# ---------------------------------------------------------------------------
+# event_funnel
+# ---------------------------------------------------------------------------
+
+def _ev(uid, typ, sec):
+    return Row(user_id=uid, event_type=typ,
+               ts=datetime.datetime(2026, 1, 1, 0, 0, sec))
+
+
+def test_event_funnel_stages_and_strict_ordering(spark):
+    from liblevenshtein_spark.operators.analytics import event_funnel
+
+    rows = [
+        # u1 completes in order
+        _ev(1, "view", 1), _ev(1, "click", 5), _ev(1, "purchase", 9),
+        # u2: purchase BEFORE click -> stage 2 only
+        _ev(2, "view", 1), _ev(2, "purchase", 2), _ev(2, "click", 3),
+        # u3: click before any view -> stage 1 only (strictly-after rule)
+        _ev(3, "click", 1), _ev(3, "view", 2),
+        # u4 never views -> excluded
+        _ev(4, "click", 1), _ev(4, "purchase", 2),
+        # u5: earliest view counts, later duplicate stages ignored
+        _ev(5, "view", 1), _ev(5, "view", 8), _ev(5, "click", 2),
+        _ev(5, "click", 9), _ev(5, "purchase", 4),
+    ]
+    out = {r["user_id"]: r for r in event_funnel(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 2 and out[2]["purchase_us"] is None
+    assert out[3]["stage"] == 1 and out[3]["click_us"] is None
+    assert out[5]["stage"] == 3
+    base = out[5]["view_us"]
+    assert out[5]["click_us"] - base == 1_000_000
+    assert out[5]["purchase_us"] - base == 3_000_000
