@@ -75,6 +75,7 @@ _PRIORITY = [
     "spell_suggest_weighted",
     "transduce_prefix",
     "event_funnel",
+    "dedup_merge_plan",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -3088,6 +3088,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint near-dup merge wave (operators/matching.py::one_to_one in
+    general-graph mode): the MinHash-LSH near-dup pairs reduced to a greedy
+    maximum-weight MATCHING by exact Jaccard (desc, ids tie-break) — the
+    largest-affinity set of merges where no document is touched twice, i.e.
+    what one parallel merge/apply wave can safely execute. Iterated
+    locally-dominant edge selection on a shared id space: symmetrize to an
+    incidence list, keep edges preferred by BOTH endpoints, peel. The
+    oracle unrolls 6 peel rounds over the same mh_pairs fragment."""
+    from .operators.matching import one_to_one
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return one_to_one(pairs, "id_a", "id_b", "jaccard", ascending=False,
+                      bipartite=False).select("id_a", "id_b", "jaccard", "round")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs with doc_id % 4 == 0 arrive as the
     new batch; the rest are the already-indexed corpus, represented ONLY by
@@ -4604,6 +4620,44 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
     + "SELECT id_a, id_b, distance FROM scored",
 }
 
+def _merge_plan_oracle(rounds: int) -> str:
+    """Unrolled general-graph locally-dominant peel over mh_pairs — the SQL
+    mirror of one_to_one(bipartite=False): symmetrize to an incidence list,
+    per-node preferred edge, keep edges preferred twice, remove matched
+    nodes, repeat."""
+    parts = [DUCK_MINHASH + """,
+g_rem0 AS MATERIALIZED (SELECT id_a, id_b, jaccard FROM mh_pairs)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+g_pref{k} AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b, jaccard,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY jaccard DESC, id_a, id_b) AS r
+    FROM (SELECT id_a AS node, id_a, id_b, jaccard FROM g_rem{k - 1}
+          UNION ALL
+          SELECT id_b, id_a, id_b, jaccard FROM g_rem{k - 1})
+  ) WHERE r = 1
+),
+g_dom{k} AS MATERIALIZED (
+  SELECT id_a, id_b, min(jaccard) AS jaccard, {k} AS round
+  FROM g_pref{k} GROUP BY id_a, id_b HAVING count(*) = 2
+),
+g_rem{k} AS MATERIALIZED (
+  SELECT r.* FROM g_rem{k - 1} r
+  WHERE r.id_a NOT IN (SELECT id_a FROM g_dom{k} UNION ALL SELECT id_b FROM g_dom{k})
+    AND r.id_b NOT IN (SELECT id_a FROM g_dom{k} UNION ALL SELECT id_b FROM g_dom{k})
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT id_a, id_b, jaccard, CAST(round AS INT) AS round FROM g_dom{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+DATA_ORACLES["dedup_merge_plan"] = _merge_plan_oracle(6)
+
+
 DATA_ORACLES["event_funnel"] = """
 WITH s1 AS (
   SELECT user_id, min(epoch_us(ts)) AS view_us
@@ -4641,6 +4695,7 @@ DATA_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_merge_plan": q_dedup_merge_plan,
     "dedup_simhash": q_dedup_simhash,
     "dedup_containment": q_dedup_containment,
     "dedup_groups": q_dedup_groups,

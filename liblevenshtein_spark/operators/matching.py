@@ -1,5 +1,5 @@
-"""One-to-one match assignment: distributed greedy maximum-weight bipartite
-matching via locally-dominant edge selection.
+"""One-to-one match assignment: distributed greedy maximum-weight matching
+via locally-dominant edge selection.
 
 Two-source record linkage (link a probe batch against a reference corpus —
 the ER framing of the reference's transduce query, where the query set is a
@@ -7,7 +7,9 @@ whole table instead of one term) usually ends with an ASSIGNMENT constraint:
 each probe record may match at most one reference record and vice versa
 (a probe is one real-world entity; two probes cannot both BE reference
 record r). The candidate scores alone don't enforce that — this operator
-does.
+does. The general-graph mode (``bipartite=False``) serves the dedup twin:
+pick a DISJOINT set of near-dup pairs (no document touched twice) to merge
+in one parallel wave.
 
 Algorithm: iterated locally-dominant edge matching (Preis 1999; Manne &
 Bisseling 2007 — the standard parallelization of greedy matching). Each
@@ -21,11 +23,13 @@ same edges sequential greedy would take, just many per round), which is a
 scalability trade for assignment at corpus scale (the exact Hungarian
 algorithm is inherently sequential and O(n^3)).
 
-Scale shape: each round is two window ranks partitioned by the endpoint
-columns plus two anti-joins, all on narrow id/weight rows; the number of
-rounds is O(log m) expected on random weight orders and bounded by the
-matching size in the worst case. Lineage is truncated per round with an
-eager localCheckpoint; the emptiness probe is a limit(1) collect.
+Scale shape: each bipartite round is two window ranks partitioned by the
+endpoint columns plus two anti-joins, all on narrow id/weight rows; the
+general-graph round symmetrizes to an incidence list first (one extra
+narrow union + hash agg). The number of rounds is O(log m) expected on
+random weight orders and bounded by the matching size in the worst case.
+Lineage is truncated per round with an eager localCheckpoint; the
+emptiness probe is a limit(1) collect.
 """
 
 from __future__ import annotations
@@ -38,15 +42,18 @@ __all__ = ["one_to_one"]
 
 def one_to_one(pairs: DataFrame, left_col: str = "id_a",
                right_col: str = "id_b", weight_col: str = "distance",
-               ascending: bool = True, max_rounds: int = 40) -> DataFrame:
-    """Greedy one-to-one matching over bipartite candidate pairs.
+               ascending: bool = True, max_rounds: int = 40,
+               bipartite: bool = True) -> DataFrame:
+    """Greedy one-to-one matching over candidate pairs.
 
-    ``pairs`` must be bipartite: the ``left_col`` and ``right_col`` id
-    spaces must be disjoint (each node appears on one fixed side), and
-    (left, right) rows must be distinct. Edges are ordered by the strict
-    total order (weight ``ascending``/descending, left asc, right asc);
-    ties in weight are broken by ids so the result is deterministic and
-    engine-reproducible.
+    With ``bipartite=True`` (default) the ``left_col`` and ``right_col`` id
+    spaces must be disjoint (each node appears on one fixed side). With
+    ``bipartite=False`` both columns share one id space (a general graph —
+    e.g. near-dup pairs within one corpus) and rows must be canonical
+    (left < right). In both modes (left, right) rows must be distinct.
+    Edges are ordered by the strict total order (weight ``ascending``/
+    descending, left asc, right asc); ties in weight are broken by ids so
+    the result is deterministic and engine-reproducible.
 
     Returns the matched subset: (left, right, weight, round:int), where
     ``round`` is the peel round that locked the edge in — a useful audit
@@ -55,34 +62,65 @@ def one_to_one(pairs: DataFrame, left_col: str = "id_a",
     taken). Unmatched nodes simply don't appear.
 
     Raises after ``max_rounds`` non-converged rounds (each round matches at
-    least one edge, so this only triggers on pathological inputs such as a
-    non-bipartite id space feeding endless fragmentation)."""
+    least one edge, so this only triggers on pathological inputs such as
+    duplicate rows or a violated mode contract)."""
     w = F.col(weight_col).asc() if ascending else F.col(weight_col).desc()
     rem = pairs.select(left_col, right_col, weight_col).localCheckpoint(eager=True)
     out: DataFrame | None = None
     for rnd in range(1, max_rounds + 1):
         if not rem.limit(1).take(1):
             break
-        wl = Window.partitionBy(left_col).orderBy(w, F.col(right_col).asc())
-        wr = Window.partitionBy(right_col).orderBy(w, F.col(left_col).asc())
-        dom = (
-            rem.withColumn("_rl", F.row_number().over(wl))
-            .withColumn("_rr", F.row_number().over(wr))
-            .filter((F.col("_rl") == 1) & (F.col("_rr") == 1))
-            .select(left_col, right_col, weight_col,
-                    F.lit(rnd).cast("int").alias("round"))
-            .localCheckpoint(eager=True)
-        )
+        if bipartite:
+            wl = Window.partitionBy(left_col).orderBy(w, F.col(right_col).asc())
+            wr = Window.partitionBy(right_col).orderBy(w, F.col(left_col).asc())
+            dom = (
+                rem.withColumn("_rl", F.row_number().over(wl))
+                .withColumn("_rr", F.row_number().over(wr))
+                .filter((F.col("_rl") == 1) & (F.col("_rr") == 1))
+                .select(left_col, right_col, weight_col,
+                        F.lit(rnd).cast("int").alias("round"))
+                .localCheckpoint(eager=True)
+            )
+            rem = (
+                rem.join(dom.select(left_col), left_col, "left_anti")
+                .join(dom.select(right_col), right_col, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # general graph: symmetrize to an incidence list, take each
+            # node's preferred edge, keep edges preferred by BOTH endpoints
+            inc = rem.select(
+                F.col(left_col).alias("_node"), left_col, right_col, weight_col
+            ).unionByName(
+                rem.select(F.col(right_col).alias("_node"),
+                           left_col, right_col, weight_col)
+            )
+            wn = Window.partitionBy("_node").orderBy(
+                w, F.col(left_col).asc(), F.col(right_col).asc())
+            pref = inc.withColumn("_r", F.row_number().over(wn)).filter(
+                F.col("_r") == 1)
+            dom = (
+                pref.groupBy(left_col, right_col)
+                .agg(F.count("*").alias("_c"), F.min(weight_col).alias(weight_col))
+                .filter(F.col("_c") == 2)
+                .select(left_col, right_col, weight_col,
+                        F.lit(rnd).cast("int").alias("round"))
+                .localCheckpoint(eager=True)
+            )
+            nodes = dom.select(F.col(left_col).alias("_node")).unionByName(
+                dom.select(F.col(right_col).alias("_node"))).distinct()
+            rem = (
+                rem.join(nodes.withColumnRenamed("_node", left_col),
+                         left_col, "left_anti")
+                .join(nodes.withColumnRenamed("_node", right_col),
+                      right_col, "left_anti")
+                .localCheckpoint(eager=True)
+            )
         out = dom if out is None else out.unionByName(dom)
-        rem = (
-            rem.join(dom.select(left_col), left_col, "left_anti")
-            .join(dom.select(right_col), right_col, "left_anti")
-            .localCheckpoint(eager=True)
-        )
     if rem.limit(1).take(1):
         raise RuntimeError(
             f"one_to_one did not converge within {max_rounds} rounds; "
-            "is the input bipartite with distinct (left, right) rows?"
+            "are the (left, right) rows distinct and the mode contract met?"
         )
     if out is None:
         schema_src = pairs.select(

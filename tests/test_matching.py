@@ -90,3 +90,42 @@ def test_one_to_one_nonconvergence_guard(spark):
     wedges = [("p1", "r1", 1), ("p2", "r1", 2), ("p2", "r2", 3), ("p3", "r2", 4)]
     with pytest.raises(RuntimeError):
         one_to_one(_pairs_df(spark, wedges), max_rounds=1)
+
+
+def _greedy_general_ref(wedges, ascending=True):
+    """Sequential greedy matching on a general graph (shared id space)."""
+    order = sorted(wedges, key=lambda e: (e[2] if ascending else -e[2], e[0], e[1]))
+    used: set = set()
+    out = []
+    for a, b, w in order:
+        if a in used or b in used:
+            continue
+        used.update((a, b))
+        out.append((a, b, w))
+    return sorted(out)
+
+
+def test_one_to_one_general_graph_triangle(spark):
+    # triangle: best edge wins, third node left unmatched
+    wedges = [("a", "b", 1), ("a", "c", 2), ("b", "c", 3)]
+    rows = one_to_one(_pairs_df(spark, wedges), bipartite=False).collect()
+    got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in rows)
+    assert got == [("a", "b", 1)]
+
+
+def test_one_to_one_general_matches_sequential_greedy(spark):
+    rng = random.Random(23)
+    for trial, asc in ((0, True), (1, False), (2, True)):
+        nodes = [f"n{i:02d}" for i in range(20)]
+        pairs = set()
+        while len(pairs) < 40:
+            a, b = rng.sample(nodes, 2)
+            pairs.add((min(a, b), max(a, b)))
+        wedges = [(a, b, rng.randint(1, 5)) for a, b in sorted(pairs)]
+        ref = _greedy_general_ref(wedges, ascending=asc)
+        rows = one_to_one(_pairs_df(spark, wedges), ascending=asc,
+                          bipartite=False).collect()
+        got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in rows)
+        assert got == ref, f"trial {trial} asc={asc}"
+        used = [n for a, b, _ in got for n in (a, b)]
+        assert len(used) == len(set(used))  # disjoint pairs
