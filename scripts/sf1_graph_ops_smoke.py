@@ -122,9 +122,13 @@ def main() -> None:
 
     # --- robust_clusters --------------------------------------------------
     t0 = time.time()
+    # size_threshold=2: the planted-dup corpus tops out at 3-member clusters
+    # (base + 2 independent dups), so threshold 2 makes those suspect — their
+    # base-dup edges are triangle-corroborated only when the two dups also
+    # match each other, so the prune genuinely fires at this scale
     robust = robust_clusters(
         canonical.select("conv_id"), matches, min_support=1,
-        size_threshold=3, weak_distance=2).localCheckpoint(eager=True)
+        size_threshold=2, weak_distance=2).localCheckpoint(eager=True)
     n_robust_rows = robust.count()
     timings["robust_clusters"] = round(time.time() - t0, 1)
     checks["robust_one_row_per_entity"] = n_robust_rows == n_entities
