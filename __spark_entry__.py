@@ -76,6 +76,7 @@ _PRIORITY = [
     "transduce_prefix",
     "event_funnel",
     "dedup_merge_plan",
+    "event_trailing_window",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

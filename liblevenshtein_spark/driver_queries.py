@@ -3376,6 +3376,34 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(events, ["view", "click", "purchase"])
 
 
+def q_event_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — the one frame type the window taxonomy still
+    lacked (rows-cumulative / session / hopping / lag / rank are gated
+    elsewhere): per event, the trailing ONE-HOUR sum and count of the same
+    user's event values, the frame bounded by event TIME (RANGE BETWEEN
+    3.6e9 µs PRECEDING AND CURRENT ROW over epoch-microseconds), not row
+    position — identical-timestamp peers enter the frame identically in
+    both engines by RANGE semantics. Values sum in exact integer cents;
+    the oracle CASTs its window sum back to BIGINT (DuckDB sum(BIGINT) →
+    HUGEINT, the event_sessions lesson). One user-partitioned window pass;
+    at 10^12 events the user-id hash partitioning is the natural layout."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-3_600_000_000, 0))
+    return (
+        events.select("event_id", "user_id", us.alias("us"), cents.alias("_c"))
+        .select(
+            "event_id", "user_id", "us",
+            F.sum("_c").over(w).cast("bigint").alias("trail_1h_cents"),
+            F.count("*").over(w).cast("bigint").alias("trail_1h_n"),
+        )
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows over the events table (30-minute inactivity
     gap): Spark's native session_window; the DuckDB oracle is the classic
@@ -4658,6 +4686,15 @@ g_rem{k} AS MATERIALIZED (
 DATA_ORACLES["dedup_merge_plan"] = _merge_plan_oracle(6)
 
 
+DATA_ORACLES["event_trailing_window"] = """
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS trail_1h_cents,
+       count(*) OVER w AS trail_1h_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
 DATA_ORACLES["event_funnel"] = """
 WITH s1 AS (
   SELECT user_id, min(epoch_us(ts)) AS view_us
@@ -4710,6 +4747,7 @@ DATA_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "event_sessions": q_event_sessions,
     "event_funnel": q_event_funnel,
+    "event_trailing_window": q_event_trailing_window,
     "event_json_stats": q_event_json_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_resize": q_multimodal_resize,
