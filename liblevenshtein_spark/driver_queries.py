@@ -553,6 +553,14 @@ def q_clusters_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                            weak_distance=2)
 
 
+# Shared peel depth for the two matching entries: the oracles unroll exactly
+# this many locally-dominant rounds, and the engine entries pass it as
+# max_rounds — so a corpus that ever needs a deeper peel fails LOUDLY with
+# one_to_one's RuntimeError naming the bound, instead of a silent oracle
+# hash mismatch. (Gate corpora converge in <= 2 rounds; 8 is margin.)
+_PEEL_UNROLL = 8
+
+
 def q_match_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-source linkage assignment (operators/matching.py::one_to_one):
     the cross-source matches (probe records d*/e* vs reference records c*)
@@ -560,10 +568,10 @@ def q_match_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally-dominant edge selection (Preis 1999) — each reference record
     is consumed by at most one probe and vice versa, the assignment
     constraint every two-source ER deployment ends with. `round` audits
-    the peel depth (round 1 = mutual best). The engine runs to fixpoint;
-    the oracle unrolls 6 rounds of the identical peel (row mismatch if
-    convergence ever needed more — degree is bounded by the dup-group
-    size here, so 6 is ample)."""
+    the peel depth (round 1 = mutual best). Engine and oracle share the
+    same _PEEL_UNROLL round budget: the oracle unrolls that many peel
+    rounds and the engine passes it as max_rounds, so exceeding it raises
+    instead of hash-mismatching."""
     from .operators.matching import one_to_one
 
     pairs = (
@@ -575,7 +583,8 @@ def q_match_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distance",
         )
     )
-    return one_to_one(pairs, "probe_id", "ref_id", "distance").select(
+    return one_to_one(pairs, "probe_id", "ref_id", "distance",
+                      max_rounds=_PEEL_UNROLL).select(
         "probe_id", "ref_id",
         F.col("distance").cast("int").alias("distance"),
         "round",
@@ -627,7 +636,12 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transduce over a word dictionary derived from documents + nation
 # ---------------------------------------------------------------------------
 
-def _word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single source of the word-token stream (documents whitespace
+    tokens + lowered nation names) behind every transduce/spell entry:
+    the dictionary is its distinct() and spell_suggest_weighted's
+    frequency table is its groupBy-count — one tokenization to keep in
+    lockstep with the DUCK_WORDS oracle fragment."""
     doc_words = (
         _docs(spark, sf_dir)
         .select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
@@ -637,7 +651,11 @@ def _word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/nation.parquet")
         .select(F.lower(F.col("n_name")).alias("term"))
     )
-    return doc_words.unionByName(nation_words).distinct()
+    return doc_words.unionByName(nation_words)
+
+
+def _word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _word_tokens(spark, sf_dir).distinct()
 
 
 def _word_queries(dictionary: DataFrame) -> DataFrame:
@@ -799,17 +817,8 @@ def q_spell_suggest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     conf = LinkConfig(algorithm="standard", max_distance=2, blocking_scheme="deletions")
-    doc_words = (
-        _docs(spark, sf_dir)
-        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    nation_words = (
-        spark.read.parquet(f"{sf_dir}/nation.parquet")
-        .select(F.lower(F.col("n_name")).alias("term"))
-    )
     freqs = (
-        doc_words.unionByName(nation_words)
+        _word_tokens(spark, sf_dir)
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
@@ -2872,7 +2881,7 @@ o2o_rem{k} AS MATERIALIZED (
     return "".join(parts) + "\n" + union
 
 
-LINKAGE_ORACLES["match_one_to_one"] = DUCK_TRANSCRIPTS + _one_to_one_oracle(6)
+LINKAGE_ORACLES["match_one_to_one"] = DUCK_TRANSCRIPTS + _one_to_one_oracle(_PEEL_UNROLL)
 
 
 def _run_assign_sql(run_id: int, where: str) -> str:
@@ -3095,13 +3104,17 @@ def q_dedup_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest-affinity set of merges where no document is touched twice, i.e.
     what one parallel merge/apply wave can safely execute. Iterated
     locally-dominant edge selection on a shared id space: symmetrize to an
-    incidence list, keep edges preferred by BOTH endpoints, peel. The
-    oracle unrolls 6 peel rounds over the same mh_pairs fragment."""
+    incidence list, keep edges preferred by BOTH endpoints, peel. Engine
+    and oracle share the _PEEL_UNROLL round budget (the oracle unrolls
+    that many rounds; the engine passes it as max_rounds, so a
+    deeper-than-budget corpus raises loudly instead of hash-mismatching —
+    the LSH graph has no degree bound, unlike the bipartite entry)."""
     from .operators.matching import one_to_one
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     return one_to_one(pairs, "id_a", "id_b", "jaccard", ascending=False,
-                      bipartite=False).select("id_a", "id_b", "jaccard", "round")
+                      bipartite=False, max_rounds=_PEEL_UNROLL).select(
+        "id_a", "id_b", "jaccard", "round")
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4683,7 +4696,7 @@ g_rem{k} AS MATERIALIZED (
     return "".join(parts) + "\n" + union
 
 
-DATA_ORACLES["dedup_merge_plan"] = _merge_plan_oracle(6)
+DATA_ORACLES["dedup_merge_plan"] = _merge_plan_oracle(_PEEL_UNROLL)
 
 
 DATA_ORACLES["event_trailing_window"] = """

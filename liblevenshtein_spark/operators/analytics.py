@@ -311,6 +311,11 @@ def event_funnel(events: DataFrame, stages: list[str],
     the next filtered event stream; the corpus-sized events table is
     scanned once per stage with the stage filter pushed to the scan. No
     windows over the raw event stream, no per-user event materialization."""
+    if not stages:
+        raise ValueError("event_funnel needs at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"event_funnel stages must be unique, got {stages!r}"
+                         " (duplicate names would collide as output columns)")
     # events tables carry TIMESTAMP_NTZ; unix_micros requires TIMESTAMP
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     cols: list[str] = []

@@ -77,7 +77,8 @@ def edge_support(matches: DataFrame, id_a: str = "id_a",
 
 def cluster_cohesion(assignment: DataFrame, matches: DataFrame,
                      id_col: str = "conv_id",
-                     cluster_col: str = "cluster_id") -> DataFrame:
+                     cluster_col: str = "cluster_id",
+                     edge_a: str = "id_a", edge_b: str = "id_b") -> DataFrame:
     """Per-cluster cohesion: size, intra-cluster edge count, and edge
     density |E| / C(size, 2) for every cluster with at least 2 members.
 
@@ -90,13 +91,13 @@ def cluster_cohesion(assignment: DataFrame, matches: DataFrame,
     sizes = assignment.groupBy(cluster_col).agg(
         F.count("*").cast("int").alias("size")
     )
-    ca = assignment.select(F.col(id_col).alias("id_a"),
+    ca = assignment.select(F.col(id_col).alias(edge_a),
                            F.col(cluster_col).alias("_ca"))
-    cb = assignment.select(F.col(id_col).alias("id_b"),
+    cb = assignment.select(F.col(id_col).alias(edge_b),
                            F.col(cluster_col).alias("_cb"))
     intra = (
-        matches.select("id_a", "id_b")
-        .join(ca, "id_a").join(cb, "id_b")
+        matches.select(edge_a, edge_b)
+        .join(ca, edge_a).join(cb, edge_b)
         .filter(F.col("_ca") == F.col("_cb"))
         .groupBy(F.col("_ca").alias(cluster_col))
         .agg(F.count("*").cast("bigint").alias("n_edges"))
@@ -120,7 +121,8 @@ def robust_clusters(entities: DataFrame, matches: DataFrame,
                     min_support: int = 1,
                     size_threshold: int = 3,
                     weak_distance: int | None = None,
-                    weight_col: str = "distance") -> DataFrame:
+                    weight_col: str = "distance",
+                    edge_a: str = "id_a", edge_b: str = "id_b") -> DataFrame:
     """Bridge-pruned re-clustering: connected components after dropping
     uncorroborated weak edges inside oversized clusters.
 
@@ -149,14 +151,17 @@ def robust_clusters(entities: DataFrame, matches: DataFrame,
     runs on suspect nodes only. With healthy blocking, suspect mass is a
     vanishing fraction of the corpus — the full-corpus CC (step 1) remains
     the dominant cost, unchanged from `assign_clusters`."""
-    base = assign_clusters(entities, matches, id_col)
+    pairs = matches.select(
+        F.col(edge_a).alias("id_a"), F.col(edge_b).alias("id_b"),
+        *([F.col(weight_col)] if weak_distance is not None else []))
+    base = assign_clusters(entities, pairs, id_col)
     sizes = base.groupBy("cluster_id").agg(F.count("*").alias("_sz"))
     suspect = sizes.filter(F.col("_sz") > size_threshold).select("cluster_id")
     sus_nodes = base.join(suspect, "cluster_id").select(id_col)
 
     ca = base.select(F.col(id_col).alias("id_a"), F.col("cluster_id").alias("_ca"))
     sus_edges = (
-        matches.join(ca, "id_a")
+        pairs.join(ca, "id_a")
         .join(suspect.select(F.col("cluster_id").alias("_ca")), "_ca")
         .drop("_ca")
     )

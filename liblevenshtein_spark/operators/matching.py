@@ -42,7 +42,7 @@ __all__ = ["one_to_one"]
 
 def one_to_one(pairs: DataFrame, left_col: str = "id_a",
                right_col: str = "id_b", weight_col: str = "distance",
-               ascending: bool = True, max_rounds: int = 40,
+               ascending: bool = True, max_rounds: int = 200,
                bipartite: bool = True) -> DataFrame:
     """Greedy one-to-one matching over candidate pairs.
 
@@ -61,9 +61,15 @@ def one_to_one(pairs: DataFrame, left_col: str = "id_a",
     consolation assignments that only exist because better partners were
     taken). Unmatched nodes simply don't appear.
 
-    Raises after ``max_rounds`` non-converged rounds (each round matches at
-    least one edge, so this only triggers on pathological inputs such as
-    duplicate rows or a violated mode contract)."""
+    Raises after ``max_rounds`` non-converged rounds. Each round matches at
+    least one edge (the globally best remaining edge is always locally
+    dominant), so rounds are bounded by the matching size — but a
+    monotone-weight contention CHAIN legitimately matches only one edge
+    per round (p1-r1 < p2-r1 < p2-r2 < p3-r2 < ...), so deep chains need
+    proportionally many rounds: size ``max_rounds`` to the longest
+    contention path you accept before declaring the input pathological
+    (duplicate rows / violated mode contract loop forever without the
+    guard)."""
     w = F.col(weight_col).asc() if ascending else F.col(weight_col).desc()
     rem = pairs.select(left_col, right_col, weight_col).localCheckpoint(eager=True)
     out: DataFrame | None = None

@@ -288,3 +288,13 @@ def test_event_funnel_stages_and_strict_ordering(spark):
     base = out[5]["view_us"]
     assert out[5]["click_us"] - base == 1_000_000
     assert out[5]["purchase_us"] - base == 3_000_000
+
+
+def test_event_funnel_validates_stages(spark):
+    from liblevenshtein_spark.operators.analytics import event_funnel
+
+    df = spark.createDataFrame([_ev(1, "view", 1)])
+    with pytest.raises(ValueError):
+        event_funnel(df, [])
+    with pytest.raises(ValueError):
+        event_funnel(df, ["view", "view"])

@@ -167,3 +167,20 @@ def test_robust_clusters_untouched_small_clusters(spark):
     out = {r["conv_id"]: r["cluster_id"] for r in
            robust_clusters(ents, _edges_df(spark, wedges)).collect()}
     assert out == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_graph_ops_renamed_edge_columns(spark):
+    wedges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 2), ("c", "d", 2)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in wedges], "src string, dst string, w int")
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")],
+        "conv_id string, cluster_id string")
+    coh = cluster_cohesion(assign, edges, edge_a="src", edge_b="dst").collect()
+    assert coh[0]["n_edges"] == 4
+    ents = spark.createDataFrame([(n,) for n in "abcd"], "conv_id string")
+    out = {r["conv_id"]: r["cluster_id"] for r in
+           robust_clusters(ents, edges, weak_distance=2, weight_col="w",
+                           edge_a="src", edge_b="dst").collect()}
+    # c-d (w=2, support 0, cluster size 4 > 3) is pruned; triangle survives
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "d"}
