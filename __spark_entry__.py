@@ -77,6 +77,7 @@ _PRIORITY = [
     "event_funnel",
     "dedup_merge_plan",
     "event_trailing_window",
+    "pipeline_summary",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -623,6 +623,43 @@ def q_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row pipeline health summary — the at-a-glance audit a linkage
+    deployment dashboards after every run: entity/candidate/scored/match/
+    cluster counts, entities absorbed into multi-member clusters,
+    blocking reduction ratio (vs C(n,2), DOUBLE-cast denominator) and the
+    match rate of scored pairs. Six 1-row aggregates crossJoined — every
+    input is the memoized stage table, so the whole entry is O(1) output
+    over already-materialized intermediates."""
+    from functools import reduce
+
+    canon = _canonical(spark, sf_dir).select("conv_id")
+    sizes = q_clusters(spark, sf_dir).groupBy("cluster_id").agg(
+        F.count("*").alias("_sz"))
+    parts = [
+        canon.agg(F.count("*").cast("bigint").alias("n_entities")),
+        q_candidate_pairs(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_candidates")),
+        q_score_pairs(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_scored")),
+        q_matches(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_matches")),
+        sizes.agg(F.count("*").cast("bigint").alias("n_clusters")),
+        sizes.filter(F.col("_sz") >= 2).agg(
+            F.coalesce(F.sum("_sz"), F.lit(0)).cast("bigint")
+            .alias("n_merged_entities")),
+    ]
+    row = reduce(lambda a, b: a.crossJoin(b), parts)
+    half_pairs = (F.col("n_entities").cast("double")
+                  * (F.col("n_entities") - 1) / 2)
+    return row.select(
+        "n_entities", "n_candidates", "n_scored", "n_matches",
+        "n_clusters", "n_merged_entities",
+        gate_round4(1.0 - F.col("n_candidates") / half_pairs).alias("reduction_ratio"),
+        gate_round4(F.col("n_matches") / F.col("n_scored").cast("double")).alias("match_rate"),
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -2936,6 +2973,41 @@ SELECT conv_id, entity_id, valid_from,
 FROM hiv WINDOW w2 AS (PARTITION BY conv_id ORDER BY valid_from)"""
 
 
+LINKAGE_ORACLES["pipeline_summary"] = DUCK_TRANSCRIPTS + """,
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+),
+csizes AS (
+  SELECT cluster_id, count(*) AS sz FROM assign GROUP BY cluster_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM canonical2) AS n_entities,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand_pairs) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_scored,
+  (SELECT CAST(count(*) AS BIGINT) FROM matches) AS n_matches,
+  (SELECT CAST(count(*) AS BIGINT) FROM csizes) AS n_clusters,
+  (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM csizes WHERE sz >= 2) AS n_merged_entities,
+  round(1.0 - (SELECT count(*) FROM cand_pairs)
+            / ((SELECT CAST(count(*) AS DOUBLE) FROM canonical2)
+               * ((SELECT count(*) FROM canonical2) - 1) / 2)
+        + 0.000000001, 4) AS reduction_ratio,
+  round((SELECT count(*) FROM matches)
+        / (SELECT CAST(count(*) AS DOUBLE) FROM scored)
+        + 0.000000001, 4) AS match_rate"""
+
+
 LINKAGE_ORACLES["transduce_prefix"] = DUCK_WORDS + """,
 prefixes AS MATERIALIZED (
   SELECT term, substring(term, 1, CAST(L AS INT)) AS prefix
@@ -3002,6 +3074,7 @@ LINKAGE_QUERIES = {
     "entity_history": q_entity_history,
     "spell_suggest_weighted": q_spell_suggest_weighted,
     "transduce_prefix": q_transduce_prefix,
+    "pipeline_summary": q_pipeline_summary,
     "topk_candidates": q_topk,
     "transduce_standard": q_transduce_standard,
     "transduce_per_query_n": q_transduce_per_query_n,
