@@ -416,3 +416,56 @@ def test_stable_entity_ids_random_parity(spark):
     m = {}
     for r in got_rows:
         assert m.setdefault(r.entity_id, r.cluster_id) == r.cluster_id
+
+
+def test_fold_and_stitch_production_loop(spark):
+    """The full incremental production loop: per ingest batch, FOLD the new
+    match edges into the running assignment (never replaying history) and
+    STITCH persistent entity ids from the previous run — three batches
+    including a cross-cluster merge. Verifies (a) folded assignment equals
+    one-shot CC over all edges after every batch, (b) ids persist through
+    growth, (c) a merge carries exactly the mutual-best side's id while
+    the absorbed cluster's id retires, (d) entity_id -> cluster stays
+    functional across the whole chain."""
+    from liblevenshtein_spark.operators.clustering import stable_entity_ids
+
+    nodes = list("abcdefgh")
+    ents = spark.createDataFrame([(n,) for n in nodes], "conv_id string")
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "id_a string, id_b string")
+
+    batches = [
+        [("a", "b"), ("d", "e"), ("g", "h")],
+        [("b", "c"), ("e", "f")],
+        [("a", "g")],  # merges {a,b,c} with {g,h}
+    ]
+    assign = None
+    ids = None
+    seen: list = []
+    for rnd, batch in enumerate(batches, start=1):
+        if assign is None:
+            assign = assign_clusters(ents, edges(batch))
+        else:
+            assign = fold_clusters(ents, assign, edges(batch))
+        assign = assign.localCheckpoint(eager=True)
+        seen += batch
+        oneshot = {r["conv_id"]: r["cluster_id"]
+                   for r in assign_clusters(ents, edges(seen)).collect()}
+        folded = {r["conv_id"]: r["cluster_id"] for r in assign.collect()}
+        assert folded == oneshot, f"fold != one-shot at batch {rnd}"
+        prev = ids.select("conv_id", "entity_id") if ids is not None else \
+            spark.createDataFrame([], "conv_id string, entity_id string")
+        ids = stable_entity_ids(prev, assign,
+                                mint_namespace=f"run{rnd}").localCheckpoint(eager=True)
+        rows = ids.collect()
+        per_entity: dict = {}
+        for r in rows:
+            assert per_entity.setdefault(r["entity_id"], r["cluster_id"]) == r["cluster_id"]
+
+    final = {r["conv_id"]: r["entity_id"] for r in ids.collect()}
+    # run-1 ids persisted through both growth batches and the merge
+    assert final["d"] == final["e"] == final["f"] == "run1:d"
+    # merged cluster carries the LARGER (mutual-best) side's run-1 id
+    assert final["a"] == final["b"] == final["c"] == "run1:a"
+    assert final["g"] == final["h"] == "run1:a"  # absorbed side inherits it
