@@ -78,6 +78,11 @@ _PRIORITY = [
     "dedup_merge_plan",
     "event_trailing_window",
     "pipeline_summary",
+    "cluster_diff",
+    "blocking_drift",
+    "score_calibration",
+    "link_cross_source",
+    "similarity_soft_tfidf",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -30,6 +30,7 @@ from .operators.topk import topk_candidates
 from .operators.clustering import assign_clusters, fold_clusters
 from .operators.metrics import (banded_truth_pairs, bcubed,
                                 pairwise_confusion, rand_stats)
+from .operators.candidates import cross_source_pairs as cross_source_pairs_op
 from .operators.scoring import distance_udf
 from .operators.transduce import compile_dictionary, transduce, transduce_per_query
 from .session import ship_package
@@ -658,6 +659,99 @@ def q_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate_round4(1.0 - F.col("n_candidates") / half_pairs).alias("reduction_ratio"),
         gate_round4(F.col("n_matches") / F.col("n_scored").cast("double")).alias("match_rate"),
     )
+
+
+
+
+def q_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run clustering diff (operators/clustering.py::cluster_diff):
+    the release-comparison table between a prior linkage run (matches whose
+    pair-hash digit < 'b' — the entity_history run-2 subset) and the
+    current full-match run. Every intersection row is classified
+    stable / merged_into / split_from / reshuffled. The oracle replays both
+    CC runs as recursive CTEs and the same size/intersection joins."""
+    from .operators.clustering import cluster_diff
+
+    ship_package(spark)
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=True)
+    ents = _canonical(spark, sf_dir).select("conv_id")
+    digit = F.substring(F.md5(F.concat_ws("|", "id_a", "id_b")), 1, 1)
+    old = assign_clusters(ents, matches.filter(digit < "b"))
+    new = assign_clusters(ents, matches)
+    return cluster_diff(old, new)
+
+
+def q_blocking_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-layer drift monitor (operators/metrics.py::blocking_key_drift):
+    PSI decomposition of the block-SIZE histogram between a deterministic
+    hash split of the corpus — ref = entities whose md5 first hex digit
+    < '8', cur = the rest. At 10^12-turn scale this runs per ingest batch
+    against the trailing window; the frequency-class bucketing keeps the
+    monitor O(dozens of rows) regardless of key-vocabulary size."""
+    from .operators.metrics import blocking_key_drift
+
+    keys = _sig_keys(spark, sf_dir)
+    digit = F.substring(F.md5(F.col("conv_id")), 1, 1)
+    return blocking_key_drift(keys.filter(digit < "8"), keys.filter(digit >= "8"))
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve (operators/metrics.py::calibration_bins): per
+    Monge-Elkan score decile over the blocked candidate stream, the
+    empirical probability that the pair is a GENERATIVE duplicate (gold
+    identity = conv_id sans source prefix — the eval_bcubed gold). The ME
+    score is the calibrated one because it actually SPREADS over [0, 1] on
+    candidates (the banded lev similarity collapses into the top decile on
+    multi-hundred-char fingerprints, which would make the curve one row);
+    this is the table that turns a raw comparator score into a defensible
+    match probability and picks auto-accept / review thresholds."""
+    from .operators.metrics import calibration_bins
+
+    sim = q_similarity_me(spark, sf_dir)
+    gold = F.expr("substring(id_a, 2)") == F.expr("substring(id_b, 2)")
+    return calibration_bins(sim, gold, score_col="me_sim", n_bins=10)
+
+
+def q_link_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage (operators/candidates.py::cross_source_pairs):
+    the corpus is hash-split into source A (md5 digit < '8') and source B,
+    A-side deletion keys join B-side keys ONLY (no within-source pairs,
+    side identity preserved), and surviving cross pairs are scored with the
+    banded kernel at n=2. This is the A x B mastering mode — a new ingest
+    source linked against the entity master — as opposed to within-table
+    dedup; links within the band are returned with their exact distance."""
+    ship_package(spark)
+    keys = _sig_keys(spark, sf_dir)
+    digit = F.substring(F.md5(F.col("conv_id")), 1, 1)
+    pairs = cross_source_pairs_op(keys.filter(digit < "8"), keys.filter(digit >= "8"))
+    canon = _canonical(spark, sf_dir)
+    fa = canon.select(F.col("conv_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
+                      F.col("fp_len").alias("len_a"))
+    fb = canon.select(F.col("conv_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
+                      F.col("fp_len").alias("len_b"))
+    dist = distance_udf(2, "standard")
+    return (
+        pairs.join(fa, "id_a").join(fb, "id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        .select("id_a", "id_b", dist(F.col("fp_a"), F.col("fp_b")).alias("distance"))
+        .filter(F.col("distance") <= 2)
+    )
+
+
+def q_similarity_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftTFIDF comparator (operators/comparators.py::soft_tfidf_pairs) on
+    the blocked candidate stream: IDF-weighted token overlap with
+    Jaro-Winkler bridging (theta=0.9) over each entity's head tokens —
+    Cohen et al. 2003's best-performing name-matching metric, completing
+    the soft-comparator family next to tfidf (exact-token) and
+    monge_elkan (unweighted char-bridging)."""
+    from .operators.comparators import soft_tfidf_pairs
+
+    ship_package(spark)
+    pairs = q_candidate_pairs(spark, sf_dir)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint")
+    return soft_tfidf_pairs(pairs, canon, head_chars=TURN_WIDTH, theta=0.9)
+
 
 
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3046,6 +3140,158 @@ SELECT query_id, candidate, distance, freq, rank FROM (
 ) WHERE rank <= 3"""
 
 
+
+
+# Run-over-run clustering diff: replay both CC runs (prior = pair-hash
+# digit < 'b', current = all matches) as recursive CTEs, then classify
+# every (old_cluster, new_cluster) intersection.
+LINKAGE_ORACLES["cluster_diff"] = DUCK_TRANSCRIPTS + """,
+hsplit AS MATERIALIZED (
+  SELECT id_a, id_b, substring(md5(id_a || '|' || id_b), 1, 1) AS digit
+  FROM matches
+)""" + _run_assign_sql(1, "WHERE digit < 'b'") + _run_assign_sql(2, "") + """,
+cdo AS (SELECT conv_id, substring(entity_id, 5) AS old_cluster FROM hrun1),
+cdn AS (SELECT conv_id, substring(entity_id, 5) AS new_cluster FROM hrun2),
+cdi AS (
+  SELECT o.old_cluster, n.new_cluster, CAST(count(*) AS BIGINT) AS n_common
+  FROM cdo o JOIN cdn n USING (conv_id) GROUP BY 1, 2
+),
+cdos AS (SELECT old_cluster, CAST(count(*) AS BIGINT) AS old_size FROM cdo GROUP BY 1),
+cdns AS (SELECT new_cluster, CAST(count(*) AS BIGINT) AS new_size FROM cdn GROUP BY 1)
+SELECT i.old_cluster, i.new_cluster, i.n_common, o.old_size, n.new_size,
+       CASE WHEN i.n_common = o.old_size AND i.n_common = n.new_size THEN 'stable'
+            WHEN i.n_common = o.old_size THEN 'merged_into'
+            WHEN i.n_common = n.new_size THEN 'split_from'
+            ELSE 'reshuffled' END AS kind
+FROM cdi i
+JOIN cdos o ON o.old_cluster = i.old_cluster
+JOIN cdns n ON n.new_cluster = i.new_cluster"""
+
+
+# Blocking drift: block-size log2 histogram PSI between the md5 hash split
+# of the corpus (ref digit < '8', cur >= '8'), Laplace-smoothed over the
+# union bucket vocabulary.
+LINKAGE_ORACLES["blocking_drift"] = DUCK_TRANSCRIPTS + """,
+bdr AS (SELECT block_key, count(*) AS n FROM sig_keys
+        WHERE substring(md5(conv_id), 1, 1) < '8' GROUP BY 1),
+bdc AS (SELECT block_key, count(*) AS n FROM sig_keys
+        WHERE substring(md5(conv_id), 1, 1) >= '8' GROUP BY 1),
+bdrh AS (SELECT CAST(floor(log2(n)) AS INT) AS size_bucket,
+                CAST(count(*) AS BIGINT) AS n_keys_ref FROM bdr GROUP BY 1),
+bdch AS (SELECT CAST(floor(log2(n)) AS INT) AS size_bucket,
+                CAST(count(*) AS BIGINT) AS n_keys_cur FROM bdc GROUP BY 1),
+bdj AS (
+  SELECT coalesce(r.size_bucket, c.size_bucket) AS size_bucket,
+         coalesce(r.n_keys_ref, 0) AS n_keys_ref,
+         coalesce(c.n_keys_cur, 0) AS n_keys_cur
+  FROM bdrh r FULL OUTER JOIN bdch c ON r.size_bucket = c.size_bucket
+),
+bdt AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(n_keys_ref) AS DOUBLE) AS tr,
+               CAST(sum(n_keys_cur) AS DOUBLE) AS tc FROM bdj)
+SELECT size_bucket, n_keys_ref, n_keys_cur,
+       round((n_keys_ref + 0.5) / (tr + 0.5 * k) + 0.000000001, 4) AS p_ref,
+       round((n_keys_cur + 0.5) / (tc + 0.5 * k) + 0.000000001, 4) AS p_cur,
+       round(((n_keys_cur + 0.5) / (tc + 0.5 * k) - (n_keys_ref + 0.5) / (tr + 0.5 * k))
+             * ln(((n_keys_cur + 0.5) / (tc + 0.5 * k)) / ((n_keys_ref + 0.5) / (tr + 0.5 * k)))
+             + 0.000000001, 4) AS psi_term
+FROM bdj CROSS JOIN bdt"""
+
+
+# Score calibration: Monge-Elkan score deciles vs generative gold identity
+# (conv_id sans source-prefix letter — the eval_bcubed gold). Reuses the
+# similarity_me fragment verbatim as a subquery so the binned score is
+# byte-identical to the gated ME entry.
+LINKAGE_ORACLES["score_calibration"] = LINKAGE_ORACLES["similarity_me"].replace(
+    "SELECT p.id_a, p.id_b,\n       round(CASE WHEN ab.me_ab IS NULL",
+    """, calme AS (
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN ab.me_ab IS NULL""",
+).replace(
+    "LEFT JOIN ba ON ba.id_a = p.id_a AND ba.id_b = p.id_b",
+    """LEFT JOIN ba ON ba.id_a = p.id_a AND ba.id_b = p.id_b
+),
+calb AS (
+  SELECT least(CAST(floor(me_sim * 10) AS INT), 9) AS bin,
+         CASE WHEN substring(id_a, 2) = substring(id_b, 2) THEN 1 ELSE 0 END AS y
+  FROM calme
+)
+SELECT bin,
+       round(bin / 10.0 + 0.000000001, 4) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(y) AS BIGINT) AS n_true,
+       round(sum(y) / CAST(count(*) AS DOUBLE) + 0.000000001, 4) AS "precision"
+FROM calb GROUP BY bin""",
+)
+
+
+# Two-table A x B record linkage: cross-source candidate join on the
+# deletion keys, banded scoring, links at distance <= 2.
+LINKAGE_ORACLES["link_cross_source"] = DUCK_TRANSCRIPTS + """,
+lsa AS (SELECT conv_id, block_key FROM sig_keys WHERE substring(md5(conv_id), 1, 1) < '8'),
+lsb AS (SELECT conv_id, block_key FROM sig_keys WHERE substring(md5(conv_id), 1, 1) >= '8'),
+lsp AS (SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+        FROM lsa a JOIN lsb b USING (block_key))
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(ca.fingerprint, cb.fingerprint) AS INT) AS distance
+FROM lsp p
+JOIN canonical2 ca ON ca.conv_id = p.id_a
+JOIN canonical2 cb ON cb.conv_id = p.id_b
+WHERE abs(ca.fp_len - cb.fp_len) <= 2
+  AND levenshtein(ca.fingerprint, cb.fingerprint) <= 2"""
+
+
+# SoftTFIDF: L2-normalized smoothed-IDF weights over DISTINCT head tokens,
+# JW-bridged best partner per anchor (round-before-rank: jw DESC, partner
+# ASC), theta=0.9, per-direction sums rounded then symmetrized.
+LINKAGE_ORACLES["similarity_soft_tfidf"] = DUCK_TRANSCRIPTS + f"""
+, shd AS MATERIALIZED (
+  SELECT DISTINCT conv_id AS id,
+         unnest(list_filter(regexp_split_to_array(replace(substring(fingerprint, 1, {TURN_WIDTH}), chr(30), ' '), '\\s+'), x -> x <> '')) AS token
+  FROM canonical2
+),
+sdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM shd GROUP BY token),
+snd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM canonical2),
+sw AS MATERIALIZED (
+  SELECT id, token, (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM shd JOIN sdf USING (token) CROSS JOIN snd
+),
+snorm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM sw GROUP BY id),
+sv AS MATERIALIZED (SELECT id, token, w / nrm AS v FROM sw JOIN snorm USING (id)),
+scross AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, a.token AS tok_a, b.token AS tok_b, a.v AS v_a, b.v AS v_b,
+         round(jaro_winkler_similarity(a.token, b.token) + 0.000000001, 4) AS jw
+  FROM cand_pairs p
+  JOIN sv a ON a.id = p.id_a
+  JOIN sv b ON b.id = p.id_b
+),
+sdirs AS (
+  SELECT id_a, id_b, 0 AS dir, tok_a AS anchor, tok_b AS partner,
+         v_a AS v_anchor, v_b AS v_partner, jw FROM scross
+  UNION ALL
+  SELECT id_a, id_b, 1, tok_b, tok_a, v_b, v_a, jw FROM scross
+),
+sbest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id_a, id_b, dir, anchor ORDER BY jw DESC, partner ASC) AS rk
+    FROM sdirs
+  ) WHERE rk = 1 AND jw >= 0.9
+),
+sdirsum AS (
+  SELECT id_a, id_b, dir,
+         round(sum(v_anchor * v_partner * jw) + 0.000000001, 4) AS s_dir
+  FROM sbest GROUP BY id_a, id_b, dir
+),
+ssoft AS (
+  SELECT id_a, id_b, round(sum(s_dir) / 2.0 + 0.000000001, 4) AS soft_tfidf
+  FROM sdirsum GROUP BY id_a, id_b
+)
+SELECT p.id_a, p.id_b, coalesce(s.soft_tfidf, 0.0) AS soft_tfidf
+FROM cand_pairs p
+LEFT JOIN ssoft s ON s.id_a = p.id_a AND s.id_b = p.id_b"""
+
+
 LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
@@ -3109,6 +3355,11 @@ LINKAGE_QUERIES = {
     "eval_bcubed_star": q_eval_bcubed_star,
     "eval_scheme_quality": q_eval_scheme_quality,
     "similarity_fused": q_similarity_fused,
+    "cluster_diff": q_cluster_diff,
+    "blocking_drift": q_blocking_drift,
+    "score_calibration": q_score_calibration,
+    "link_cross_source": q_link_cross_source,
+    "similarity_soft_tfidf": q_similarity_soft_tfidf,
 }
 
 

@@ -1,15 +1,19 @@
-from .candidates import block_keys, candidate_pairs, salted_cross_pairs
+from .candidates import (block_keys, candidate_pairs, cross_source_pairs,
+                         salted_cross_pairs)
 from .canonicalize import canonicalize, turns_roundtrip
-from .clustering import (assign_clusters, connected_components,
+from .clustering import (assign_clusters, cluster_diff, connected_components,
                          entity_history, golden_records, stable_entity_ids)
+from .comparators import soft_tfidf_pairs
 from .graph import cluster_cohesion, edge_support, robust_clusters
 from .matching import one_to_one
+from .metrics import blocking_key_drift, calibration_bins
 from .scoring import attach_texts, distance_udf, match_filter, score_pairs
 
 __all__ = [
-    "assign_clusters", "attach_texts", "block_keys", "candidate_pairs",
-    "canonicalize", "cluster_cohesion", "connected_components",
+    "assign_clusters", "attach_texts", "block_keys", "blocking_key_drift",
+    "calibration_bins", "candidate_pairs", "canonicalize", "cluster_cohesion",
+    "cluster_diff", "connected_components", "cross_source_pairs",
     "distance_udf", "edge_support", "entity_history", "golden_records",
     "match_filter", "one_to_one", "robust_clusters", "salted_cross_pairs",
-    "score_pairs", "stable_entity_ids", "turns_roundtrip",
+    "score_pairs", "soft_tfidf_pairs", "stable_entity_ids", "turns_roundtrip",
 ]

@@ -27,7 +27,7 @@ from ..functions.blocking import (
     segment_keys,
 )
 
-__all__ = ["block_keys", "candidate_pairs", "salted_cross_pairs"]
+__all__ = ["block_keys", "candidate_pairs", "salted_cross_pairs", "cross_source_pairs"]
 
 
 def block_keys(entities: DataFrame, conf: LinkConfig, id_col: str = "conv_id",
@@ -191,5 +191,40 @@ def salted_cross_pairs(
             F.least("_ida", "_idb").alias("id_a"),
             F.greatest("_ida", "_idb").alias("id_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cross_source_pairs(
+    keys_a: DataFrame,
+    keys_b: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Two-TABLE record linkage candidate generation (Fellegi-Sunter's A x B
+    setting), as opposed to within-table deduplication: join source-A
+    blocking keys against source-B keys and keep only CROSS-source pairs,
+    with side identity preserved — id_a is always the A record, id_b always
+    the B record (no least/greatest canonicalization, because the sides are
+    different tables and downstream survivorship/one-to-one assignment
+    needs to know which is which).
+
+    This is the linkage mode for mastering a new ingest source against an
+    existing entity master: |A x B| candidates are bounded by shared keys
+    exactly like dedup blocking, within-source duplicates are deliberately
+    NOT proposed (each source is assumed internally deduped, or handled by
+    a separate dedup pass), and the output feeds the same scoring kernel.
+
+    Scale shape: one hash equi-join on block_key + one dedup shuffle on the
+    pair key. Skewed keys should be pre-bounded upstream (key schemes with
+    df caps) or routed through candidate_pairs' salted path when A x B
+    shares the hot-key problem; this operator stays the plain-join shape
+    because cross-source key distributions are typically the SMALL new
+    batch against the master index — the classic broadcast-or-shuffle
+    decision AQE already makes from runtime stats."""
+    a = keys_a.select(F.col(id_col).alias("id_a"), "block_key")
+    b = keys_b.select(F.col(id_col).alias("id_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

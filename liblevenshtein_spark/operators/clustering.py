@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
-           "fold_clusters", "golden_records", "stable_entity_ids", "entity_history"]
+           "fold_clusters", "golden_records", "stable_entity_ids", "entity_history",
+           "cluster_diff"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -447,4 +448,63 @@ def entity_history(assignments: DataFrame, id_col: str = "conv_id",
         F.col("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+def cluster_diff(old: DataFrame, new: DataFrame, id_col: str = "conv_id",
+                 cluster_col: str = "cluster_id") -> DataFrame:
+    """Run-over-run clustering diff: the release-comparison table an ER
+    deployment reviews before promoting a new linkage run — which clusters
+    survived unchanged, which merged, which split, and which entities
+    appeared/disappeared. Complements `entity_history` (WHEN an id held)
+    and `stable_entity_ids` (id stitching): this is the cluster-grain
+    change report between exactly two runs.
+
+    Input: two assignment tables (id_col, cluster_col). Output: one row per
+    non-empty (old_cluster, new_cluster) intersection — plus one-sided rows
+    for entities present in only one run — with the intersection size, both
+    cluster sizes, and a `kind` classification:
+
+    - ``stable``     — the clusters are identical (n_common = both sizes);
+    - ``merged_into``— the old cluster was absorbed whole into a larger new
+                       cluster (n_common = old_size < new_size);
+    - ``split_from`` — the new cluster is a strict fragment of the old one
+                       (n_common = new_size < old_size);
+    - ``reshuffled`` — partial overlap on both sides (entities crossed
+                       cluster boundaries, not a clean merge/split);
+    - ``added`` / ``removed`` — the entity exists in only one run.
+
+    Scale shape: one full-outer join on the entity id (co-partitioned
+    shuffle, linear in entities), two hash aggs for the sizes (map-side
+    combine), and two broadcast-sized joins keyed by cluster id. Rows out
+    are bounded by the number of cluster intersections <= entities; no
+    stage is quadratic, so the diff costs about one linkage-assignment
+    write at any corpus size."""
+    o = old.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("old_cluster"))
+    n = new.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("new_cluster"))
+    joined = o.join(n, "_id", "full_outer")
+    inter = joined.groupBy("old_cluster", "new_cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    old_sz = o.groupBy("old_cluster").agg(F.count(F.lit(1)).cast("bigint").alias("old_size"))
+    new_sz = n.groupBy("new_cluster").agg(F.count(F.lit(1)).cast("bigint").alias("new_size"))
+    res = (
+        inter.join(old_sz, "old_cluster", "left")
+        .join(new_sz, "new_cluster", "left")
+    )
+    kind = (
+        F.when(F.col("old_cluster").isNull(), F.lit("added"))
+        .when(F.col("new_cluster").isNull(), F.lit("removed"))
+        .when(
+            (F.col("n_common") == F.col("old_size"))
+            & (F.col("n_common") == F.col("new_size")),
+            F.lit("stable"),
+        )
+        .when(F.col("n_common") == F.col("old_size"), F.lit("merged_into"))
+        .when(F.col("n_common") == F.col("new_size"), F.lit("split_from"))
+        .otherwise(F.lit("reshuffled"))
+    )
+    return res.select(
+        "old_cluster", "new_cluster", "n_common", "old_size", "new_size",
+        kind.alias("kind"),
     )

@@ -228,3 +228,119 @@ def monge_elkan_pairs(
     return base.join(me, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", F.coalesce(F.col("me_sim"), F.lit(0.0)).alias("me_sim")
     )
+
+
+def soft_tfidf_pairs(
+    pairs: DataFrame,
+    entities: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "fingerprint",
+    sep: str = "\x1e",
+    head_chars: int = 100,
+    theta: float = 0.9,
+    inner=None,
+) -> DataFrame:
+    """SoftTFIDF hybrid similarity (Cohen, Ravikumar & Fienberg 2003, "A
+    Comparison of String Distance Metrics for Name-Matching Tasks") over
+    the blocked candidate-pair stream — the third classic soft comparator
+    next to `tfidf_cosine_pairs` (pure token overlap) and
+    `monge_elkan_pairs` (pure char-level bridging): rare-token IDF weight
+    AND near-miss token spelling tolerance in one score.
+
+    For each direction a→b: every anchor token t of a picks its best
+    Jaro-Winkler partner u in b (rounded-JW DESC, partner-token ASC — the
+    repo's round-before-rank convention so cross-engine ulps can't flip the
+    winner); anchors whose best JW >= `theta` contribute
+    v(t,a) · v(u,b) · JW(t,u), where v is the L2-normalized smoothed-IDF
+    weight (idf = ln((N+1)/(df+1)) + 1 over DISTINCT head tokens, tf = 1
+    since token sets are distinct). The reported score symmetrizes the two
+    directions: (s(a→b) + s(b→a)) / 2, each direction rounded first so the
+    final two-term sum is order-independent.
+
+    Token sets are the DISTINCT tokens of each entity's first `head_chars`
+    characters (the monge_elkan convention), so the JW crossing is bounded
+    per pair — Σ_pairs |Ta|·|Tb| rows through ONE Arrow-batched kernel
+    node, never corpus-quadratic. Weights are sparse (id, token, v) rows;
+    N rides a 1-row broadcast; pairs with no qualifying anchor in either
+    direction score 0.0 via the left-join-back contract shared by the
+    other comparators."""
+    from pyspark.sql import Window
+
+    if inner is None:
+        from .scoring import jaro_winkler_udf
+
+        inner = jaro_winkler_udf()
+    head = F.regexp_replace(
+        F.substring(F.col(text_col), 1, head_chars), re.escape(sep), " "
+    )
+    toks = (
+        entities.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(head, r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_t = toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = entities.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        toks.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "token",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    v = w.join(norms, "id").select("id", "token", (F.col("w") / F.col("nrm")).alias("v"))
+
+    base = pairs.select("id_a", "id_b")
+    va = v.select(F.col("id").alias("id_a"), F.col("token").alias("tok_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("token").alias("tok_b"), F.col("v").alias("v_b"))
+    from ..functions.text import gate_round4 as _g4
+
+    crossed = (
+        base.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", "tok_a", "tok_b", "v_a", "v_b",
+            _g4(inner(F.col("tok_a"), F.col("tok_b"))).alias("jw"),
+        )
+    )
+    # Both directions from ONE kernel pass (the monge_elkan explode-tag
+    # trick): tagging AFTER the UDF keeps a single ArrowEvalPython node in
+    # the plan instead of Catalyst re-running the JW kernel per direction.
+    tagged = crossed.select(
+        "id_a", "id_b", "jw",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("dir"),
+                    F.col("tok_a").alias("anchor"), F.col("tok_b").alias("partner"),
+                    F.col("v_a").alias("v_anchor"), F.col("v_b").alias("v_partner"),
+                ),
+                F.struct(
+                    F.lit(1).alias("dir"),
+                    F.col("tok_b").alias("anchor"), F.col("tok_a").alias("partner"),
+                    F.col("v_b").alias("v_anchor"), F.col("v_a").alias("v_partner"),
+                ),
+            )
+        ).alias("dt"),
+    ).select("id_a", "id_b", "jw", "dt.dir", "dt.anchor", "dt.partner",
+             "dt.v_anchor", "dt.v_partner")
+    win = Window.partitionBy("id_a", "id_b", "dir", "anchor").orderBy(
+        F.col("jw").desc(), F.asc("partner")
+    )
+    best = (
+        tagged.withColumn("_rk", F.row_number().over(win))
+        .filter((F.col("_rk") == 1) & (F.col("jw") >= F.lit(theta)))
+    )
+    per_dir = best.groupBy("id_a", "id_b", "dir").agg(
+        _g4(F.sum(F.col("v_anchor") * F.col("v_partner") * F.col("jw"))).alias("s_dir")
+    )
+    soft = per_dir.groupBy("id_a", "id_b").agg(
+        _g4(F.sum("s_dir") / 2.0).alias("soft_tfidf")
+    )
+    return base.join(soft, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce(F.col("soft_tfidf"), F.lit(0.0)).alias("soft_tfidf")
+    )

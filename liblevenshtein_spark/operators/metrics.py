@@ -12,6 +12,7 @@ __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
     "pairwise_confusion", "bcubed", "rand_stats", "fs_model",
     "banded_truth_pairs", "match_provenance",
+    "blocking_key_drift", "calibration_bins",
 ]
 
 
@@ -359,3 +360,104 @@ def threshold_sweep(
         ratio(tp, tp + fn, "recall_1e4"),
         ratio(2 * tp, 2 * tp + fp + fn, "f1_1e4"),
     ).orderBy("threshold")
+
+
+def blocking_key_drift(ref_keys: DataFrame, cur_keys: DataFrame,
+                       key_col: str = "block_key") -> DataFrame:
+    """Population-stability monitor for the blocking layer: compare the
+    block-SIZE distribution of a reference batch against the current batch
+    and report a per-bucket PSI decomposition. This is the drift alarm a
+    10^12-turn deployment runs on every ingest — a vocabulary shift or a
+    new hot key shows up as mass moving between size buckets long before
+    the candidate-pair count explodes.
+
+    Per-key PSI would be wrong at scale (the key vocabulary is unbounded
+    and mostly singleton), so keys are first histogrammed by
+    ``floor(log2(block size))`` — the standard frequency-class monitor.
+    Output: one row per size bucket present in either batch —
+    (size_bucket, n_keys_ref, n_keys_cur, p_ref, p_cur, psi_term) where
+    the p's are Laplace-smoothed key-share proportions over the union
+    bucket vocabulary and PSI = Σ psi_term, psi_term =
+    (p_cur - p_ref) * ln(p_cur / p_ref).
+
+    Scale shape: two hash aggs per side (key counts with map-side combine,
+    then the ~dozens-row bucket histogram), a full-outer join on the tiny
+    bucket table, and the union-vocabulary totals riding a broadcast 1-row
+    cross join — no collect, nothing proportional to the corpus after the
+    first agg."""
+    from ..functions.text import gate_round4
+
+    def _hist(keys: DataFrame, out: str) -> DataFrame:
+        per_key = keys.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            per_key.select(
+                F.floor(F.log2(F.col("_n"))).cast("int").alias("size_bucket")
+            )
+            .groupBy("size_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    joined = (
+        _hist(ref_keys, "n_keys_ref")
+        .join(_hist(cur_keys, "n_keys_cur"), "size_bucket", "full_outer")
+        .select(
+            "size_bucket",
+            F.coalesce("n_keys_ref", F.lit(0)).alias("n_keys_ref"),
+            F.coalesce("n_keys_cur", F.lit(0)).alias("n_keys_cur"),
+        )
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum("n_keys_ref").cast("double").alias("_tr"),
+        F.sum("n_keys_cur").cast("double").alias("_tc"),
+    )
+    p_ref = (F.col("n_keys_ref") + 0.5) / (F.col("_tr") + 0.5 * F.col("_k"))
+    p_cur = (F.col("n_keys_cur") + 0.5) / (F.col("_tc") + 0.5 * F.col("_k"))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "size_bucket", "n_keys_ref", "n_keys_cur",
+            gate_round4(p_ref).alias("p_ref"),
+            gate_round4(p_cur).alias("p_cur"),
+            gate_round4((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+    )
+
+
+def calibration_bins(scored: DataFrame, labels: Column,
+                     score_col: str = "similarity", n_bins: int = 10) -> DataFrame:
+    """Score-calibration table: bin a similarity score into `n_bins`
+    fixed-width bins over [0, 1] and report the empirical match rate per
+    bin against a truth label — the reliability curve that turns a raw
+    comparator score into a defensible match probability (and the review
+    tool for choosing auto-accept / clerical-review thresholds).
+
+    `labels` is a boolean Column evaluated against the scored stream (e.g.
+    generative gold identity, or membership in a labeled pair set joined
+    upstream). Output: one row per non-empty bin — (bin, bin_lo, n_pairs,
+    n_true, precision). Scores land in bin floor(score * n_bins), with
+    score = 1.0 clamped into the top bin.
+
+    Scale shape: one projection + one hash agg with map-side combine over
+    the already-scored candidate stream; output is n_bins rows. Nothing
+    rescans texts or the kernel."""
+    from ..functions.text import gate_round4
+
+    bin_col = F.least(
+        F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        scored.select(bin_col.alias("bin"), labels.cast("int").alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("_y").cast("bigint").alias("n_true"),
+        )
+        .select(
+            "bin",
+            gate_round4(F.col("bin") / float(n_bins)).alias("bin_lo"),
+            "n_pairs",
+            "n_true",
+            gate_round4(F.col("n_true") / F.col("n_pairs").cast("double")).alias("precision"),
+        )
+    )
