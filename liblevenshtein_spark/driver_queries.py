@@ -753,6 +753,56 @@ def q_similarity_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_tfidf_pairs(pairs, canon, head_chars=TURN_WIDTH, theta=0.9)
 
 
+def _bloom_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom encodings (Schnell et al. 2009) of every entity's 16-char sig:
+    bigrams, k=4 portable-md5 hashes, m=256 bits (operators/pprl.py)."""
+    from .operators.pprl import bloom_encode
+
+    canon = _canonical(spark, sf_dir).withColumn(
+        "sig", F.expr(f"substring(fingerprint, 1, {SIG_LEN})")
+    )
+    return bloom_encode(canon, id_col="conv_id", text_col="sig", q=2, k=4, m=256)
+
+
+def q_similarity_pprl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving comparator (operators/pprl.py::dice_pairs): Dice
+    coefficient over Bloom-filter encodings of each entity's sig, computed
+    on the blocked candidate stream — the Schnell/Bachteler/Reiher 2009
+    PPRL scheme, the comparator a linkage unit uses when the two sides may
+    exchange only hashed encodings, never cleartext.  Encoding hashes are
+    portable md5 so the DuckDB oracle reproduces identical bit sets."""
+    from .operators.pprl import dice_pairs
+
+    pairs = q_candidate_pairs(spark, sf_dir)
+    return dice_pairs(pairs, _bloom_encoded(spark, sf_dir))
+
+
+def q_pprl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Private blocking (operators/pprl.py::bloom_band_candidates): LSH-style
+    banding over the Bloom encodings themselves — candidate pairs generated
+    WITHOUT touching cleartext, the blocking half of the PPRL stack
+    (Durham et al. 2012 composite-blocking shape).  m=256 bits, 16 bands
+    of 16 bit positions; a pair is a candidate iff >= 2 bands' exact bit
+    subsets match (the multi-band agreement rule — single-band agreement
+    is chance-level on natural-language bigram sets).  Only (id, band_key)
+    rides the self-join shuffle."""
+    from .operators.pprl import bloom_band_candidates
+
+    return bloom_band_candidates(_bloom_encoded(spark, sf_dir), m=256, bands=16, min_bands=2)
+
+
+def q_turn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation delta (operators/alignment.py::align_turns): anchored
+    prefix/suffix turn alignment for every matched pair — which turns the
+    near-duplicate pair shares verbatim and how wide each side's changed
+    region is.  Pure joins + aggs keyed by the pair ids; linear in matched
+    turn volume, no per-pair DP, no Python."""
+    from .operators.alignment import align_turns
+
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b")
+    turns = derive_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    return align_turns(matches, turns)
+
 
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
@@ -3292,6 +3342,112 @@ FROM cand_pairs p
 LEFT JOIN ssoft s ON s.id_a = p.id_a AND s.id_b = p.id_b"""
 
 
+# PPRL Bloom encoding fragment (Schnell et al. 2009), shared by the dice
+# comparator and the private-blocking entry: bigrams of each entity's sig,
+# k=4 portable-md5 hash functions, m=256 bits.  The md5-hex-to-int parse
+# mirrors Spark's conv(substring(md5(..),1,8),16,10) exactly.
+_DUCK_PPRL_BITS = """,
+pgr AS MATERIALIZED (
+  SELECT DISTINCT conv_id AS id, substring(sig, CAST(i AS INT), 2) AS gram
+  FROM (SELECT conv_id, sig,
+               unnest(range(1, greatest(length(sig) - 1, 1) + 1)) AS i
+        FROM canonical2)
+),
+pbits AS MATERIALIZED (
+  SELECT DISTINCT id,
+         CAST(CAST('0x' || substring(md5(gram || ':' || CAST(j AS INT)), 1, 8) AS BIGINT) % 256 AS INT) AS bit
+  FROM pgr, range(0, 4) AS t(j)
+)"""
+
+
+# Dice coefficient over the Bloom encodings on the blocked candidate
+# stream.  Sparse formulation: |A∩B| is a bit-keyed join count, |A|/|B|
+# per-id bit counts — only sizes matter, identical to Spark's
+# array_intersect over the sorted-distinct bit arrays.
+LINKAGE_ORACLES["similarity_pprl"] = DUCK_TRANSCRIPTS + _DUCK_PPRL_BITS + """,
+pn AS (SELECT id, count(*) AS nb FROM pbits GROUP BY id),
+pint AS (
+  SELECT p.id_a, p.id_b, count(*) AS ni
+  FROM cand_pairs p
+  JOIN pbits a ON a.id = p.id_a
+  JOIN pbits b ON b.id = p.id_b AND b.bit = a.bit
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(2.0 * coalesce(pi.ni, 0) / (na.nb + nbb.nb) + 0.000000001, 4) AS dice
+FROM cand_pairs p
+JOIN pn na ON na.id = p.id_a
+JOIN pn nbb ON nbb.id = p.id_b
+LEFT JOIN pint pi ON pi.id_a = p.id_a AND pi.id_b = p.id_b"""
+
+
+# Private blocking: band the bit positions into 16 ranges of 16; key = the
+# exact sorted bit list within the band; candidates = pairs agreeing on
+# >= 2 bands (multi-band agreement).  Empty bands emit no key in both
+# engines.
+LINKAGE_ORACLES["pprl_candidates"] = DUCK_TRANSCRIPTS + _DUCK_PPRL_BITS + """,
+pband AS MATERIALIZED (
+  SELECT id, bit // 16 AS band, string_agg(bit, ',' ORDER BY bit) AS band_sig
+  FROM pbits GROUP BY id, bit // 16
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS INT) AS n_shared_bands
+FROM pband a
+JOIN pband b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= 2"""
+
+
+# Anchored prefix/suffix turn alignment over the match stream: forward
+# pass keyed by turn_idx, reverse pass keyed by offset-from-the-end; a
+# side missing a row counts as a mismatch (FULL JOIN + NULL checks), the
+# suffix is capped at min(n) - prefix.
+LINKAGE_ORACLES["turn_alignment"] = DUCK_TRANSCRIPTS + """,
+mta AS MATERIALIZED (
+  SELECT m.id_a, m.id_b, t.turn_idx AS idx, t.text AS txt_a
+  FROM matches m JOIN transcripts t ON t.conv_id = m.id_a
+),
+mtb AS MATERIALIZED (
+  SELECT m.id_a, m.id_b, t.turn_idx AS idx, t.text AS txt_b
+  FROM matches m JOIN transcripts t ON t.conv_id = m.id_b
+),
+mfwd AS (
+  SELECT id_a, id_b,
+         min(CASE WHEN a.txt_a IS NULL OR b.txt_b IS NULL OR a.txt_a <> b.txt_b
+                  THEN idx END) AS first_diff
+  FROM mta a FULL JOIN mtb b USING (id_a, id_b, idx)
+  GROUP BY id_a, id_b
+),
+mra AS (SELECT a.id_a, a.id_b, ca.n_turns - 1 - a.idx AS off, a.txt_a
+        FROM mta a JOIN canonical2 ca ON ca.conv_id = a.id_a),
+mrb AS (SELECT b.id_a, b.id_b, cb.n_turns - 1 - b.idx AS off, b.txt_b
+        FROM mtb b JOIN canonical2 cb ON cb.conv_id = b.id_b),
+mrev AS (
+  SELECT id_a, id_b,
+         min(CASE WHEN a.txt_a IS NULL OR b.txt_b IS NULL OR a.txt_a <> b.txt_b
+                  THEN off END) AS first_rdiff
+  FROM mra a FULL JOIN mrb b USING (id_a, id_b, off)
+  GROUP BY id_a, id_b
+),
+mfin AS (
+  SELECT m.id_a, m.id_b, ca.n_turns AS na, cb.n_turns AS nb,
+         least(coalesce(f.first_diff, 1073741824),
+               least(ca.n_turns, cb.n_turns)) AS lcp,
+         coalesce(r.first_rdiff, 1073741824) AS rdiff
+  FROM matches m
+  JOIN canonical2 ca ON ca.conv_id = m.id_a
+  JOIN canonical2 cb ON cb.conv_id = m.id_b
+  JOIN mfwd f ON f.id_a = m.id_a AND f.id_b = m.id_b
+  JOIN mrev r ON r.id_a = m.id_a AND r.id_b = m.id_b
+)
+SELECT id_a, id_b,
+       CAST(na AS INT) AS n_turns_a, CAST(nb AS INT) AS n_turns_b,
+       CAST(lcp AS INT) AS aligned_prefix,
+       CAST(least(rdiff, least(na, nb) - lcp) AS INT) AS aligned_suffix,
+       CAST(na - lcp - least(rdiff, least(na, nb) - lcp) AS INT) AS changed_a,
+       CAST(nb - lcp - least(rdiff, least(na, nb) - lcp) AS INT) AS changed_b
+FROM mfin"""
+
+
 LINKAGE_QUERIES = {
     "transcripts": q_transcripts,
     "canonicalize": q_canonicalize,
@@ -3360,6 +3516,9 @@ LINKAGE_QUERIES = {
     "score_calibration": q_score_calibration,
     "link_cross_source": q_link_cross_source,
     "similarity_soft_tfidf": q_similarity_soft_tfidf,
+    "similarity_pprl": q_similarity_pprl,
+    "pprl_candidates": q_pprl_candidates,
+    "turn_alignment": q_turn_alignment,
 }
 
 

@@ -1,3 +1,4 @@
+from .alignment import align_turns
 from .candidates import (block_keys, candidate_pairs, cross_source_pairs,
                          salted_cross_pairs)
 from .canonicalize import canonicalize, turns_roundtrip
@@ -7,12 +8,14 @@ from .comparators import soft_tfidf_pairs
 from .graph import cluster_cohesion, edge_support, robust_clusters
 from .matching import one_to_one
 from .metrics import blocking_key_drift, calibration_bins
+from .pprl import bloom_band_candidates, bloom_encode, dice_pairs
 from .scoring import attach_texts, distance_udf, match_filter, score_pairs
 
 __all__ = [
-    "assign_clusters", "attach_texts", "block_keys", "blocking_key_drift",
+    "align_turns", "assign_clusters", "attach_texts", "block_keys",
+    "blocking_key_drift", "bloom_band_candidates", "bloom_encode",
     "calibration_bins", "candidate_pairs", "canonicalize", "cluster_cohesion",
-    "cluster_diff", "connected_components", "cross_source_pairs",
+    "cluster_diff", "connected_components", "cross_source_pairs", "dice_pairs",
     "distance_udf", "edge_support", "entity_history", "golden_records",
     "match_filter", "one_to_one", "robust_clusters", "salted_cross_pairs",
     "score_pairs", "soft_tfidf_pairs", "stable_entity_ids", "turns_roundtrip",
