@@ -804,6 +804,54 @@ def q_turn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_turns(matches, turns)
 
 
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-graph transitivity audit (operators/graph.py::transitivity_stats):
+    the wedge census + global clustering coefficient of the match stream —
+    open wedges are matches CC will weld without pairwise evidence, the
+    per-run leading indicator of threshold drift and mega-cluster welds."""
+    from .operators.graph import transitivity_stats
+
+    return transitivity_stats(q_matches(spark, sf_dir).select("id_a", "id_b"))
+
+
+def q_eval_pprl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-utility report: run the FULLY PRIVATE pipeline (Bloom-band
+    blocking at min_bands=2 → Dice >= 0.95 on the encodings — no cleartext
+    touched after encoding) and score it against the cleartext match
+    stream (banded Levenshtein <= 2).  One row: match volumes of each
+    pipeline, their overlap, and precision/recall of private vs cleartext
+    — the table a linkage unit signs off before an encodings-only
+    deployment.  Private precision < 1 is structural, not a bug: the
+    encodings see only the 16-char sig field, so same-sig non-duplicates
+    are indistinguishable to the private side."""
+    from .operators.pprl import bloom_band_candidates, dice_pairs
+
+    enc = _bloom_encoded(spark, sf_dir)
+    private = (
+        dice_pairs(bloom_band_candidates(enc, m=256, bands=16, min_bands=2), enc)
+        .filter(F.col("dice") >= 0.95)
+        .select("id_a", "id_b")
+    )
+    cleartext = q_matches(spark, sf_dir).select("id_a", "id_b")
+    common = private.join(cleartext, ["id_a", "id_b"])
+    np_ = private.agg(F.count(F.lit(1)).cast("bigint").alias("n_private"))
+    nc = cleartext.agg(F.count(F.lit(1)).cast("bigint").alias("n_cleartext"))
+    nj = common.agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return (
+        np_.crossJoin(nc)
+        .crossJoin(nj)
+        .select(
+            "n_private",
+            "n_cleartext",
+            "n_common",
+            gate_round4(F.col("n_common") / F.col("n_private").cast("double"))
+            .alias("precision"),
+            gate_round4(F.col("n_common") / F.col("n_cleartext").cast("double"))
+            .alias("recall"),
+        )
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     scored = q_score_pairs(spark, sf_dir).select(
@@ -3397,6 +3445,69 @@ GROUP BY a.id, b.id
 HAVING count(*) >= 2"""
 
 
+# Wedge census / global clustering coefficient of the match graph.
+LINKAGE_ORACLES["transitivity"] = DUCK_TRANSCRIPTS + """,
+tadj AS MATERIALIZED (
+  SELECT id_a AS v, id_b AS u FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+twedge AS (
+  SELECT a.u AS u1, b.u AS u2 FROM tadj a JOIN tadj b ON a.v = b.v AND a.u < b.u
+),
+tflag AS (
+  SELECT CASE WHEN m.id_a IS NULL THEN 0 ELSE 1 END AS closed
+  FROM twedge w LEFT JOIN matches m ON m.id_a = w.u1 AND m.id_b = w.u2
+),
+tne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM matches),
+tws AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+               CAST(coalesce(sum(closed), 0) AS BIGINT) AS n_closed_wedges
+        FROM tflag)
+SELECT n_edges, n_wedges, n_closed_wedges,
+       CAST(n_wedges - n_closed_wedges AS BIGINT) AS n_open_wedges,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE round(n_closed_wedges / CAST(n_wedges AS DOUBLE) + 0.000000001, 4)
+       END AS transitivity
+FROM tne CROSS JOIN tws"""
+
+
+# Privacy-utility report: the fully private pipeline (band blocking at
+# min_bands=2, Dice >= 0.95 on the encodings) scored against the
+# cleartext banded-Levenshtein match stream.
+LINKAGE_ORACLES["eval_pprl"] = DUCK_TRANSCRIPTS + _DUCK_PPRL_BITS + """,
+pband AS MATERIALIZED (
+  SELECT id, bit // 16 AS band, string_agg(bit, ',' ORDER BY bit) AS band_sig
+  FROM pbits GROUP BY id, bit // 16
+),
+pcand AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pband a JOIN pband b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+  GROUP BY a.id, b.id HAVING count(*) >= 2
+),
+pn AS (SELECT id, count(*) AS nb FROM pbits GROUP BY id),
+pint AS (
+  SELECT p.id_a, p.id_b, count(*) AS ni FROM pcand p
+  JOIN pbits a ON a.id = p.id_a
+  JOIN pbits b ON b.id = p.id_b AND b.bit = a.bit
+  GROUP BY p.id_a, p.id_b
+),
+ppriv AS (
+  SELECT p.id_a, p.id_b
+  FROM pcand p
+  JOIN pn na ON na.id = p.id_a
+  JOIN pn nbb ON nbb.id = p.id_b
+  LEFT JOIN pint pi ON pi.id_a = p.id_a AND pi.id_b = p.id_b
+  WHERE round(2.0 * coalesce(pi.ni, 0) / (na.nb + nbb.nb) + 0.000000001, 4) >= 0.95
+),
+pnp AS (SELECT CAST(count(*) AS BIGINT) AS n_private FROM ppriv),
+pnc AS (SELECT CAST(count(*) AS BIGINT) AS n_cleartext FROM matches),
+pnj AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+        FROM ppriv JOIN matches USING (id_a, id_b))
+SELECT n_private, n_cleartext, n_common,
+       round(n_common / CAST(n_private AS DOUBLE) + 0.000000001, 4) AS "precision",
+       round(n_common / CAST(n_cleartext AS DOUBLE) + 0.000000001, 4) AS recall
+FROM pnp CROSS JOIN pnc CROSS JOIN pnj"""
+
+
 # Anchored prefix/suffix turn alignment over the match stream: forward
 # pass keyed by turn_idx, reverse pass keyed by offset-from-the-end; a
 # side missing a row counts as a mismatch (FULL JOIN + NULL checks), the
@@ -3519,6 +3630,8 @@ LINKAGE_QUERIES = {
     "similarity_pprl": q_similarity_pprl,
     "pprl_candidates": q_pprl_candidates,
     "turn_alignment": q_turn_alignment,
+    "transitivity": q_transitivity,
+    "eval_pprl": q_eval_pprl,
 }
 
 

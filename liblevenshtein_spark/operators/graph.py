@@ -75,6 +75,60 @@ def edge_support(matches: DataFrame, id_a: str = "id_a",
     )
 
 
+def transitivity_stats(matches: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b") -> DataFrame:
+    """Global transitivity audit of the match graph: one row with the wedge
+    census — (n_edges, n_wedges, n_closed_wedges, n_open_wedges,
+    transitivity) where transitivity = closed / all wedges, the global
+    clustering coefficient (= 3·triangles / wedges).
+
+    Why it matters for ER: "a matches b" and "b matches c" should imply
+    "a matches c" for a true equivalence relation; every OPEN wedge is a
+    transitivity violation the CC step will weld anyway.  A healthy
+    linkage run has transitivity near 1; a falling value means the
+    threshold is admitting chain-like (bridge) matches — the leading
+    indicator of mega-cluster welds, one number per run for the
+    production dashboard.
+
+    Physical shape: symmetrize the edge list, self-join on the wedge
+    center (fan-out Σ_v deg(v)² — the standard wedge-enumeration bound,
+    small on post-ER sparse graphs), close each wedge against the
+    canonical edge list with one left join, then a single global agg and
+    a 1-row cross join for the edge count.  Only ids ride the shuffles."""
+    pairs = matches.select(id_a, id_b)
+    adj = pairs.select(F.col(id_a).alias("_v"), F.col(id_b).alias("_u")).unionByName(
+        pairs.select(F.col(id_b).alias("_v"), F.col(id_a).alias("_u"))
+    )
+    w1 = adj.select("_v", F.col("_u").alias(id_a))
+    w2 = adj.select("_v", F.col("_u").alias(id_b))
+    wedges = w1.join(w2, "_v").filter(F.col(id_a) < F.col(id_b)).select(id_a, id_b)
+    flagged = wedges.join(
+        pairs.withColumn("_closed", F.lit(1)), [id_a, id_b], "left"
+    ).select(F.coalesce("_closed", F.lit(0)).alias("_closed"))
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.coalesce(F.sum("_closed"), F.lit(0)).cast("bigint").alias("n_closed_wedges"),
+    )
+    return (
+        n_edges.crossJoin(stats)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_closed_wedges",
+            (F.col("n_wedges") - F.col("n_closed_wedges")).cast("bigint")
+            .alias("n_open_wedges"),
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                gate_round4(
+                    F.col("n_closed_wedges") / F.col("n_wedges").cast("double")
+                )
+            )
+            .alias("transitivity"),
+        )
+    )
+
+
 def cluster_cohesion(assignment: DataFrame, matches: DataFrame,
                      id_col: str = "conv_id",
                      cluster_col: str = "cluster_id",

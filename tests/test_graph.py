@@ -9,6 +9,7 @@ import itertools
 import random
 
 from liblevenshtein_spark.operators.graph import (
+    transitivity_stats,
     cluster_cohesion,
     edge_support,
     robust_clusters,
@@ -184,3 +185,54 @@ def test_graph_ops_renamed_edge_columns(spark):
                            edge_a="src", edge_b="dst").collect()}
     # c-d (w=2, support 0, cluster size 4 > 3) is pruned; triangle survives
     assert out == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def _transitivity_ref(pairs):
+    """Brute-force wedge census over canonical (a < b) edge pairs."""
+    import itertools as it
+
+    edges = set(pairs)
+    nodes = sorted({x for p in pairs for x in p})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = closed = 0
+    for v in nodes:
+        for u1, u2 in it.combinations(sorted(adj[v]), 2):
+            wedges += 1
+            if (min(u1, u2), max(u1, u2)) in edges:
+                closed += 1
+    return wedges, closed
+
+
+def test_transitivity_triangle_is_one(spark):
+    wedges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 2)]
+    row = transitivity_stats(_edges_df(spark, wedges)).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_closed_wedges"],
+            row["n_open_wedges"], row["transitivity"]) == (3, 3, 3, 0, 1.0)
+
+
+def test_transitivity_path_is_zero(spark):
+    wedges = [("a", "b", 1), ("b", "c", 1)]
+    row = transitivity_stats(_edges_df(spark, wedges)).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_closed_wedges"],
+            row["n_open_wedges"], row["transitivity"]) == (2, 1, 0, 1, 0.0)
+
+
+def test_transitivity_no_wedges(spark):
+    # disjoint edges: zero wedges must not divide by zero
+    wedges = [("a", "b", 1), ("c", "d", 1)]
+    row = transitivity_stats(_edges_df(spark, wedges)).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["transitivity"]) == (2, 0, 0.0)
+
+
+def test_transitivity_matches_bruteforce_random(spark):
+    rng = random.Random(13)
+    for trial in range(3):
+        _, wedges = _random_wedges(rng, 25, 70)
+        ref_w, ref_c = _transitivity_ref([(a, b) for a, b, _ in wedges])
+        row = transitivity_stats(_edges_df(spark, wedges)).collect()[0]
+        assert (row["n_wedges"], row["n_closed_wedges"]) == (ref_w, ref_c), trial
+        expect = 0.0 if ref_w == 0 else round(ref_c / ref_w + 1e-9, 4)
+        assert row["transitivity"] == expect, trial
