@@ -83,6 +83,12 @@ _PRIORITY = [
     "score_calibration",
     "link_cross_source",
     "similarity_soft_tfidf",
+    "similarity_pprl",
+    "pprl_candidates",
+    "eval_pprl",
+    "turn_alignment",
+    "transitivity",
+    "pprl_cross_source",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -804,6 +804,23 @@ def q_turn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_turns(matches, turns)
 
 
+def q_pprl_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Private A×B mastering (operators/pprl.py::bloom_band_candidates two-
+    table mode): the corpus's md5-split index side (digit < '8') holds the
+    persisted Bloom-band index, the rest is the new-ingest batch; banded
+    candidates pair index×batch ONLY (side identity preserved, no
+    within-side pairs), then Dice >= 0.95 on the encodings yields the
+    private cross links — the PPRL twin of link_cross_source, with no
+    cleartext exchanged after encoding."""
+    from .operators.pprl import bloom_band_candidates, dice_pairs
+
+    enc = _bloom_encoded(spark, sf_dir)
+    digit = F.substring(F.md5(F.col("id")), 1, 1)
+    idx, batch = enc.filter(digit < "8"), enc.filter(digit >= "8")
+    cands = bloom_band_candidates(idx, m=256, bands=16, min_bands=2, other=batch)
+    return dice_pairs(cands, enc).filter(F.col("dice") >= 0.95)
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-graph transitivity audit (operators/graph.py::transitivity_stats):
     the wedge census + global clustering coefficient of the match stream —
@@ -3508,6 +3525,36 @@ SELECT n_private, n_cleartext, n_common,
 FROM pnp CROSS JOIN pnc CROSS JOIN pnj"""
 
 
+# Private A x B mastering: banded candidates pair the md5-split index
+# side with the batch side only, then Dice >= 0.95 on the encodings.
+LINKAGE_ORACLES["pprl_cross_source"] = DUCK_TRANSCRIPTS + _DUCK_PPRL_BITS + """,
+pband AS MATERIALIZED (
+  SELECT id, bit // 16 AS band, string_agg(bit, ',' ORDER BY bit) AS band_sig
+  FROM pbits GROUP BY id, bit // 16
+),
+xcand AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pband a
+  JOIN pband b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE substring(md5(a.id), 1, 1) < '8' AND substring(md5(b.id), 1, 1) >= '8'
+  GROUP BY a.id, b.id HAVING count(*) >= 2
+),
+pn AS (SELECT id, count(*) AS nb FROM pbits GROUP BY id),
+xint AS (
+  SELECT p.id_a, p.id_b, count(*) AS ni FROM xcand p
+  JOIN pbits a ON a.id = p.id_a
+  JOIN pbits b ON b.id = p.id_b AND b.bit = a.bit
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(2.0 * coalesce(xi.ni, 0) / (na.nb + nbb.nb) + 0.000000001, 4) AS dice
+FROM xcand p
+JOIN pn na ON na.id = p.id_a
+JOIN pn nbb ON nbb.id = p.id_b
+LEFT JOIN xint xi ON xi.id_a = p.id_a AND xi.id_b = p.id_b
+WHERE round(2.0 * coalesce(xi.ni, 0) / (na.nb + nbb.nb) + 0.000000001, 4) >= 0.95"""
+
+
 # Anchored prefix/suffix turn alignment over the match stream: forward
 # pass keyed by turn_idx, reverse pass keyed by offset-from-the-end; a
 # side missing a row counts as a mismatch (FULL JOIN + NULL checks), the
@@ -3632,6 +3679,7 @@ LINKAGE_QUERIES = {
     "turn_alignment": q_turn_alignment,
     "transitivity": q_transitivity,
     "eval_pprl": q_eval_pprl,
+    "pprl_cross_source": q_pprl_cross_source,
 }
 
 

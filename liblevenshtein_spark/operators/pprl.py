@@ -137,6 +137,7 @@ def bloom_band_candidates(
     m: int = 256,
     bands: int = 16,
     min_bands: int = 1,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Private candidate generation: self-join the encodings on per-band
     bit-subset keys.  Returns (id_a, id_b, n_shared_bands) with
@@ -152,20 +153,36 @@ def bloom_band_candidates(
     colliding.  Only ids and band keys ride the shuffle; the agreement
     count is one hash agg on the collision stream; empty bands emit
     nothing (see module docstring).
+
+    `other`: two-table (A×B) mode — the cross-source private mastering
+    shape.  `encoded` is the persisted index side (e.g. the entity
+    master's encodings, written once), `other` is the new-ingest batch;
+    candidates pair an `encoded` id (id_a) with an `other` id (id_b)
+    ONLY — no within-side pairs, side identity preserved.  The index
+    side's band keys are exactly what a production deployment persists:
+    probing a new batch is a key join against that index, it never
+    re-encodes or rescans the master.
     """
     w = m // bands
-    keyed = (
-        encoded.select("id", F.explode("bloom").alias("bit"))
-        .withColumn("band", (F.col("bit") / w).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.array_join(F.array_sort(F.collect_list("bit")), ",").alias("band_sig"))
-    )
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        return (
+            df.select("id", F.explode("bloom").alias("bit"))
+            .withColumn("band", (F.col("bit") / w).cast("int"))
+            .groupBy("id", "band")
+            .agg(F.array_join(F.array_sort(F.collect_list("bit")), ",").alias("band_sig"))
+        )
+
+    keyed = _keyed(encoded)
     a = keyed.select(F.col("id").alias("id_a"), "band", "band_sig")
-    b = keyed.select(F.col("id").alias("id_b"), "band", "band_sig")
+    if other is None:
+        b = keyed.select(F.col("id").alias("id_b"), "band", "band_sig")
+        joined = a.join(b, ["band", "band_sig"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        b = _keyed(other).select(F.col("id").alias("id_b"), "band", "band_sig")
+        joined = a.join(b, ["band", "band_sig"])
     return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        joined.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_bands"))
         .filter(F.col("n_shared_bands") >= min_bands)
     )

@@ -94,3 +94,33 @@ def test_bloom_is_sorted_distinct_and_bounded(spark):
     assert bloom == sorted(set(bloom))
     assert row["n_bits"] == len(bloom)
     assert all(0 <= b < 256 for b in bloom)
+
+
+def test_band_candidates_cross_mode(spark):
+    # A x B mode: only index-side x batch-side pairs, side identity in
+    # (id_a, id_b) position, no within-side pairs.
+    idx = _encode(spark, [("i1", "customer john smith"), ("i2", "order 4417 shipped")])
+    batch = _encode(spark, [("b1", "customer john smyth"), ("b2", "order 4417 shippes"),
+                            ("b3", "qqqq wwww kkkk vvvv")])
+    got = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+           for r in bloom_band_candidates(idx, min_bands=2, other=batch).collect()}
+    assert ("i1", "b1") in got and ("i2", "b2") in got
+    assert all(a.startswith("i") and b.startswith("b") for a, b in got)
+    assert all("b3" != b for _, b in got)
+
+
+def test_cross_mode_agrees_with_self_mode(spark):
+    # Splitting one corpus into (idx, batch) must reproduce exactly the
+    # self-mode pairs that cross the split.
+    rows = [("a1", "customer john smith"), ("a2", "customer john smyth"),
+            ("b1", "order 4417 shipped"), ("b2", "order 4417 shippes")]
+    enc = _encode(spark, rows)
+    full = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+            for r in bloom_band_candidates(enc, min_bands=2).collect()}
+    idx = enc.filter(enc.id.isin("a1", "b1"))
+    batch = enc.filter(enc.id.isin("a2", "b2"))
+    cross = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+             for r in bloom_band_candidates(idx, min_bands=2, other=batch).collect()}
+    expect = {(a, b): n for (a, b), n in full.items()
+              if a in ("a1", "b1") and b in ("a2", "b2")}
+    assert cross == expect
