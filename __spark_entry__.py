@@ -78,6 +78,9 @@ _PRIORITY = [
     "dedup_merge_plan",
     "event_trailing_window",
     "pipeline_summary",
+    "waterfall_linkage",
+    "clusters_adjudicated",
+    "quality_lm",
     "cluster_diff",
     "blocking_drift",
     "score_calibration",

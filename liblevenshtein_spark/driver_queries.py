@@ -5441,3 +5441,191 @@ DATA_QUERIES = {
     "boilerplate_spans": q_boilerplate_spans,
     "scrub_boilerplate": q_scrub_boilerplate,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: waterfall (multi-pass) linkage, clerical-adjudication
+# loop closure, and the trigram-LM corpus-quality scorer
+# ---------------------------------------------------------------------------
+
+def q_waterfall_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall mastering through the hard gate: the corpus is augmented
+    with byte-identical replicas ('f<doc_id>' mirrors 'c<doc_id>' for
+    doc_id % 5 == 0, the same deterministic-augmentation trick the 'd'/'e'
+    near-dups use), then the two-pass plan runs — deterministic exact pass
+    (operators.waterfall.exact_groups/exact_pairs, distance 0 without
+    touching the kernel), fuzzy kernel pass on one REPRESENTATIVE per
+    distinct fingerprint only, expanded back to member pairs. Because
+    blocking keys and edit distance are functions of the fingerprint,
+    contraction is a logical no-op: the result must equal single-pass
+    matches over the augmented corpus, which the oracle derives from the
+    base `matches` CTE by relabeling (fp('fN') == fp('cN') implies every
+    f-involving pair is a relabeled base pair plus the (cN, fN, 0) pairs).
+    At 10^12-turn scale this is the headline cost lever: kernel calls drop
+    from O(candidate pairs) to O(distinct-fingerprint pairs)."""
+    from .operators.waterfall import exact_groups, exact_pairs, expand_rep_matches
+
+    ship_package(spark)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint", "fp_len")
+    doc_num = F.expr("CAST(substring(conv_id, 2) AS BIGINT)")
+    repl = (
+        canon.filter(F.col("conv_id").startswith("c") & (doc_num % 5 == 0))
+        .withColumn("conv_id", F.concat(F.lit("f"), F.expr("substring(conv_id, 2)")))
+    )
+    aug = canon.unionByName(repl)
+    mapping = exact_groups(aug)
+    exact = exact_pairs(mapping).withColumn("distance", F.lit(0).cast("int"))
+    reps = aug.join(mapping.select(F.col("rep").alias("conv_id")).distinct(), "conv_id")
+    sig = reps.withColumn("sig", F.expr(f"substring(fingerprint, 1, {SIG_LEN})"))
+    keys = sig.select(
+        "conv_id", F.explode(deletion_neighborhood("sig", 1)).alias("block_key")
+    ).distinct()
+    pairs = (
+        keys.select(F.col("conv_id").alias("_ida"), "block_key")
+        .join(keys.select(F.col("conv_id").alias("_idb"), "block_key"), "block_key")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .distinct()
+    )
+    fa = reps.select(F.col("conv_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
+                     F.col("fp_len").alias("len_a"))
+    fb = reps.select(F.col("conv_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
+                     F.col("fp_len").alias("len_b"))
+    dist = distance_udf(2, "standard")
+    rep_matches = (
+        pairs.join(fa, "id_a").join(fb, "id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        .select("id_a", "id_b", dist(F.col("fp_a"), F.col("fp_b")).alias("distance"))
+        .filter(F.col("distance") <= 2)
+    )
+    fuzzy = expand_rep_matches(rep_matches, mapping)
+    return exact.unionByName(fuzzy)
+
+
+LINKAGE_QUERIES["waterfall_linkage"] = q_waterfall_linkage
+LINKAGE_ORACLES["waterfall_linkage"] = DUCK_TRANSCRIPTS + """,
+repl AS MATERIALIZED (
+  SELECT 'c' || CAST(doc_id AS VARCHAR) AS c_id,
+         'f' || CAST(doc_id AS VARCHAR) AS f_id
+  FROM documents WHERE doc_id % 5 = 0
+),
+aug AS (
+  SELECT id_a, id_b, distance FROM matches
+  UNION
+  SELECT least(r.f_id, m.id_b), greatest(r.f_id, m.id_b), m.distance
+  FROM matches m JOIN repl r ON r.c_id = m.id_a
+  UNION
+  SELECT least(m.id_a, r.f_id), greatest(m.id_a, r.f_id), m.distance
+  FROM matches m JOIN repl r ON r.c_id = m.id_b
+  UNION
+  SELECT least(ra.f_id, rb.f_id), greatest(ra.f_id, rb.f_id), m.distance
+  FROM matches m
+  JOIN repl ra ON ra.c_id = m.id_a
+  JOIN repl rb ON rb.c_id = m.id_b
+  UNION
+  SELECT least(c_id, f_id), greatest(c_id, f_id), 0 FROM repl
+)
+SELECT id_a, id_b, CAST(distance AS INT) AS distance FROM aug"""
+
+
+def q_clusters_adjudicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clerical-review loop closure through the hard gate: a deterministic
+    10% sample of the scored stream (portable 60-bit md5 bucket — the same
+    hash family as corpus_sample, recomputable in DuckDB) plays the role of
+    reviewer decisions: sampled MATCHES are rejected, sampled NON-matches
+    (banded distance sentinel > n) are accepted, then
+    operators.clustering.apply_adjudications folds both into the match
+    graph and re-runs transitive closure. Exercises both edit directions
+    plus the broadcast anti-join/union shape that keeps the match stream
+    unshuffled before CC."""
+    from .functions.text import portable_hash64
+    from .operators.clustering import apply_adjudications
+
+    ship_package(spark)
+    scored = q_score_pairs(spark, sf_dir)
+    bucket = portable_hash64(F.lit("adjudicate"), F.col("id_a"), F.col("id_b")) % 10
+    adjudications = (
+        scored.withColumn("_b", bucket)
+        .filter(F.col("_b") == 0)
+        .select(
+            "id_a", "id_b",
+            F.when(F.col("distance") <= 2, F.lit("reject"))
+            .otherwise(F.lit("accept")).alias("decision"),
+        )
+    )
+    matches = scored.filter(F.col("distance") <= 2).select("id_a", "id_b")
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    return apply_adjudications(entities, matches, adjudications)
+
+
+LINKAGE_QUERIES["clusters_adjudicated"] = q_clusters_adjudicated
+LINKAGE_ORACLES["clusters_adjudicated"] = DUCK_TRANSCRIPTS + """,
+adjb AS MATERIALIZED (
+  SELECT id_a, id_b, distance,
+         CAST(('0x' || substring(md5('adjudicate' || '|' || id_a || '|' || id_b), 1, 15)) AS BIGINT) % 10 AS b
+  FROM scored
+),
+accepts AS (SELECT id_a, id_b FROM adjb WHERE b = 0 AND distance > 2),
+rejects AS (SELECT id_a, id_b FROM adjb WHERE b = 0 AND distance <= 2),
+adjedges AS (
+  SELECT e.id_a, e.id_b FROM (
+    SELECT id_a, id_b FROM matches UNION ALL SELECT id_a, id_b FROM accepts
+  ) e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rejects r WHERE r.id_a = e.id_a AND r.id_b = e.id_b
+  )
+),
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM adjedges
+  UNION ALL SELECT id_b, id_a FROM adjedges
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node"""
+
+
+def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-trained char-trigram LM quality scores over the
+    documents table (operators.corpus_quality.trigram_lm_scores)."""
+    from .operators.corpus_quality import trigram_lm_scores
+
+    return trigram_lm_scores(_docs(spark, sf_dir))
+
+
+DATA_QUERIES["quality_lm"] = q_quality_lm
+DATA_ORACLES["quality_lm"] = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, norm FROM (
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS norm
+    FROM documents
+  ) WHERE length(norm) >= 3
+),
+tri AS MATERIALIZED (
+  SELECT doc_id, substring(norm, CAST(i AS INT), 3) AS tri
+  FROM (SELECT doc_id, norm, unnest(range(1, length(norm) - 1)) AS i FROM d)
+),
+model AS (SELECT tri, count(*) AS c FROM tri GROUP BY tri),
+tot AS (SELECT sum(c) AS t_total, count(*) AS v_size FROM model),
+model_p AS (
+  SELECT tri,
+         CAST(round(ln((c + 1) / CAST(t_total + v_size AS DOUBLE)) * 10000) AS BIGINT) AS logp_1e4
+  FROM model, tot
+),
+doc_scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS INT) AS n_trigrams,
+         CAST(sum(p.logp_1e4) AS BIGINT) AS logp_sum
+  FROM tri t JOIN model_p p ON p.tri = t.tri
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_trigrams,
+       round(logp_sum / 10000.0 / n_trigrams + 0.000000001, 4) AS lm_logprob_avg,
+       round(exp(-(logp_sum / 10000.0 / n_trigrams)) + 0.000000001, 4) AS lm_ppl
+FROM doc_scored"""

@@ -2,21 +2,26 @@ from .alignment import align_turns
 from .candidates import (block_keys, candidate_pairs, cross_source_pairs,
                          salted_cross_pairs)
 from .canonicalize import canonicalize, turns_roundtrip
-from .clustering import (assign_clusters, cluster_diff, connected_components,
-                         entity_history, golden_records, stable_entity_ids)
+from .clustering import (apply_adjudications, assign_clusters, cluster_diff,
+                         connected_components, entity_history, golden_records,
+                         stable_entity_ids)
 from .comparators import soft_tfidf_pairs
 from .graph import cluster_cohesion, edge_support, robust_clusters
 from .matching import one_to_one
 from .metrics import blocking_key_drift, calibration_bins
 from .pprl import bloom_band_candidates, bloom_encode, dice_pairs
+from .corpus_quality import trigram_lm_scores
 from .scoring import attach_texts, distance_udf, match_filter, score_pairs
+from .waterfall import exact_groups, exact_pairs, expand_rep_matches
 
 __all__ = [
-    "align_turns", "assign_clusters", "attach_texts", "block_keys",
+    "align_turns", "apply_adjudications", "assign_clusters", "attach_texts", "block_keys",
     "blocking_key_drift", "bloom_band_candidates", "bloom_encode",
     "calibration_bins", "candidate_pairs", "canonicalize", "cluster_cohesion",
     "cluster_diff", "connected_components", "cross_source_pairs", "dice_pairs",
-    "distance_udf", "edge_support", "entity_history", "golden_records",
+    "distance_udf", "edge_support", "entity_history", "exact_groups",
+    "exact_pairs", "expand_rep_matches", "golden_records",
     "match_filter", "one_to_one", "robust_clusters", "salted_cross_pairs",
-    "score_pairs", "soft_tfidf_pairs", "stable_entity_ids", "turns_roundtrip",
+    "score_pairs", "soft_tfidf_pairs", "stable_entity_ids",
+    "trigram_lm_scores", "turns_roundtrip",
 ]

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
            "fold_clusters", "golden_records", "stable_entity_ids", "entity_history",
-           "cluster_diff"]
+           "cluster_diff", "apply_adjudications"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -508,3 +508,45 @@ def cluster_diff(old: DataFrame, new: DataFrame, id_col: str = "conv_id",
         "old_cluster", "new_cluster", "n_common", "old_size", "new_size",
         kind.alias("kind"),
     )
+
+
+def apply_adjudications(entities: DataFrame, matches: DataFrame,
+                        adjudications: DataFrame,
+                        id_col: str = "conv_id",
+                        pair_cols: tuple[str, str] = ("id_a", "id_b"),
+                        decision_col: str = "decision") -> DataFrame:
+    """Fold clerical-review decisions into the match graph and re-cluster —
+    the step that closes the review loop opened by the review-queue
+    operator (metrics.review_queue selects the pairs a human sees; this
+    applies what the human decided).
+
+    `adjudications` rows are (id_a, id_b, decision) with decision in
+    {'accept', 'reject'}: rejected pairs are REMOVED from the match edge
+    set (orientation-free — pairs are normalized to (least, greatest)
+    before the anti-join, so a reviewer labeling (b, a) still kills edge
+    (a, b)), accepted pairs are ADDED, then transitive closure reruns via
+    assign_clusters. An accepted pair that already matches is harmless
+    (CC is duplicate-edge tolerant); a pair labeled both accept and reject
+    resolves to REJECT (the anti-join runs last), the conservative choice
+    for a linkage product.
+
+    Scale shape: adjudications are human-generated and therefore tiny
+    relative to the match graph at any corpus size — both the reject
+    anti-join and the accept union broadcast the adjudication side, so
+    the match stream is never reshuffled before CC itself.
+    """
+    a, b = pair_cols
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(lo.alias(a), hi.alias(b))
+
+    dec = F.lower(F.col(decision_col))
+    rejects = _norm(adjudications.filter(dec == "reject"))
+    accepts = _norm(adjudications.filter(dec == "accept"))
+    edges = (
+        _norm(matches)
+        .unionByName(accepts)
+        .join(F.broadcast(rejects), [a, b], "left_anti")
+    )
+    return assign_clusters(entities, edges, id_col=id_col)

@@ -31,7 +31,7 @@ from ..functions.text import gate_round4, token_count, tokens
 from .dedup import doc_shingles, word_ngrams
 
 __all__ = ["contamination", "repetition_stats", "boilerplate_spans",
-           "scrub_boilerplate"]
+           "scrub_boilerplate", "trigram_lm_scores"]
 
 
 def contamination(train: DataFrame, evalset: DataFrame,
@@ -218,4 +218,67 @@ def scrub_boilerplate(df: DataFrame, id_col: str = "doc_id",
             (F.col("_n_tok") - F.coalesce(F.col("_n_kept"), F.lit(0)))
             .cast("int").alias("n_removed_tokens"),
         )
+    )
+
+
+def trigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Character-trigram language-model self-scoring — the CCNet-style
+    perplexity quality filter (Wenzek et al. 2020 train a KenLM and keep
+    the low-perplexity tail; here the model is an add-one-smoothed
+    char-trigram LM trained on the corpus itself, so the score needs no
+    external artifact and flags exactly the documents whose character
+    statistics deviate from the corpus: mojibake, binary spill, wrong
+    language, synthetic noise).
+
+    Text is normalized to [a-z0-9 ] (everything else -> space); trigram
+    probabilities are P(t) = (c(t)+1) / (T+V) over corpus occurrence count
+    T and vocabulary V; a document's score is the mean log-probability of
+    its trigram OCCURRENCES and lm_ppl = exp(-mean). Per-trigram log-probs
+    ride as INTEGER ten-thousandths (the repo's order-free-summation
+    convention: float addition order differs between engines at ulp level,
+    integer sums cannot), so the gate hash is stable.
+
+    Scale shape (100 TB): the model key space is bounded by the alphabet
+    (37^3 ~ 50k trigrams) REGARDLESS of corpus size, so the count
+    aggregation collapses map-side to <=50k rows per task and the scoring
+    join BROADCASTS the model — the corpus is scanned twice (train, score)
+    with zero wide exchange of text; the per-doc aggregation partial-
+    aggregates the (doc, logp) stream to one row per doc per task. Docs
+    with no trigram after normalization (<3 chars) are dropped.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
+    d = (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .filter(F.length("_norm") >= 3)
+    )
+    tri = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, length(_norm) - 2),"
+                   " i -> substring(_norm, i, 3))")
+        ).alias("tri"),
+    )
+    model = tri.groupBy("tri").agg(F.count("*").cast("bigint").alias("c"))
+    tot = model.agg(
+        F.sum("c").alias("t_total"), F.count("*").cast("bigint").alias("v_size")
+    )
+    model_p = model.crossJoin(F.broadcast(tot)).select(
+        "tri",
+        F.round(
+            F.log((F.col("c") + 1).cast("double")
+                  / (F.col("t_total") + F.col("v_size")).cast("double"))
+            * 10000
+        ).cast("bigint").alias("logp_1e4"),
+    )
+    scored = tri.join(F.broadcast(model_p), "tri").groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_trigrams"),
+        F.sum("logp_1e4").alias("_logp_sum"),
+    )
+    mean_logp = F.col("_logp_sum") / 10000.0 / F.col("n_trigrams")
+    return scored.select(
+        F.col(id_col),
+        "n_trigrams",
+        gate_round4(mean_logp).alias("lm_logprob_avg"),
+        gate_round4(F.exp(-mean_logp)).alias("lm_ppl"),
     )

@@ -1,0 +1,88 @@
+"""Waterfall (multi-pass) linkage: deterministic exact pass first, fuzzy
+kernel pass on distinct fingerprints only — the standard MDM/mastering
+pattern (cheap deterministic rules resolve the bulk; the probabilistic
+comparator only ever sees what the rules could not decide).
+
+Exact-duplicate CONTRACTION is the scale lever: at 10^12-turn scale the
+corpus is dominated by repeated boilerplate conversations (the same
+greeting template millions of times).  Because edit distance is a function
+of the fingerprints alone, d(a, b) depends only on (fp(a), fp(b)) — so the
+kernel stage may score one REPRESENTATIVE per distinct fingerprint and
+every member pair inherits the representative pair's distance EXACTLY (no
+approximation).  Kernel calls and Arrow transfer drop from O(candidate
+pairs) to O(distinct-fingerprint pairs), and the blocked join itself runs
+on the contracted entity set, which also deflates the hottest blocking
+keys (identical fingerprints share all their keys by construction).
+
+The expansion is exact-parity because blocking keys are a function of the
+fingerprint too: members of a group share every key, so candidate(a, b)
+implies candidate(rep(a), rep(b)), and the length-band prefilter commutes
+with contraction (equal fingerprints have equal lengths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["exact_groups", "exact_pairs", "expand_rep_matches"]
+
+
+def exact_groups(canon: DataFrame, id_col: str = "conv_id",
+                 fp_col: str = "fingerprint") -> DataFrame:
+    """(id, fingerprint, ...) -> (id, rep) where rep is the minimum id among
+    entities with a byte-identical fingerprint.
+
+    One shuffle keyed on the fingerprint (exact equality needs the full
+    value on the wire once — the same budget the exact-dedup operator
+    already pays); the min-id reduction partial-aggregates map-side.  The
+    rep map is (id, rep) only, so everything downstream rides narrow
+    columns."""
+    reps = (
+        canon.groupBy(fp_col)
+        .agg(F.min(id_col).alias("rep"))
+    )
+    return canon.join(reps, fp_col).select(id_col, "rep")
+
+
+def exact_pairs(mapping: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """All within-group pairs (id_a < id_b) from an exact_groups map — the
+    deterministic-rule matches, emitted without touching the kernel.
+
+    Output-bounded: the self-join on rep produces exactly the pairs a
+    linkage product must report for byte-identical records; group sizes
+    are the corpus's exact-duplicate multiplicities, so the cost is the
+    size of the answer. A pathological mega-group (one fingerprint
+    repeated 10^6+ times) means the ANSWER is quadratic — production runs
+    cap or sample such groups upstream (see dedup.keep-best), not here."""
+    a = mapping.select(F.col("rep"), F.col(id_col).alias("id_a"))
+    b = mapping.select(F.col("rep"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def expand_rep_matches(rep_matches: DataFrame, mapping: DataFrame,
+                       id_col: str = "conv_id",
+                       extra_cols: tuple[str, ...] = ("distance",)) -> DataFrame:
+    """Expand representative-level fuzzy matches back to member pairs.
+
+    rep_matches is (id_a, id_b, *extra_cols) over representative ids;
+    every (member-of-a, member-of-b) pair inherits the row's extra
+    columns verbatim (exact, not approximate — see module docstring).
+    Pairs are re-normalized to id_a < id_b since member ids need not
+    preserve the representatives' order. Two joins against the narrow
+    (id, rep) map; the map side broadcasts when small and shuffles on
+    rep otherwise — either way the fingerprints themselves never ride."""
+    m_a = mapping.select(F.col("rep").alias("id_a"), F.col(id_col).alias("_ma"))
+    m_b = mapping.select(F.col("rep").alias("id_b"), F.col(id_col).alias("_mb"))
+    return (
+        rep_matches.join(m_a, "id_a").join(m_b, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            *extra_cols,
+        )
+    )
