@@ -92,6 +92,10 @@ _PRIORITY = [
     "turn_alignment",
     "transitivity",
     "pprl_cross_source",
+    "temporal_linkage",
+    "collective_linkage",
+    "blocking_scheme_learn",
+    "fs_em",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

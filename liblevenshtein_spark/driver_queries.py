@@ -5629,3 +5629,307 @@ SELECT doc_id, n_trigrams,
        round(logp_sum / 10000.0 / n_trigrams + 0.000000001, 4) AS lm_logprob_avg,
        round(exp(-(logp_sum / 10000.0 / n_trigrams)) + 0.000000001, 4) AS lm_ppl
 FROM doc_scored"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions (continued): auxiliary-evidence fusion (temporal decay,
+# relational tool profiles), greedy blocking-scheme learning, and
+# unsupervised Fellegi–Sunter EM
+# ---------------------------------------------------------------------------
+
+def q_temporal_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal record linkage (Li–Dong–Srivastava, PVLDB 4(11) 2011 —
+    agreement decay) through the hard gate: each conversation gets a
+    deterministic day-of-year (portable 60-bit md5 bucket % 365 — the
+    engine-portable stand-in for the transcript's own `ts` column, which
+    the derived corpus lacks), and every matched pair's similarity decays
+    by the RATIONAL kernel 1/(1 + |Δdays|/τ), τ = 30 days
+    (operators.evidence.time_decay_weights; rational, not exp, so both
+    engines compute identical doubles before the gate rounding). One
+    narrow join per side onto the match stream — nothing quadratic."""
+    from .functions.text import gate_round4, portable_hash64
+    from .operators.evidence import time_decay_weights
+
+    ship_package(spark)
+    days = _canonical(spark, sf_dir).select(
+        "conv_id",
+        (portable_hash64(F.lit("convday"), F.col("conv_id")) % 365)
+        .cast("int").alias("day"),
+    )
+    out = time_decay_weights(q_matches(spark, sf_dir), days, tau=30.0)
+    return out.select(
+        "id_a", "id_b", "distance", "delta_ts",
+        gate_round4(F.col("decay_w_raw")).alias("decay_w"),
+        gate_round4(
+            (F.lit(1.0) - F.col("distance") / F.lit(3.0)) * F.col("decay_w_raw")
+        ).alias("decayed_sim"),
+    )
+
+
+LINKAGE_QUERIES["temporal_linkage"] = q_temporal_linkage
+LINKAGE_ORACLES["temporal_linkage"] = DUCK_TRANSCRIPTS + """,
+days AS (
+  SELECT conv_id,
+         CAST(CAST(('0x' || substring(md5('convday' || '|' || conv_id), 1, 15)) AS BIGINT) % 365 AS INT) AS day
+  FROM canonical2
+),
+tl AS (
+  SELECT m.id_a, m.id_b, m.distance,
+         CAST(abs(da.day - db.day) AS INT) AS delta_ts,
+         1.0 / (1.0 + abs(da.day - db.day) / 30.0) AS w
+  FROM matches m
+  JOIN days da ON da.conv_id = m.id_a
+  JOIN days db ON db.conv_id = m.id_b
+)
+SELECT id_a, id_b, distance, delta_ts,
+       round(w + 0.000000001, 4) AS decay_w,
+       round((1.0 - distance / 3.0) * w + 0.000000001, 4) AS decayed_sim
+FROM tl"""
+
+
+def q_collective_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-evidence fusion (Bhattacharya–Getoor collective ER,
+    VLDB J. 2007, one evidence round) through the hard gate: each
+    conversation owns a sparse TOOL profile — the input-schema `tool`
+    column is empty in the derived corpus, so assistant turns get the
+    deterministic stand-in 'tool_' || md5(text)[0] (16 possible tools,
+    identical in DuckDB) — and every matched pair fuses its textual
+    similarity with the Jaccard overlap of the two profiles
+    (operators.evidence.relational_jaccard: sparse (id, item) joins, no
+    dense sets, cost ∝ Σ_pairs |common items|)."""
+    from .functions.text import gate_round4
+    from .operators.evidence import relational_jaccard
+
+    ship_package(spark)
+    profile = (
+        derive_transcripts(spark, sf_dir)
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            F.concat(F.lit("tool_"), F.substring(F.md5("text"), 1, 1)).alias("item"),
+        )
+        .distinct()
+    )
+    out = relational_jaccard(
+        q_matches(spark, sf_dir).select("id_a", "id_b", "distance"), profile
+    )
+    return out.select(
+        "id_a", "id_b", "distance", "n_common", "n_union",
+        gate_round4(F.col("rel_jaccard_raw")).alias("rel_jaccard"),
+        gate_round4(
+            0.6 * (F.lit(1.0) - F.col("distance") / F.lit(3.0))
+            + 0.4 * F.col("rel_jaccard_raw")
+        ).alias("fused"),
+    )
+
+
+LINKAGE_QUERIES["collective_linkage"] = q_collective_linkage
+LINKAGE_ORACLES["collective_linkage"] = DUCK_TRANSCRIPTS + """,
+profile AS (
+  SELECT DISTINCT conv_id, 'tool_' || substring(md5(text), 1, 1) AS item
+  FROM transcripts WHERE role = 'assistant'
+),
+sizes AS (SELECT conv_id, CAST(count(*) AS INT) AS n FROM profile GROUP BY conv_id),
+inter AS (
+  SELECT m.id_a, m.id_b, CAST(count(*) AS INT) AS n_common
+  FROM matches m
+  JOIN profile pa ON pa.conv_id = m.id_a
+  JOIN profile pb ON pb.conv_id = m.id_b AND pb.item = pa.item
+  GROUP BY m.id_a, m.id_b
+),
+j AS (
+  SELECT m.id_a, m.id_b, m.distance,
+         coalesce(i.n_common, 0) AS n_common,
+         coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.n_common, 0) AS n_union
+  FROM matches m
+  LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+  LEFT JOIN sizes sa ON sa.conv_id = m.id_a
+  LEFT JOIN sizes sb ON sb.conv_id = m.id_b
+)
+SELECT id_a, id_b, distance,
+       CAST(n_common AS INT) AS n_common,
+       CAST(n_union AS INT) AS n_union,
+       round(CASE WHEN n_union = 0 THEN 0.0
+                  ELSE CAST(n_common AS DOUBLE) / n_union END + 0.000000001, 4) AS rel_jaccard,
+       round(0.6 * (1.0 - distance / 3.0)
+             + 0.4 * (CASE WHEN n_union = 0 THEN 0.0
+                           ELSE CAST(n_common AS DOUBLE) / n_union END)
+             + 0.000000001, 4) AS fused
+FROM j"""
+
+
+def q_blocking_scheme_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme LEARNING (Michelson–Knoblock BSL / greedy set
+    cover) through the hard gate: the three registered scheme families
+    (deletion neighborhood, purged sig q-grams, sorted neighborhood) are
+    ranked by individual truth recall, each caught truth pair is
+    attributed to its FIRST covering scheme, and the entry emits the
+    greedy cumulative recall/cost curve — `eval_scheme_quality` reports
+    each scheme in isolation; this answers the budget question "which
+    schemes do I KEEP" (operators.metrics.greedy_scheme_selection). At
+    sf>=1 the truth input swaps to the hash-sampled variant, same as the
+    eval_*_sampled entries."""
+    from .operators.metrics import greedy_scheme_selection
+
+    return greedy_scheme_selection(
+        _scheme_pairs(spark, sf_dir),
+        _truth_pairs(spark, sf_dir).select("id_a", "id_b"),
+    )
+
+
+LINKAGE_QUERIES["blocking_scheme_learn"] = q_blocking_scheme_learn
+LINKAGE_ORACLES["blocking_scheme_learn"] = (
+    DUCK_TRANSCRIPTS + _DUCK_SCHEMES + """,
+""" + _DUCK_TRUTH + """,
+per AS (
+  SELECT u.scheme, CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_caught
+  FROM uni u LEFT JOIN truth t ON t.id_a = u.id_a AND t.id_b = u.id_b
+  GROUP BY u.scheme
+),
+ranked AS (
+  SELECT scheme, n_cand, n_caught,
+         CAST(row_number() OVER (ORDER BY n_caught DESC, scheme ASC) AS INT) AS pick_order
+  FROM per
+),
+attrib AS (
+  SELECT pick_order, CAST(count(*) AS BIGINT) AS marginal_caught FROM (
+    SELECT u.id_a, u.id_b, min(r.pick_order) AS pick_order
+    FROM uni u
+    JOIN truth t ON t.id_a = u.id_a AND t.id_b = u.id_b
+    JOIN ranked r ON r.scheme = u.scheme
+    GROUP BY u.id_a, u.id_b
+  ) GROUP BY pick_order
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+curve AS (
+  SELECT r.pick_order, r.scheme, r.n_cand, r.n_caught,
+         CAST(coalesce(a.marginal_caught, 0) AS BIGINT) AS marginal_caught,
+         CAST(sum(coalesce(a.marginal_caught, 0)) OVER (ORDER BY r.pick_order) AS BIGINT) AS cum_caught,
+         CAST(sum(r.n_cand) OVER (ORDER BY r.pick_order) AS BIGINT) AS cum_cost
+  FROM ranked r LEFT JOIN attrib a ON a.pick_order = r.pick_order
+)
+SELECT pick_order, scheme, n_cand, n_caught, marginal_caught, cum_caught, cum_cost,
+       round(CASE WHEN n_true = 0 THEN 1.0
+                  ELSE CAST(cum_caught AS DOUBLE) / n_true END + 0.000000001, 4) AS cum_recall
+FROM curve CROSS JOIN nt"""
+)
+
+
+def q_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter estimation by EM (Winkler 1988 /
+    Splink's core loop) through the hard gate — `fs_model` needs
+    pseudo-labels; this needs none: the pair stream is the scored
+    candidate set plus the deterministic offset pairing (the same
+    non-match mass source as fs_model), the three field gammas collapse
+    to the 8-row pattern histogram in one aggregation, and 25 fixed EM
+    iterations run driver-side over those 8 floats
+    (operators.metrics.fs_em — bounded collect, like fs_model's 1-row
+    aggs). Fixed iterations keep the estimate a pure function of the
+    histogram; the DuckDB oracle unrolls the identical recurrence as 25
+    chained CTEs, left-associated products and all. The global
+    row_number for the offset pairing mirrors fs_model (at 10^12-turn
+    scale it runs on a bounded hash-sample of entities)."""
+    from pyspark.sql import Window
+
+    from .operators.metrics import fs_em
+
+    ship_package(spark)
+    ents = _fs_ents(spark, sf_dir)
+    cand = q_score_pairs(spark, sf_dir).select("id_a", "id_b")
+    rn = ents.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.md5("conv_id")))
+    ).crossJoin(F.broadcast(ents.agg((F.count("*") / 2).cast("bigint").alias("half"))))
+    u_pairs = (
+        rn.filter(F.col("rn") <= F.col("half"))
+        .select(F.col("conv_id").alias("id_a"), (F.col("rn") + F.col("half")).alias("_rn2"))
+        .join(rn.select(F.col("conv_id").alias("id_b"), F.col("rn").alias("_rn2")), "_rn2")
+        .select("id_a", "id_b")
+    )
+    gammas = _fs_attach(cand.unionByName(u_pairs), ents).select(
+        (F.col("nt_a") == F.col("nt_b")).cast("long").alias("turns"),
+        (F.abs(F.col("fl_a") - F.col("fl_b")) <= 2).cast("long").alias("len2"),
+        (F.col("sig_a") == F.col("sig_b")).cast("long").alias("sig"),
+    )
+    return fs_em(gammas, ["turns", "len2", "sig"], iters=25)
+
+
+def _fs_em_oracle(iters: int = 25) -> str:
+    """Generate the chained-CTE EM unroll mirroring operators.metrics.fs_em
+    exactly: same init (0.5 / 0.9 / 0.1), same left-associated products,
+    same clamp literals (0.000001 / 0.999999), same update order."""
+    prod = (
+        "{p}.lam * (CASE WHEN h.g1 = 1.0 THEN {p}.m1 ELSE 1.0 - {p}.m1 END)"
+        " * (CASE WHEN h.g2 = 1.0 THEN {p}.m2 ELSE 1.0 - {p}.m2 END)"
+        " * (CASE WHEN h.g3 = 1.0 THEN {p}.m3 ELSE 1.0 - {p}.m3 END) AS pm,\n"
+        "         (1.0 - {p}.lam) * (CASE WHEN h.g1 = 1.0 THEN {p}.u1 ELSE 1.0 - {p}.u1 END)"
+        " * (CASE WHEN h.g2 = 1.0 THEN {p}.u2 ELSE 1.0 - {p}.u2 END)"
+        " * (CASE WHEN h.g3 = 1.0 THEN {p}.u3 ELSE 1.0 - {p}.u3 END) AS pu"
+    )
+    # every em{k} is MATERIALIZED: DuckDB inlines plain CTEs once per
+    # column reference, so a 25-deep recurrence would otherwise explode
+    # exponentially at plan time (observed: the unmaterialized form never
+    # finishes planning even on the sf0.001 corpus)
+    steps = ["em0 AS MATERIALIZED (SELECT 0.5 AS lam, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3, "
+             "0.1 AS u1, 0.1 AS u2, 0.1 AS u3)"]
+    for k in range(1, iters + 1):
+        steps.append(f"""em{k} AS MATERIALIZED (
+  SELECT least(greatest(s / t, 0.000001), 0.999999) AS lam,
+         least(greatest(a1 / s, 0.000001), 0.999999) AS m1,
+         least(greatest(a2 / s, 0.000001), 0.999999) AS m2,
+         least(greatest(a3 / s, 0.000001), 0.999999) AS m3,
+         least(greatest(b1 / w, 0.000001), 0.999999) AS u1,
+         least(greatest(b2 / w, 0.000001), 0.999999) AS u2,
+         least(greatest(b3 / w, 0.000001), 0.999999) AS u3
+  FROM (
+    SELECT sum(n * r) AS s, sum(n * (1.0 - r)) AS w, sum(n) AS t,
+           sum(n * r * g1) AS a1, sum(n * r * g2) AS a2, sum(n * r * g3) AS a3,
+           sum(n * (1.0 - r) * g1) AS b1, sum(n * (1.0 - r) * g2) AS b2,
+           sum(n * (1.0 - r) * g3) AS b3
+    FROM (
+      SELECT n, g1, g2, g3, pm / (pm + pu) AS r
+      FROM (
+        SELECT h.n, h.g1, h.g2, h.g3,
+               {prod.format(p=f"em{k - 1}")}
+        FROM hist h CROSS JOIN em{k - 1}
+      )
+    )
+  )
+)""")
+    last = f"em{iters}"
+    return (
+        DUCK_TRANSCRIPTS + """,
+rnk AS (SELECT conv_id, row_number() OVER (ORDER BY md5(conv_id)) AS rn
+        FROM canonical2),
+nn AS (SELECT CAST(count(*) // 2 AS BIGINT) AS half FROM canonical2),
+empairs AS (
+  SELECT id_a, id_b FROM scored
+  UNION ALL
+  SELECT a.conv_id, b.conv_id
+  FROM rnk a JOIN nn ON a.rn <= nn.half JOIN rnk b ON b.rn = a.rn + nn.half
+),
+hist AS MATERIALIZED (
+  SELECT CASE WHEN ea.n_turns = eb.n_turns THEN 1.0 ELSE 0.0 END AS g1,
+         CASE WHEN abs(ea.fp_len - eb.fp_len) <= 2 THEN 1.0 ELSE 0.0 END AS g2,
+         CASE WHEN ea.sig = eb.sig THEN 1.0 ELSE 0.0 END AS g3,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM empairs p
+  JOIN canonical2 ea ON ea.conv_id = p.id_a
+  JOIN canonical2 eb ON eb.conv_id = p.id_b
+  GROUP BY 1, 2, 3
+),
+""" + ",\n".join(steps) + f"""
+SELECT 'turns' AS field, round(m1 + 0.000000001, 4) AS m_prob,
+       round(u1 + 0.000000001, 4) AS u_prob,
+       round(log2(m1 / u1) + 0.000000001, 4) AS w_agree FROM {last}
+UNION ALL SELECT 'len2', round(m2 + 0.000000001, 4),
+       round(u2 + 0.000000001, 4), round(log2(m2 / u2) + 0.000000001, 4) FROM {last}
+UNION ALL SELECT 'sig', round(m3 + 0.000000001, 4),
+       round(u3 + 0.000000001, 4), round(log2(m3 / u3) + 0.000000001, 4) FROM {last}
+UNION ALL SELECT '_lambda', round(lam + 0.000000001, 4),
+       round(1.0 - lam + 0.000000001, 4), round(0.0 + 0.000000001, 4) FROM {last}"""
+    )
+
+
+LINKAGE_QUERIES["fs_em"] = q_fs_em
+LINKAGE_ORACLES["fs_em"] = _fs_em_oracle(25)

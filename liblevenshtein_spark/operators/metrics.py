@@ -10,9 +10,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
-    "pairwise_confusion", "bcubed", "rand_stats", "fs_model",
+    "pairwise_confusion", "bcubed", "rand_stats", "fs_model", "fs_em",
     "banded_truth_pairs", "match_provenance",
-    "blocking_key_drift", "calibration_bins",
+    "blocking_key_drift", "calibration_bins", "greedy_scheme_selection",
 ]
 
 
@@ -269,6 +269,150 @@ def fs_model(match_gammas: DataFrame, random_gammas: DataFrame,
         gate_round4(u).alias("u"),
         gate_round4(F.log2(m / u)).alias("w_agree"),
         gate_round4(F.log2((1.0 - m) / (1.0 - u))).alias("w_disagree"),
+    )
+
+
+def fs_em(gammas: DataFrame, fields: list[str], iters: int = 25,
+          init_lambda: float = 0.5, init_m: float = 0.9,
+          init_u: float = 0.1) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation by
+    expectation-maximization over the gamma-pattern histogram — the Splink /
+    Winkler (1988) recipe, where `fs_model` above needs pseudo-labels this
+    needs none: given 0/1 field-agreement columns over the candidate pair
+    stream, EM alternately (E) scores each agreement PATTERN's match
+    responsibility r = λ·Πm / (λ·Πm + (1-λ)·Πu) and (M) re-estimates
+    λ = Σ n·r / Σ n, m_j = Σ n·r·γ_j / Σ n·r, u_j = Σ n·(1-r)·γ_j / Σ n·(1-r),
+    with every parameter clamped to [1e-6, 1-1e-6] so degenerate fields
+    cannot zero a product.
+
+    Scale shape: the pair stream collapses to the 2^k-row pattern HISTOGRAM
+    in one map-side-combined aggregation; the EM loop then runs driver-side
+    over ≤2^k floats (k = len(fields), 8 rows here) — a bounded, justified
+    collect exactly like fs_model's 1-row aggregates. Nothing per-pair ever
+    reaches the driver, and the iteration count is fixed (not convergence-
+    polled), so the whole estimate is one Spark job + O(2^k · iters) driver
+    flops. Fixed iterations also make the result a pure function of the
+    histogram — reproducible in any engine (the DuckDB oracle unrolls the
+    same recurrence as chained CTEs).
+
+    Returns one row per field (field, m_prob, u_prob, w_agree) plus a
+    '_lambda' row carrying (λ, 1-λ, NULL-as-0.0); floats gate-rounded.
+    """
+    from ..functions.text import gate_round4
+
+    hist_rows = (
+        gammas.groupBy(*fields).agg(F.count("*").cast("bigint").alias("_n")).collect()
+    )
+    patterns = [([float(r[f]) for f in fields], float(r["_n"])) for r in hist_rows]
+    # deterministic order so the float-sum association matches reruns
+    patterns.sort(key=lambda p: p[0])
+
+    # literal 0.999999 (not 1.0 - 1e-6): both engines parse the decimal
+    # literal to the same correctly-rounded double, while the subtraction
+    # could land an ulp away from the SQL oracle's least(..., 0.999999)
+    def clamp(x: float) -> float:
+        return min(max(x, 0.000001), 0.999999)
+
+    lam = init_lambda
+    m = [init_m] * len(fields)
+    u = [init_u] * len(fields)
+    for _ in range(iters):
+        s = t = w = 0.0
+        a = [0.0] * len(fields)
+        b = [0.0] * len(fields)
+        for g, n in patterns:
+            pm, pu = lam, 1.0 - lam
+            for j in range(len(fields)):
+                pm *= m[j] if g[j] else 1.0 - m[j]
+                pu *= u[j] if g[j] else 1.0 - u[j]
+            r = pm / (pm + pu)
+            s += n * r
+            w += n * (1.0 - r)
+            t += n
+            for j in range(len(fields)):
+                a[j] += n * r * g[j]
+                b[j] += n * (1.0 - r) * g[j]
+        lam = clamp(s / t)
+        m = [clamp(a[j] / s) for j in range(len(fields))]
+        u = [clamp(b[j] / w) for j in range(len(fields))]
+
+    import math
+
+    rows = [(f, m[j], u[j], math.log2(m[j] / u[j])) for j, f in enumerate(fields)]
+    rows.append(("_lambda", lam, 1.0 - lam, 0.0))
+    out = gammas.sparkSession.createDataFrame(
+        rows, "field string, m_prob double, u_prob double, w_agree double"
+    )
+    return out.select(
+        "field",
+        gate_round4(F.col("m_prob")).alias("m_prob"),
+        gate_round4(F.col("u_prob")).alias("u_prob"),
+        gate_round4(F.col("w_agree")).alias("w_agree"),
+    )
+
+
+def greedy_scheme_selection(scheme_pairs: DataFrame, truth: DataFrame) -> DataFrame:
+    """Blocking-scheme LEARNING (Michelson–Knoblock BSL, AAAI 2006 /
+    greedy weighted set cover): rank candidate blocking schemes by
+    individual truth recall, then attribute every caught truth pair to the
+    FIRST scheme (in rank order) that covers it, yielding each scheme's
+    MARGINAL recall and the cumulative recall/cost curve of the greedy
+    scheme union — the decision table for "which schemes earn their
+    candidate volume under a pair budget".
+
+    `scheme_pairs`: (id_a, id_b, scheme) one row per (pair, proposing
+    scheme); `truth`: (id_a, id_b) gold pairs. Output: one row per scheme —
+    (pick_order, scheme, n_cand, n_caught, marginal_caught, cum_caught,
+    cum_cost, cum_recall).
+
+    Scale shape: per-scheme stats are one hash agg over the narrow tagged
+    pair stream joined to truth; ranking and the cumulative windows run on
+    the #schemes-row table (broadcast-joined back for attribution); the
+    truth-pair attribution is a min() agg over (truth pair × covering
+    scheme) rows — bounded by truth coverage, never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import gate_round4
+
+    t = truth.select("id_a", "id_b").withColumn("_t", F.lit(1))
+    per = (
+        scheme_pairs.join(t, ["id_a", "id_b"], "left")
+        .groupBy("scheme")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+            F.coalesce(F.sum(F.when(F.col("_t").isNotNull(), 1)), F.lit(0))
+            .cast("bigint").alias("n_caught"),
+        )
+    )
+    order_w = Window.orderBy(F.col("n_caught").desc(), F.col("scheme").asc())
+    ranked = per.withColumn("pick_order", F.row_number().over(order_w).cast("int"))
+    # attribute each caught truth pair to its first covering scheme
+    covered = (
+        scheme_pairs.join(truth.select("id_a", "id_b"), ["id_a", "id_b"])
+        .join(F.broadcast(ranked.select("scheme", "pick_order")), "scheme")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("pick_order").alias("pick_order"))
+        .groupBy("pick_order")
+        .agg(F.count("*").cast("bigint").alias("marginal_caught"))
+    )
+    n_truth = truth.select(F.count(F.lit(1)).cast("bigint").alias("_n_true"))
+    cum_w = Window.orderBy("pick_order").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.join(covered, "pick_order", "left")
+        .withColumn("marginal_caught",
+                    F.coalesce(F.col("marginal_caught"), F.lit(0)).cast("bigint"))
+        .withColumn("cum_caught", F.sum("marginal_caught").over(cum_w).cast("bigint"))
+        .withColumn("cum_cost", F.sum("n_cand").over(cum_w).cast("bigint"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "pick_order", "scheme", "n_cand", "n_caught", "marginal_caught",
+            "cum_caught", "cum_cost",
+            gate_round4(
+                F.when(F.col("_n_true") == 0, F.lit(1.0))
+                .otherwise(F.col("cum_caught") / F.col("_n_true"))
+            ).alias("cum_recall"),
+        )
     )
 
 
