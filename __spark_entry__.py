@@ -96,6 +96,8 @@ _PRIORITY = [
     "collective_linkage",
     "blocking_scheme_learn",
     "fs_em",
+    "pair_weights_freq",
+    "threshold_autotune",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -5933,3 +5933,105 @@ UNION ALL SELECT '_lambda', round(lam + 0.000000001, 4),
 
 LINKAGE_QUERIES["fs_em"] = q_fs_em
 LINKAGE_ORACLES["fs_em"] = _fs_em_oracle(25)
+
+
+def q_pair_weights_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-FREQUENCY agreement weights (Winkler's frequency-based
+    matching refinement of Fellegi–Sunter): agreeing on a RARE sig value
+    is far stronger match evidence than agreeing on a common one, so the
+    u-probability is estimated PER VALUE — for a pair agreeing on sig s
+    with value frequency f_s among N entities, u_s = (f_s - 1)/(N - 1)
+    (the chance a random other entity shares s); disagreeing pairs carry
+    the global expected agreement u_bar = Σ f(f-1) / (N(N-1)). The
+    emitted weight is log2(m/u_s) on agreement (m = 0.95, the plug-in
+    match-agreement rate) and log2((1-m)/(1-u_bar)) on disagreement.
+
+    Scale shape: sig frequencies are one map-side-combined agg joined
+    back by sig; u_bar and N are 1-row aggs riding broadcast crossJoins
+    (the repo's scalar convention); everything else is per-candidate
+    projection arithmetic. Nothing quadratic, no Python."""
+    from .functions.text import gate_round4
+
+    ship_package(spark)
+    ents = _fs_ents(spark, sf_dir).select("conv_id", "sig")
+    n_row = ents.agg(F.count("*").cast("bigint").alias("n_ents"))
+    freq = ents.groupBy("sig").agg(F.count("*").cast("bigint").alias("f"))
+    ubar_row = freq.crossJoin(F.broadcast(n_row)).agg(
+        (F.sum(F.col("f").cast("double") * (F.col("f") - 1))
+         / F.first((F.col("n_ents").cast("double") * (F.col("n_ents") - 1))))
+        .alias("u_bar")
+    )
+    sa = ents.select(F.col("conv_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = ents.select(F.col("conv_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        q_score_pairs(spark, sf_dir).select("id_a", "id_b")
+        .join(sa, "id_a").join(sb, "id_b")
+        .join(freq.select(F.col("sig").alias("sig_a"), "f"), "sig_a", "left")
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(ubar_row))
+    )
+    agree = F.col("sig_a") == F.col("sig_b")
+    u_val = F.when(
+        agree, (F.col("f") - 1).cast("double") / (F.col("n_ents") - 1)
+    ).otherwise(F.col("u_bar"))
+    w = F.when(agree, F.log2(F.lit(0.95) / u_val)).otherwise(
+        F.log2((F.lit(1.0) - F.lit(0.95)) / (F.lit(1.0) - F.col("u_bar")))
+    )
+    return cand.select(
+        "id_a", "id_b",
+        agree.cast("int").alias("sig_agree"),
+        F.when(agree, F.col("f")).otherwise(F.lit(0)).cast("bigint").alias("sig_freq"),
+        gate_round4(u_val).alias("u_val"),
+        gate_round4(w).alias("w_freq"),
+    )
+
+
+LINKAGE_QUERIES["pair_weights_freq"] = q_pair_weights_freq
+LINKAGE_ORACLES["pair_weights_freq"] = DUCK_TRANSCRIPTS + """,
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n_ents FROM canonical2),
+freq AS (SELECT sig, CAST(count(*) AS BIGINT) AS f FROM canonical2 GROUP BY sig),
+ubar AS (
+  SELECT sum(CAST(f AS DOUBLE) * (f - 1))
+         / (SELECT CAST(n_ents AS DOUBLE) * (n_ents - 1) FROM nrow) AS u_bar
+  FROM freq
+),
+pw AS (
+  SELECT s.id_a, s.id_b,
+         (ca.sig = cb.sig) AS agree,
+         fa.f AS f,
+         n.n_ents, u.u_bar
+  FROM scored s
+  JOIN canonical2 ca ON ca.conv_id = s.id_a
+  JOIN canonical2 cb ON cb.conv_id = s.id_b
+  LEFT JOIN freq fa ON fa.sig = ca.sig
+  CROSS JOIN nrow n CROSS JOIN ubar u
+)
+SELECT id_a, id_b,
+       CAST(CASE WHEN agree THEN 1 ELSE 0 END AS INT) AS sig_agree,
+       CAST(CASE WHEN agree THEN f ELSE 0 END AS BIGINT) AS sig_freq,
+       round(CASE WHEN agree THEN CAST(f - 1 AS DOUBLE) / (n_ents - 1)
+                  ELSE u_bar END + 0.000000001, 4) AS u_val,
+       round(CASE WHEN agree
+                  THEN log2(0.95 / (CAST(f - 1 AS DOUBLE) / (n_ents - 1)))
+                  ELSE log2((1.0 - 0.95) / (1.0 - u_bar)) END + 0.000000001, 4) AS w_freq
+FROM pw"""
+
+
+def q_threshold_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning-loop closure: the single best match threshold by pairwise F1
+    from the full sweep (`eval_threshold_sweep`), ties resolved to the
+    LOWEST threshold (fewer kernel-accepted pairs for equal F1 — the
+    cheaper operating point). One row; at scale it reads the 4-row sweep
+    table, so the cost IS the sweep's."""
+    sweep = q_eval_threshold_sweep(spark, sf_dir)
+    return (
+        sweep.orderBy(F.col("f1_1e4").desc(), F.col("threshold").asc())
+        .limit(1)
+    )
+
+
+LINKAGE_QUERIES["threshold_autotune"] = q_threshold_autotune
+LINKAGE_ORACLES["threshold_autotune"] = (
+    LINKAGE_ORACLES["eval_threshold_sweep"]
+    + "\nORDER BY f1_1e4 DESC, threshold ASC LIMIT 1"
+)
