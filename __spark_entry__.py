@@ -98,6 +98,8 @@ _PRIORITY = [
     "fs_em",
     "pair_weights_freq",
     "threshold_autotune",
+    "waterfall_incremental",
+    "lsh_tuning",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -6035,3 +6035,83 @@ LINKAGE_ORACLES["threshold_autotune"] = (
     LINKAGE_ORACLES["eval_threshold_sweep"]
     + "\nORDER BY f1_1e4 DESC, threshold ASC LIMIT 1"
 )
+
+
+def q_waterfall_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest exact contraction through the hard gate: the corpus
+    splits into two deterministic batches (portable-md5 parity of
+    conv_id), batch 1 builds the persisted (fingerprint, rep) index,
+    batch 2 folds in via operators.waterfall.incremental_exact_groups —
+    batch-1 CANON IS NEVER RE-READ, only its narrow index. The emitted
+    mapping normalizes each group's sticky rep to the group-min member id
+    (a per-rep min + join-back), which must equal the one-shot
+    exact_groups over the full corpus — proving the incremental fold
+    loses nothing and the per-batch kernel work stays ∝ unseen-distinct
+    fingerprints."""
+    from .functions.text import portable_hash64
+    from .operators.waterfall import exact_groups, incremental_exact_groups
+
+    ship_package(spark)
+    canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint")
+    parity = portable_hash64(F.lit("wfbatch"), F.col("conv_id")) % 2
+    batch1 = canon.filter(parity == 0)
+    batch2 = canon.filter(parity == 1)
+    index = exact_groups(batch1).join(batch1, "conv_id").select(
+        "fingerprint", "rep"
+    ).distinct()
+    map1, _ = incremental_exact_groups(index, batch1)  # replay = pure index hit
+    map2, _ = incremental_exact_groups(index, batch2)
+    mapping = map1.unionByName(map2)
+    norm = mapping.groupBy("rep").agg(F.min("conv_id").alias("group_rep"))
+    return mapping.join(norm, "rep").select(
+        "conv_id", F.col("group_rep").alias("rep")
+    )
+
+
+LINKAGE_QUERIES["waterfall_incremental"] = q_waterfall_incremental
+LINKAGE_ORACLES["waterfall_incremental"] = DUCK_TRANSCRIPTS + """,
+reps AS (SELECT fingerprint, min(conv_id) AS rep FROM canonical2 GROUP BY fingerprint)
+SELECT c.conv_id, r.rep FROM canonical2 c JOIN reps r USING (fingerprint)"""
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding tuning table (Leskovec–Rajaraman–Ullman, MMDS
+    ch. 3): for every (bands b, rows-per-band r) factorization of the
+    16-permutation signature budget and a 5%-step Jaccard grid, the
+    candidate probability 1 - (1 - s^r)^b and the config's S-curve
+    threshold (1/b)^(1/r) — the decision table behind the registered
+    `dedup_minhash_lsh` configuration (16 perms, 4 bands × 4 rows:
+    threshold ≈ 0.71). Pure literal arithmetic (pow only), 95 rows."""
+    from .functions.text import gate_round4
+
+    cfg = spark.createDataFrame(
+        [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)],
+        "n_bands int, rows_per_band int",
+    )
+    grid = spark.range(1, 20).select((F.col("id") * 5).cast("int").alias("jaccard_pct"))
+    s = F.col("jaccard_pct") / F.lit(100.0)
+    return cfg.crossJoin(grid).select(
+        "n_bands", "rows_per_band", "jaccard_pct",
+        gate_round4(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, F.col("rows_per_band")),
+                               F.col("n_bands"))
+        ).alias("p_candidate"),
+        gate_round4(
+            F.pow(F.lit(1.0) / F.col("n_bands"), F.lit(1.0) / F.col("rows_per_band"))
+        ).alias("s_threshold"),
+    )
+
+
+DATA_QUERIES["lsh_tuning"] = q_lsh_tuning
+DATA_ORACLES["lsh_tuning"] = """
+WITH cfg AS (
+  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+  AS t(n_bands, rows_per_band)
+),
+grid AS (SELECT CAST(i * 5 AS INT) AS jaccard_pct
+         FROM (SELECT unnest(range(1, 20)) AS i))
+SELECT n_bands, rows_per_band, jaccard_pct,
+       round(1.0 - pow(1.0 - pow(jaccard_pct / 100.0, rows_per_band), n_bands)
+             + 0.000000001, 4) AS p_candidate,
+       round(pow(1.0 / n_bands, 1.0 / rows_per_band) + 0.000000001, 4) AS s_threshold
+FROM cfg CROSS JOIN grid"""

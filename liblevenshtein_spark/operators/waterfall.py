@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_groups", "exact_pairs", "expand_rep_matches"]
+__all__ = ["exact_groups", "exact_pairs", "expand_rep_matches",
+           "incremental_exact_groups"]
 
 
 def exact_groups(canon: DataFrame, id_col: str = "conv_id",
@@ -43,6 +44,39 @@ def exact_groups(canon: DataFrame, id_col: str = "conv_id",
         .agg(F.min(id_col).alias("rep"))
     )
     return canon.join(reps, fp_col).select(id_col, "rep")
+
+
+def incremental_exact_groups(index: DataFrame, new_canon: DataFrame,
+                             id_col: str = "conv_id",
+                             fp_col: str = "fingerprint"
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Fold a NEW ingest batch into a persisted exact-contraction index —
+    the rolling-ingest shape of the waterfall plan: `index` is the
+    persisted (fingerprint, rep) dictionary of every fingerprint ever
+    seen; the old corpus itself is NEVER re-read.
+
+    Returns (mapping, new_index_rows):
+      mapping        — (id, rep) for every new-batch entity: batch rows
+                       whose fingerprint is already indexed inherit the
+                       EXISTING rep (sticky reps — downstream incremental
+                       clustering folds see a stable node id), unseen
+                       fingerprints get min-new-id reps;
+      new_index_rows — (fingerprint, rep) for the unseen fingerprints
+                       only: the index append, and exactly the set of
+                       representatives the kernel pass must score this
+                       batch (everything else was decided by the rules).
+
+    Scale shape: one key join of the batch against the index (probe,
+    never scan — the 10^12-turn index is a bucketed table and this is an
+    Exchange-free lookup) plus one left-anti + min-agg on the batch side
+    only. Kernel/Arrow work per batch ∝ unseen-distinct fingerprints,
+    the same contraction guarantee as the batch plan
+    (`scripts/waterfall_bench.py`: 654× at 20× replication)."""
+    hits = new_canon.join(index, fp_col).select(id_col, "rep")
+    misses = new_canon.join(index.select(fp_col), fp_col, "left_anti")
+    new_reps = misses.groupBy(fp_col).agg(F.min(id_col).alias("rep"))
+    miss_map = misses.join(new_reps, fp_col).select(id_col, "rep")
+    return hits.unionByName(miss_map), new_reps
 
 
 def exact_pairs(mapping: DataFrame, id_col: str = "conv_id") -> DataFrame:
