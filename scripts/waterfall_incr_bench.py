@@ -1,0 +1,167 @@
+"""Incremental waterfall benchmark: per-batch kernel work must scale with
+UNSEEN-distinct fingerprints, not batch size.
+
+The production question: a web-scale ingest pipeline re-ingests mostly
+repeated content (mirrors, re-crawls, template floods). With the persisted
+(fingerprint, rep) exact-contraction index, a re-ingest batch whose
+fingerprints are all already indexed must cost ZERO kernel pairs — the
+whole batch resolves by index probe — and a batch with an f-fraction
+novel tail must expose only ~f of its distinct fingerprints to the kernel.
+
+Scenarios over the driver-contract corpus at --sf-dir:
+  A. replay   — batch 2 = R byte-identical replicas of batch 1 under new
+                ids (every fingerprint already indexed): unseen MUST be 0.
+  B. novel 5% — same replicas plus a deterministic novel tail (every 20th
+                base fingerprint mutated): unseen == the tail size.
+Both report fold wall vs the from-scratch batch waterfall over the union,
+plus sticky-rep verification (replica members must inherit the batch-1
+rep verbatim).
+
+Writes BENCH_WATERFALL_INCR.json.
+Usage: python scripts/waterfall_incr_bench.py [--sf-dir /root/testdata/sf0.1] [--replicas 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from liblevenshtein_spark import driver_queries as dq  # noqa: E402
+from liblevenshtein_spark.operators.waterfall import (  # noqa: E402
+    exact_groups, incremental_exact_groups)
+from liblevenshtein_spark.session import build_session, ship_package  # noqa: E402
+
+
+def _replicas(canon: DataFrame, r: int) -> DataFrame:
+    rep_ix = canon.sparkSession.range(1, r).select(F.col("id").alias("_r"))
+    return (
+        canon.crossJoin(F.broadcast(rep_ix))
+        .select(
+            F.concat("conv_id", F.lit("_x"), F.col("_r")).alias("conv_id"),
+            "fingerprint",
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--replicas", type=int, default=20)
+    args = ap.parse_args()
+
+    spark = build_session(
+        app_name="waterfall-incr-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+    )
+    ship_package(spark)
+
+    base = (
+        dq._canonical(spark, args.sf_dir).select("conv_id", "fingerprint")
+        .localCheckpoint(eager=True)
+    )
+    n_base = base.count()
+    n_base_fp = base.select("fingerprint").distinct().count()
+
+    t0 = time.time()
+    index = (
+        exact_groups(base).join(base, "conv_id")
+        .select("fingerprint", "rep").distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_index = index.count()
+    t_index = time.time() - t0
+
+    out = {
+        "metric": "waterfall_incremental_fold",
+        "sf_dir": args.sf_dir,
+        "cpus": args.cpus,
+        "replicas": args.replicas,
+        "base_entities": n_base,
+        "base_distinct_fp": n_base_fp,
+        "index_rows": n_index,
+        "index_build_sec": round(t_index, 2),
+        "scenarios": {},
+        "unit": "sec",
+    }
+
+    # --- A: pure replay ------------------------------------------------------
+    batch = _replicas(base, args.replicas).localCheckpoint(eager=True)
+    n_batch = batch.count()
+    t0 = time.time()
+    mapping, new_reps = incremental_exact_groups(index, batch)
+    mapping = mapping.localCheckpoint(eager=True)
+    n_mapped = mapping.count()
+    n_unseen = new_reps.count()
+    t_fold = time.time() - t0
+    # sticky reps: every replica must inherit its base fingerprint's rep
+    expected = batch.join(index, "fingerprint").select("conv_id", "rep")
+    n_wrong = mapping.exceptAll(expected).count()
+    out["scenarios"]["replay"] = {
+        "batch_entities": n_batch,
+        "unseen_fingerprints": n_unseen,
+        "kernel_reps_this_batch": n_unseen,
+        "fold_sec": round(t_fold, 2),
+        "sticky_rep_violations": n_wrong,
+    }
+    assert n_unseen == 0 and n_wrong == 0 and n_mapped == n_batch
+
+    # --- B: replay + 5% novel tail -------------------------------------------
+    novel = (
+        base.filter(F.expr("CAST(substring(conv_id, 2) AS BIGINT) % 20 = 0"))
+        .filter(F.col("conv_id").startswith("c"))
+        .select(
+            F.concat(F.lit("n"), F.expr("substring(conv_id, 2)")).alias("conv_id"),
+            F.concat("fingerprint", F.lit("~NOVEL")).alias("fingerprint"),
+        )
+    )
+    batch_b = batch.unionByName(novel).localCheckpoint(eager=True)
+    n_batch_b = batch_b.count()
+    n_novel_fp = novel.select("fingerprint").distinct().count()
+    t0 = time.time()
+    mapping_b, new_reps_b = incremental_exact_groups(index, batch_b)
+    n_mapped_b = mapping_b.count()
+    n_unseen_b = new_reps_b.count()
+    t_fold_b = time.time() - t0
+    out["scenarios"]["novel_tail"] = {
+        "batch_entities": n_batch_b,
+        "novel_fingerprints": n_novel_fp,
+        "unseen_fingerprints": n_unseen_b,
+        "kernel_reps_this_batch": n_unseen_b,
+        "fold_sec": round(t_fold_b, 2),
+    }
+    assert n_unseen_b == n_novel_fp and n_mapped_b == n_batch_b
+
+    # --- from-scratch comparison over the union ------------------------------
+    union = base.unionByName(batch_b)
+    t0 = time.time()
+    full_map = exact_groups(union).localCheckpoint(eager=True)
+    n_full = full_map.count()
+    t_scratch = time.time() - t0
+    out["from_scratch_union_sec"] = round(t_scratch, 2)
+    out["union_entities"] = n_full
+    out["fold_vs_scratch_speedup"] = round(t_scratch / max(t_fold_b, 1e-9), 2)
+    # the real lever is KERNEL volume, not the mapping stage (which is cheap
+    # either way at this scale): from-scratch re-exposes every distinct
+    # fingerprint in the union to the downstream kernel pass each batch,
+    # the incremental fold only the unseen ones (0 / 250 above)
+    out["kernel_reps_from_scratch"] = union.select("fingerprint").distinct().count()
+
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH_WATERFALL_INCR.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
