@@ -14,6 +14,8 @@ from .incremental import (  # noqa: F401
     fold_clusters_state,
     matches_from_sink,
     start_incremental_linkage,
+    start_incremental_waterfall,
     stream_transcripts,
     stream_turn_metrics,
+    waterfall_groups_from_sink,
 )

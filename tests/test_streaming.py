@@ -321,3 +321,34 @@ def test_midbatch_kill_no_lost_or_duplicate_matches(spark, corpus, tmp_path):
     got_clusters = clusters_from_sink(spark, state)
     assert ({tuple(r) for r in got_clusters.collect()}
             == {tuple(r) for r in want_clusters.collect()})
+
+
+def test_streaming_waterfall_fold_matches_batch_groups(spark, corpus, tmp_path):
+    """The streaming exact-contraction fold (persisted (fp, rep) index +
+    per-batch mapping) must reproduce one-shot exact_groups over the full
+    corpus after normalization, and the index must hold exactly the
+    distinct fingerprints."""
+    from liblevenshtein_spark.operators.waterfall import exact_groups
+    from liblevenshtein_spark.streaming import (
+        start_incremental_waterfall, stream_transcripts,
+        waterfall_groups_from_sink)
+
+    src, df = corpus
+    state = str(tmp_path / "wf_state")
+    ckpt = str(tmp_path / "wf_ckpt")
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    q = start_incremental_waterfall(stream, state, ckpt,
+                                    sep=CONF.fingerprint_sep)
+    q.awaitTermination(120)
+
+    canon = canonicalize(df, CONF.fingerprint_sep).select("conv_id", "fingerprint")
+    batch_groups = {(r.conv_id, r.rep) for r in exact_groups(canon).collect()}
+    stream_groups = {
+        (r.conv_id, r.rep)
+        for r in waterfall_groups_from_sink(spark, state).collect()
+    }
+    assert stream_groups == batch_groups
+
+    idx = spark.read.parquet(state + "/fp_index")
+    assert idx.count() == canon.select("fingerprint").distinct().count()
+    assert idx.groupBy("fingerprint").count().filter("count > 1").count() == 0
