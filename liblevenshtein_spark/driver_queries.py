@@ -5766,9 +5766,10 @@ def q_blocking_scheme_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributed to its FIRST covering scheme, and the entry emits the
     greedy cumulative recall/cost curve — `eval_scheme_quality` reports
     each scheme in isolation; this answers the budget question "which
-    schemes do I KEEP" (operators.metrics.greedy_scheme_selection). At
-    sf>=1 the truth input swaps to the hash-sampled variant, same as the
-    eval_*_sampled entries."""
+    schemes do I KEEP" (operators.metrics.greedy_scheme_selection). The
+    GATE entry pins the full banded truth (matching its oracle); at
+    sf>=1 callers pass the hash-sampled truth to the operator instead,
+    exactly as scripts/sf1_evidence_smoke.py does."""
     from .operators.metrics import greedy_scheme_selection
 
     return greedy_scheme_selection(
@@ -6049,23 +6050,18 @@ def q_waterfall_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses nothing and the per-batch kernel work stays ∝ unseen-distinct
     fingerprints."""
     from .functions.text import portable_hash64
-    from .operators.waterfall import exact_groups, incremental_exact_groups
+    from .operators.waterfall import (
+        fingerprint_index, incremental_exact_groups, normalize_reps)
 
     ship_package(spark)
     canon = _canonical(spark, sf_dir).select("conv_id", "fingerprint")
     parity = portable_hash64(F.lit("wfbatch"), F.col("conv_id")) % 2
     batch1 = canon.filter(parity == 0)
     batch2 = canon.filter(parity == 1)
-    index = exact_groups(batch1).join(batch1, "conv_id").select(
-        "fingerprint", "rep"
-    ).distinct()
+    index = fingerprint_index(batch1)
     map1, _ = incremental_exact_groups(index, batch1)  # replay = pure index hit
     map2, _ = incremental_exact_groups(index, batch2)
-    mapping = map1.unionByName(map2)
-    norm = mapping.groupBy("rep").agg(F.min("conv_id").alias("group_rep"))
-    return mapping.join(norm, "rep").select(
-        "conv_id", F.col("group_rep").alias("rep")
-    )
+    return normalize_reps(map1.unionByName(map2))
 
 
 LINKAGE_QUERIES["waterfall_incremental"] = q_waterfall_incremental

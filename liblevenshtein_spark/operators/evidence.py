@@ -27,7 +27,7 @@ Both consume the already-blocked pair stream only — nothing quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["relational_jaccard", "time_decay_weights"]
@@ -79,7 +79,7 @@ def relational_jaccard(pairs: DataFrame, profile: DataFrame,
 
 def time_decay_weights(pairs: DataFrame, timestamps: DataFrame,
                        tau: float, id_col: str = "conv_id",
-                       ts_col: str = "day") -> Column | DataFrame:
+                       ts_col: str = "day") -> DataFrame:
     """Attach a temporal decay weight to each pair: both entities' integer
     timestamps (`ts_col`, e.g. epoch days) join on, and the pair gets
     delta = |t_a - t_b| and decay_w_raw = 1.0 / (1.0 + delta / tau).

@@ -303,6 +303,8 @@ def fs_em(gammas: DataFrame, fields: list[str], iters: int = 25,
     hist_rows = (
         gammas.groupBy(*fields).agg(F.count("*").cast("bigint").alias("_n")).collect()
     )
+    if not hist_rows:
+        raise ValueError("fs_em: empty gamma input — no pairs to estimate from")
     patterns = [([float(r[f]) for f in fields], float(r["_n"])) for r in hist_rows]
     # deterministic order so the float-sum association matches reruns
     patterns.sort(key=lambda p: p[0])

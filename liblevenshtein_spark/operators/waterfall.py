@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_groups", "exact_pairs", "expand_rep_matches",
-           "incremental_exact_groups"]
+           "incremental_exact_groups", "fingerprint_index", "normalize_reps"]
 
 
 def exact_groups(canon: DataFrame, id_col: str = "conv_id",
@@ -44,6 +44,25 @@ def exact_groups(canon: DataFrame, id_col: str = "conv_id",
         .agg(F.min(id_col).alias("rep"))
     )
     return canon.join(reps, fp_col).select(id_col, "rep")
+
+
+def fingerprint_index(canon: DataFrame, id_col: str = "conv_id",
+                      fp_col: str = "fingerprint") -> DataFrame:
+    """The persisted exact-contraction index: one (fingerprint, rep) row
+    per distinct fingerprint, rep = min member id — a single
+    map-side-combined aggregation (the same shape
+    incremental_exact_groups uses for its unseen set)."""
+    return canon.groupBy(fp_col).agg(F.min(id_col).alias("rep"))
+
+
+def normalize_reps(mapping: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Re-label sticky reps to the group-min member id so an incrementally
+    built mapping compares directly against one-shot exact_groups output
+    (per-rep min + join-back on the narrow (id, rep) pairs). Shared by
+    the batch gate entry and the streaming sink reader so the
+    normalization convention cannot diverge."""
+    norm = mapping.groupBy("rep").agg(F.min(id_col).alias("_g"))
+    return mapping.join(norm, "rep").select(id_col, F.col("_g").alias("rep"))
 
 
 def incremental_exact_groups(index: DataFrame, new_canon: DataFrame,

@@ -369,14 +369,13 @@ def waterfall_groups_from_sink(spark: SparkSession, state_dir: str) -> DataFrame
     """Normalized exact-duplicate groups from the streaming sink: sticky
     reps (stable across batches) re-labeled to the group-min member id so
     the result is directly comparable with one-shot exact_groups."""
+    from ..operators.waterfall import normalize_reps
+
     mapping = (
         spark.read.parquet(os.path.join(state_dir, "mapping"))
         .dropDuplicates(["conv_id"])
     )
-    norm = mapping.groupBy("rep").agg(F.min("conv_id").alias("_g"))
-    return mapping.join(norm, "rep").select(
-        "conv_id", F.col("_g").alias("rep")
-    )
+    return normalize_reps(mapping)
 
 
 def stream_turn_metrics(stream: DataFrame, window: str = "1 minute",

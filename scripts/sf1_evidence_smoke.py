@@ -175,8 +175,15 @@ def main() -> None:
     dele = pairs.select("id_a", "id_b", F.lit(1).alias("scheme"))
     snm_ents = canonical.select(
         "conv_id", F.substring("fingerprint", 1, 16).alias("sig"))
+    # normalize to id_a < id_b: SNM emits pairs in sig-rank order, which can
+    # disagree with id order, and the truth join inside the selection is
+    # keyed on canonical (id_a < id_b) pairs (same least/greatest+distinct
+    # the gate's _build_scheme_pairs applies)
     snm = sorted_neighborhood_pairs(snm_ents, "sig", window=4).select(
-        "id_a", "id_b", F.lit(2).alias("scheme"))
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.lit(2).alias("scheme"),
+    ).distinct()
     curve = greedy_scheme_selection(dele.unionByName(snm), truth).collect()
     timings["scheme_selection"] = round(time.time() - t0, 1)
     last = max(curve, key=lambda r: r.pick_order)

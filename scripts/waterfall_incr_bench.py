@@ -36,12 +36,14 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from liblevenshtein_spark import driver_queries as dq  # noqa: E402
 from liblevenshtein_spark.operators.waterfall import (  # noqa: E402
-    exact_groups, incremental_exact_groups)
+    exact_groups, fingerprint_index, incremental_exact_groups)
 from liblevenshtein_spark.session import build_session, ship_package  # noqa: E402
 
 
 def _replicas(canon: DataFrame, r: int) -> DataFrame:
-    rep_ix = canon.sparkSession.range(1, r).select(F.col("id").alias("_r"))
+    """Exactly r byte-identical copies of the corpus under fresh ids
+    (range(1, r+1): the base corpus itself is NOT part of the batch)."""
+    rep_ix = canon.sparkSession.range(1, r + 1).select(F.col("id").alias("_r"))
     return (
         canon.crossJoin(F.broadcast(rep_ix))
         .select(
@@ -74,11 +76,7 @@ def main() -> None:
     n_base_fp = base.select("fingerprint").distinct().count()
 
     t0 = time.time()
-    index = (
-        exact_groups(base).join(base, "conv_id")
-        .select("fingerprint", "rep").distinct()
-        .localCheckpoint(eager=True)
-    )
+    index = fingerprint_index(base).localCheckpoint(eager=True)
     n_index = index.count()
     t_index = time.time() - t0
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from liblevenshtein_spark.operators.waterfall import (
     exact_groups,
+    fingerprint_index,
     incremental_exact_groups,
 )
 
@@ -18,10 +19,7 @@ def test_incremental_fold_matches_batch_groups(spark):
     batch1 = _canon(spark, [("a1", "X"), ("a2", "X"), ("a3", "Y")])
     batch2 = _canon(spark, [("b1", "X"), ("b2", "Z"), ("b3", "Z"), ("b4", "Y")])
 
-    index = (
-        exact_groups(batch1).join(batch1, "conv_id")
-        .select("fingerprint", "rep").distinct()
-    )
+    index = fingerprint_index(batch1)
     map2, new_reps = incremental_exact_groups(index, batch2)
 
     # sticky reps: b1 (X) and b4 (Y) inherit batch-1 reps verbatim —
