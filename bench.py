@@ -280,6 +280,13 @@ def main() -> None:
         t_heavy = (time.time() - t0) / args.score_iterations
         timings["q_score_throughput"] = round(t_heavy, 3)
 
+        # end-of-run canary: a healthy START canary cannot vouch for the
+        # minutes that follow — co-tenant load arriving MID-RUN inflates the
+        # timed stages while the recorded start canary still reads healthy
+        # (observed: start 0.10 s, e2e 22.4 s vs the 9.4 s quiet best). A
+        # capture is healthy only if the window was quiet at BOTH ends.
+        canary_end = measure_canary()
+
         total = round(sum(timings.values()), 3)
         pairs_per_sec = round(n_heavy / t_heavy, 1) if t_heavy > 0 else 0.0
         hard_pairs_per_sec = round(n_hard / t_hard, 1) if t_hard > 0 else 0.0
@@ -293,7 +300,8 @@ def main() -> None:
             "hard_pairs_scored_per_sec": hard_pairs_per_sec,
             "cpus": args.cpus,
             "job_latency_canary_sec": canary,
-            "canary_healthy": canary < 0.15,
+            "job_latency_canary_end_sec": canary_end,
+            "canary_healthy": canary < 0.15 and canary_end < 0.15,
             "rows": {
                 "turn_rows": n_turn_rows, "entities": n_entities,
                 "blocked_pairs": n_blocked_pairs, "scored": n_scored,
@@ -309,7 +317,10 @@ def main() -> None:
         attempts.append(capture())
     best = min(attempts, key=lambda a: a["value"])
     best["attempts_run"] = len(attempts)
-    best["canaries"] = [a["job_latency_canary_sec"] for a in attempts]
+    best["canaries"] = [
+        [a["job_latency_canary_sec"], a["job_latency_canary_end_sec"]]
+        for a in attempts
+    ]
     print(json.dumps(best))
     spark.stop()
 
