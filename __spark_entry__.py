@@ -60,6 +60,8 @@ _PRIORITY = [
     "scrub_boilerplate",
     "event_variant_stats",
     "corpus_top_docs",
+    "candidate_pairs_canopy",
+    "bpe_merge_pairs",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

@@ -6111,3 +6111,162 @@ SELECT n_bands, rows_per_band, jaccard_pct,
              + 0.000000001, 4) AS p_candidate,
        round(pow(1.0 / n_bands, 1.0 / rows_per_band) + 0.000000001, 4) AS s_threshold
 FROM cfg CROSS JOIN grid"""
+
+
+# ---------------------------------------------------------------------------
+# Canopy blocking (McCallum-Nigam) + BPE merge statistics
+# ---------------------------------------------------------------------------
+
+CANOPY_MOD = 4       # ~25% of entities become candidate centers
+CANOPY_T1 = 0.35     # loose membership threshold (sig 3-gram Jaccard)
+CANOPY_T2 = 0.75     # tight lock/demotion threshold
+CANOPY_DF_CAP = 64   # block purging: grams above this df skip PAIR GENERATION
+
+
+def q_candidate_pairs_canopy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canopy blocking end-to-end (operators/canopy.py): cheap-metric
+    canopies over the 16-char signatures — hash-selected centers,
+    deterministic T2 center contraction, T1-loose / T2-locked membership,
+    exact-sig residual fallback — then candidate pairs = distinct canonical
+    co-members.  The oracle replays the whole path in SQL: purged
+    gram-inverted-index candidate generation, exact Jaccard rescoring
+    against full gram sets, the same window lock rule, and the residual
+    union.  Jaccard is round4'd before EVERY threshold compare so both
+    engines gate on the same double (the repo's knife-edge convention)."""
+    from .operators.canopy import canopy_members, canopy_pairs
+
+    ents = _canonical(spark, sf_dir).select(
+        "conv_id", F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig")
+    )
+    m = canopy_members(ents, "conv_id", "sig", CANOPY_MOD, CANOPY_T1,
+                       CANOPY_T2, q=3, df_cap=CANOPY_DF_CAP)
+    return canopy_pairs(m)
+
+
+LINKAGE_QUERIES["candidate_pairs_canopy"] = q_candidate_pairs_canopy
+LINKAGE_ORACLES["candidate_pairs_canopy"] = DUCK_TRANSCRIPTS + f""",
+sig_grams AS MATERIALIZED (
+  SELECT DISTINCT conv_id,
+         CASE WHEN length(sig) < 3 THEN sig
+              ELSE substring(sig, CAST(p AS INT), 3) END AS gram
+  FROM (SELECT conv_id, sig,
+               unnest(range(1, greatest(length(sig) - 1, 2))) AS p
+        FROM canonical2)
+  WHERE length(sig) >= 3 OR p = 1
+),
+gsize AS MATERIALIZED (
+  SELECT conv_id, count(*) AS n_g FROM sig_grams GROUP BY conv_id
+),
+gp AS MATERIALIZED (
+  SELECT s.conv_id, s.gram FROM sig_grams s
+  JOIN (SELECT gram FROM sig_grams GROUP BY gram
+        HAVING count(*) <= {CANOPY_DF_CAP}) r USING (gram)
+),
+centers0 AS MATERIALIZED (
+  SELECT conv_id FROM canonical2
+  WHERE CAST(('0x' || substring(md5(conv_id), 1, 15)) AS BIGINT)
+        % {CANOPY_MOD} = 0
+),
+cand_cc AS MATERIALIZED (
+  SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+  FROM gp a JOIN gp b ON a.gram = b.gram
+  JOIN centers0 ca ON ca.conv_id = a.conv_id
+  JOIN centers0 cb ON cb.conv_id = b.conv_id
+  WHERE a.conv_id < b.conv_id
+),
+cc_j AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         round(CAST(count(*) AS DOUBLE)
+               / (any_value(za.n_g) + any_value(zb.n_g) - count(*))
+               + 0.000000001, 4) AS j
+  FROM cand_cc c
+  JOIN sig_grams ga ON ga.conv_id = c.id_a
+  JOIN sig_grams gb ON gb.conv_id = c.id_b AND gb.gram = ga.gram
+  JOIN gsize za ON za.conv_id = c.id_a
+  JOIN gsize zb ON zb.conv_id = c.id_b
+  GROUP BY c.id_a, c.id_b
+),
+centers AS MATERIALIZED (
+  SELECT c0.conv_id FROM centers0 c0
+  LEFT JOIN (SELECT DISTINCT id_b FROM cc_j WHERE j >= {CANOPY_T2}) d
+    ON d.id_b = c0.conv_id
+  WHERE d.id_b IS NULL
+),
+cand_ec AS MATERIALIZED (
+  SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+  FROM gp a JOIN gp b ON a.gram = b.gram
+  JOIN centers c2 ON c2.conv_id = b.conv_id
+  WHERE a.conv_id <> b.conv_id
+),
+ej AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT c.id_a, c.id_b,
+           round(CAST(count(*) AS DOUBLE)
+                 / (any_value(za.n_g) + any_value(zb.n_g) - count(*))
+                 + 0.000000001, 4) AS j
+    FROM cand_ec c
+    JOIN sig_grams ga ON ga.conv_id = c.id_a
+    JOIN sig_grams gb ON gb.conv_id = c.id_b AND gb.gram = ga.gram
+    JOIN gsize za ON za.conv_id = c.id_a
+    JOIN gsize zb ON zb.conv_id = c.id_b
+    GROUP BY c.id_a, c.id_b
+  ) WHERE j >= {CANOPY_T1}
+),
+ranked AS MATERIALIZED (
+  SELECT id_a, id_b, j,
+         row_number() OVER (PARTITION BY id_a ORDER BY j DESC, id_b ASC) AS rn,
+         max(j) OVER (PARTITION BY id_a) AS mj
+  FROM ej
+),
+members AS MATERIALIZED (
+  SELECT id_a AS conv_id, id_b AS canopy_id FROM ranked
+  WHERE (mj >= {CANOPY_T2} AND rn = 1) OR mj < {CANOPY_T2}
+  UNION ALL
+  SELECT conv_id, conv_id FROM centers
+  UNION ALL
+  SELECT c2.conv_id, 'r|' || c2.sig
+  FROM canonical2 c2
+  LEFT JOIN (SELECT DISTINCT id_a FROM ej) e ON e.id_a = c2.conv_id
+  LEFT JOIN centers cc ON cc.conv_id = c2.conv_id
+  WHERE e.id_a IS NULL AND cc.conv_id IS NULL
+)
+SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+FROM members a JOIN members b ON a.canopy_id = b.canopy_id
+WHERE a.conv_id < b.conv_id"""
+
+
+BPE_MERGE_TOP_N = 50
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic (operators/analytics.bpe_merge_pairs):
+    corpus-weighted adjacent-symbol-pair frequencies — the table the first
+    BPE merge step maximizes over.  The expensive explode runs on the
+    DISTINCT vocabulary (Sennrich's word-frequency trick), so at 100 TB
+    the only corpus-sized pass is the initial word count."""
+    from .operators.analytics import bpe_merge_pairs
+
+    return bpe_merge_pairs(_docs(spark, sf_dir), top_n=BPE_MERGE_TOP_N)
+
+
+DATA_QUERIES["bpe_merge_pairs"] = q_bpe_merge_pairs
+DATA_ORACLES["bpe_merge_pairs"] = f"""
+WITH vocab AS MATERIALIZED (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) >= 2 GROUP BY word
+),
+pairs AS MATERIALIZED (
+  SELECT substring(word, CAST(p AS INT), 2) AS pair, wc
+  FROM (SELECT word, wc, unnest(range(1, length(word))) AS p FROM vocab)
+),
+agg AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count, rank FROM (
+  SELECT pair, pair_count,
+         CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+           AS rank
+  FROM agg
+) WHERE rank <= {BPE_MERGE_TOP_N}"""

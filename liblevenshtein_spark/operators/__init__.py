@@ -2,6 +2,7 @@ from .alignment import align_turns
 from .candidates import (block_keys, candidate_pairs, cross_source_pairs,
                          salted_cross_pairs)
 from .canonicalize import canonicalize, turns_roundtrip
+from .canopy import canopy_members, canopy_pairs
 from .clustering import (apply_adjudications, assign_clusters, cluster_diff,
                          connected_components, entity_history, golden_records,
                          stable_entity_ids)
@@ -17,7 +18,8 @@ from .waterfall import exact_groups, exact_pairs, expand_rep_matches
 __all__ = [
     "align_turns", "apply_adjudications", "assign_clusters", "attach_texts", "block_keys",
     "blocking_key_drift", "bloom_band_candidates", "bloom_encode",
-    "calibration_bins", "candidate_pairs", "canonicalize", "cluster_cohesion",
+    "calibration_bins", "candidate_pairs", "canonicalize", "canopy_members",
+    "canopy_pairs", "cluster_cohesion",
     "cluster_diff", "connected_components", "cross_source_pairs", "dice_pairs",
     "distance_udf", "edge_support", "entity_history", "exact_groups",
     "exact_pairs", "expand_rep_matches", "golden_records",

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["tfidf_topk", "event_gap_stats", "corpus_rollup", "corpus_cube",
+__all__ = ["bpe_merge_pairs",
+           "tfidf_topk", "event_gap_stats", "corpus_rollup", "corpus_cube",
            "event_running_totals", "corpus_pivot", "corpus_unpivot",
            "length_deciles", "event_hop_windows", "event_props_map",
            "PIVOT_LANGS"]
@@ -341,3 +342,44 @@ def event_funnel(events: DataFrame, stages: list[str],
         term = F.col(c).isNotNull().cast("int")
         stage = term if stage is None else stage + term
     return out.select(user_col, *cols, stage.cast("int").alias("stage"))
+
+
+def bpe_merge_pairs(docs: DataFrame, text_col: str = "text",
+                    top_n: int = 50) -> DataFrame:
+    """First BPE merge-table step (Sennrich, Haddow & Birch, ACL 2016 [PK]):
+    corpus-weighted frequencies of adjacent symbol pairs, the statistic a
+    tokenizer-training job computes over the whole corpus before each merge.
+
+    Shape is the classic word-frequency trick that makes BPE training
+    feasible at corpus scale: the corpus-sized stream is reduced ONCE to
+    (word, count) with map-side partial aggregation, and the symbol-pair
+    explode runs over the DISTINCT VOCABULARY (|V| << corpus), never the
+    raw text.  The final ranking window sorts the aggregated pair table,
+    which is bounded by |alphabet|^2 (<= 676 rows for a-z), not the corpus
+    — at 100 TB the only full-data pass is the first word count.
+
+    Returns the top_n (pair, pair_count, rank) rows, ranked by
+    (pair_count DESC, pair ASC) — a total order, so the cut is
+    deterministic under ties."""
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda p: F.col("word").substr(p, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").cast("bigint").alias("pair_count"))
+    rank = F.row_number().over(
+        Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    )
+    return (
+        agg.withColumn("rank", rank.cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "pair_count", "rank")
+    )

@@ -298,3 +298,35 @@ def test_event_funnel_validates_stages(spark):
         event_funnel(df, [])
     with pytest.raises(ValueError):
         event_funnel(df, ["view", "view"])
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_pairs
+# ---------------------------------------------------------------------------
+
+def test_bpe_merge_pairs_hand_computed(spark):
+    from liblevenshtein_spark.operators.analytics import bpe_merge_pairs
+
+    docs = spark.createDataFrame([
+        (1, "low low lower"),
+        (2, "newest widest"),
+    ], "doc_id long, text string")
+    out = {r.pair: (r.pair_count, r.rank)
+           for r in bpe_merge_pairs(docs, top_n=10).collect()}
+    # vocab: low(2) lower(1) newest(1) widest(1); weighted bigrams:
+    # lo=3 ow=3 es=2 st=2 we=2 de=1 er=1 ew=1 id=1 ne=1 wi=1 -> top 10 drops wi
+    assert out == {
+        "lo": (3, 1), "ow": (3, 2), "es": (2, 3), "st": (2, 4), "we": (2, 5),
+        "de": (1, 6), "er": (1, 7), "ew": (1, 8), "id": (1, 9), "ne": (1, 10),
+    }
+
+
+def test_bpe_merge_pairs_case_and_punct(spark):
+    from liblevenshtein_spark.operators.analytics import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "Ab-AB! cd9ab")], "doc_id long, text string")
+    out = {r.pair: r.pair_count for r in bpe_merge_pairs(docs).collect()}
+    # lowercased + split on non-letters: ab(2 as distinct word... 'ab','ab','cd','ab')
+    # vocab: ab wc=3, cd wc=1 -> pairs ab=3, cd=1
+    assert out == {"ab": 3, "cd": 1}
