@@ -6270,3 +6270,105 @@ SELECT pair, pair_count, rank FROM (
            AS rank
   FROM agg
 ) WHERE rank <= {BPE_MERGE_TOP_N}"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3 wave: pivot correlation clustering
+# ---------------------------------------------------------------------------
+
+PIVOT_ROUNDS = 10
+
+
+def q_clusters_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-clustering pivot (operators.clustering.pivot_clusters):
+    the Ailon–Charikar–Newman greedy pivot rule run as a deterministic
+    round-synchronous parallel loop with salted-md5 priorities. Sits
+    between CC and star on the precision/recall dial: like star, every
+    member is a DIRECT match of its pivot (diameter <= 2, no noisy-edge
+    mega-cluster welds); unlike star, assigned nodes are REMOVED and the
+    rule re-runs on the residual graph, so nodes star would strand as
+    singletons regroup under later-round pivots — the structure behind
+    pivot's expected-3-approximation for correlation clustering."""
+    matches = q_matches(spark, sf_dir)
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    from .operators.clustering import pivot_clusters
+
+    return pivot_clusters(entities, matches, max_rounds=PIVOT_ROUNDS)
+
+
+def _pivot_oracle(rounds: int = PIVOT_ROUNDS) -> str:
+    """Unroll the round-synchronous pivot rule as chained MATERIALIZED CTEs
+    (same lesson as _fs_em_oracle: plain CTEs inline per reference and the
+    K-deep recurrence explodes at plan time). Each round k computes the
+    live-subgraph edges e{k}, per-node min neighbor priority nm{k}, local
+    minima piv{k}, attachments att{k}, then folds into asg{k+1}/un{k+1}.
+    Priorities are md5('pivot|' || id) in both engines (lowercase hex,
+    lexicographic compare) so the greedy order is bit-identical."""
+    steps = [
+        "sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM matches"
+        " UNION ALL SELECT id_b, id_a FROM matches)",
+        "un0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        "asg0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS node,"
+        " CAST(NULL AS VARCHAR) AS cluster WHERE 1 = 0)",
+    ]
+    for k in range(rounds):
+        steps.append(
+            f"e{k} AS MATERIALIZED (SELECT s.src, s.dst FROM sym s"
+            f" JOIN un{k} a ON a.node = s.src JOIN un{k} b ON b.node = s.dst)"
+        )
+        steps.append(
+            f"nm{k} AS (SELECT src, min(md5('pivot|' || dst)) AS mn"
+            f" FROM e{k} GROUP BY src)"
+        )
+        steps.append(
+            f"piv{k} AS MATERIALIZED (SELECT u.node FROM un{k} u"
+            f" LEFT JOIN nm{k} m ON m.src = u.node"
+            f" WHERE m.src IS NULL OR md5('pivot|' || u.node) < m.mn)"
+        )
+        steps.append(
+            f"att{k} AS (SELECT e.src AS node,"
+            f" arg_min(e.dst, md5('pivot|' || e.dst)) AS cluster"
+            f" FROM e{k} e JOIN piv{k} p ON p.node = e.dst"
+            f" WHERE e.src NOT IN (SELECT node FROM piv{k}) GROUP BY e.src)"
+        )
+        steps.append(
+            f"asg{k + 1} AS MATERIALIZED (SELECT node, cluster FROM asg{k}"
+            f" UNION ALL SELECT node, node FROM piv{k}"
+            f" UNION ALL SELECT node, cluster FROM att{k})"
+        )
+        steps.append(
+            f"un{k + 1} AS MATERIALIZED (SELECT node FROM un{k}"
+            f" WHERE node NOT IN (SELECT node FROM asg{k + 1}))"
+        )
+    final = (
+        f"SELECT c.conv_id, coalesce(a.cluster, c.conv_id) AS pivot_id\n"
+        f"FROM canonical2 c LEFT JOIN (\n"
+        f"  SELECT node, cluster FROM asg{rounds}\n"
+        f"  UNION ALL SELECT node, node FROM un{rounds}\n"
+        f") a ON a.node = c.conv_id"
+    )
+    return DUCK_TRANSCRIPTS + ",\n" + ",\n".join(steps) + "\n" + final
+
+
+LINKAGE_QUERIES["clusters_pivot"] = q_clusters_pivot
+LINKAGE_ORACLES["clusters_pivot"] = _pivot_oracle(PIVOT_ROUNDS)
+
+
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS prefix-filtered set-similarity self-join
+    (operators.dedup.ppjoin_pairs — AllPairs/PPJoin, Bayardo WWW'07 / Xiao
+    WWW'08): documents' shingles are globally ordered rarest-first and only
+    each document's short prefix enters the self-join, with the positional
+    overlap bound pruning candidates before the exact-Jaccard verify. The
+    oracle is the UNBLOCKED brute-force shingle join at the same threshold,
+    so the gate certifies losslessness on the real corpus — the exact
+    counterpoint to dedup_ngram_jaccard's df_cap (lossy-by-design) and
+    dedup_minhash_lsh's probabilistic banding."""
+    from .operators import dedup
+
+    return dedup.ppjoin_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+DATA_QUERIES["dedup_ppjoin"] = q_dedup_ppjoin
+DATA_ORACLES["dedup_ppjoin"] = DUCK_SHINGLES + """
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5"""

@@ -12,12 +12,12 @@ are capped by conf.cc_max_iterations (SURVEY.md §7.3 item 6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["large_star", "small_star", "connected_components", "assign_clusters", "star_clusters",
            "fold_clusters", "golden_records", "stable_entity_ids", "entity_history",
-           "cluster_diff", "apply_adjudications"]
+           "cluster_diff", "apply_adjudications", "pivot_clusters"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -550,3 +550,156 @@ def apply_adjudications(entities: DataFrame, matches: DataFrame,
         .join(F.broadcast(rejects), [a, b], "left_anti")
     )
     return assign_clusters(entities, edges, id_col=id_col)
+
+
+def _pivot_pri(col) -> Column:
+    """Engine-portable node priority: lowercase-hex md5 of a salted id.
+
+    Both Spark and DuckDB render md5 as lowercase hex, so lexicographic
+    comparison of the digest agrees bit-for-bit across engines — the same
+    portability trick the lineage ledger uses for row hashes. The salt
+    decorrelates the priority order from the id order star_clusters uses
+    (an adversary — or a skewed id scheme — that sorts ids along a match
+    chain would otherwise make the greedy order degenerate)."""
+    return F.md5(F.concat(F.lit("pivot|"), col.cast("string")))
+
+
+def _local_pivot(spark, rows, max_rounds: int):
+    """Driver-side replica of the round-synchronous pivot rule over a
+    collected edge list — the same adaptive small-graph strategy selection
+    as _local_components, and bit-identical to the distributed loop (the
+    rounds are synchronous in both, so there is no execution-order
+    freedom to diverge)."""
+    import hashlib
+
+    def pri(x: str) -> str:
+        return hashlib.md5(f"pivot|{x}".encode()).hexdigest()
+
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], set()).add(r[1])
+        adj.setdefault(r[1], set()).add(r[0])
+    assign: dict = {}
+    live = set(adj)
+    for _ in range(max_rounds):
+        if not live:
+            break
+        pivots = {
+            u for u in live
+            if all(pri(u) < pri(v) for v in adj[u] if v in live)
+        }
+        newly = {u: u for u in pivots}
+        for u in live - pivots:
+            cands = [v for v in adj[u] if v in pivots]
+            if cands:
+                newly[u] = min(cands, key=pri)
+        assign.update(newly)
+        live -= set(newly)
+    for u in live:  # max_rounds exhausted: defensive self-assign
+        assign[u] = u
+    return spark.createDataFrame(
+        [(k, v) for k, v in assign.items()], "node string, cluster string"
+    )
+
+
+def pivot_clusters(entities: DataFrame, matches: DataFrame,
+                   id_col: str = "conv_id", max_rounds: int = 12,
+                   small_graph_edges: int = 1_000_000) -> DataFrame:
+    """Correlation-clustering pivot (Ailon-Charikar-Newman, JACM 2008) as a
+    deterministic round-synchronous data-parallel loop (the ParallelPivot /
+    C4 scheme of Pan et al., NIPS 2015), priorities from a salted md5 so
+    the "random" greedy order is reproducible cross-engine.
+
+    Round rule, applied to the subgraph induced by still-unassigned nodes:
+    a node whose priority beats every unassigned neighbor becomes a PIVOT
+    (own cluster); every other unassigned node with at least one pivot
+    neighbor attaches to its minimum-priority pivot neighbor; everyone
+    else waits for the next round on the residual graph. Two adjacent
+    nodes can never both pivot (priorities are distinct), and each round
+    eliminates at least the global-minimum node of every live component,
+    so the loop terminates; with ~random priorities it takes O(log n)
+    rounds w.h.p.
+
+    Semantics vs the other clustering modes: CC (`assign_clusters`) chains
+    a-b-c into one entity even when d(a,c) > n; star (`star_clusters`)
+    fixes that in ONE pass but strands every node whose only neighbors are
+    non-centers as a singleton. Pivot iterates on the residual graph, so
+    stranded nodes get reconsidered and can form their own groups — the
+    expected-3-approximation structure for correlation clustering, with
+    every member a DIRECT match of its pivot (cluster diameter <= 2).
+
+    Scale shape: each round is two hash aggregations and three key joins
+    on the LIVE edge set, which shrinks geometrically; lineage is
+    truncated per round with eager localCheckpoints. Below
+    `small_graph_edges` the driver-side replica runs instead (one bounded
+    collect — see connected_components for the strategy-probe rationale);
+    the distributed loop is the 10^12-turn path."""
+    edges = _canon(
+        matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    if small_graph_edges > 0:
+        probe = edges.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            assign = _local_pivot(spark, probe, max_rounds)
+            return (
+                entities.select(id_col)
+                .join(assign.withColumnRenamed("node", id_col), id_col, "left")
+                .select(
+                    F.col(id_col),
+                    F.coalesce("cluster", F.col(id_col)).alias("pivot_id"),
+                )
+            )
+
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    un_nodes = sym.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    un_edges = sym.localCheckpoint(eager=True)
+    assign = spark.createDataFrame([], "node string, cluster string")
+    for _ in range(max_rounds):
+        nbr_min = un_edges.groupBy("src").agg(
+            F.min(_pivot_pri(F.col("dst"))).alias("_mn")
+        )
+        piv = (
+            un_nodes.join(nbr_min, un_nodes["node"] == nbr_min["src"], "left")
+            .filter(
+                F.col("_mn").isNull()
+                | (_pivot_pri(F.col("node")) < F.col("_mn"))
+            )
+            .select("node")
+        )
+        att = (
+            un_edges.join(piv.select(F.col("node").alias("dst")), "dst")
+            .join(piv.select(F.col("node").alias("src")), "src", "left_anti")
+            .groupBy("src")
+            .agg(F.min_by("dst", _pivot_pri(F.col("dst"))).alias("cluster"))
+            .select(F.col("src").alias("node"), "cluster")
+        )
+        newly = piv.select(
+            "node", F.col("node").alias("cluster")
+        ).unionByName(att)
+        assign = assign.unionByName(newly).localCheckpoint(eager=True)
+        un_nodes = un_nodes.join(newly.select("node"), "node", "left_anti") \
+            .localCheckpoint(eager=True)
+        if un_nodes.isEmpty():
+            break
+        un_edges = (
+            un_edges.join(un_nodes.select(F.col("node").alias("src")), "src")
+            .join(un_nodes.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    # max_rounds exhausted without convergence: defensive self-assign
+    assign = assign.unionByName(
+        un_nodes.select("node", F.col("node").alias("cluster"))
+    )
+    return (
+        entities.select(id_col)
+        .join(assign.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster", F.col(id_col)).alias("pivot_id"),
+        )
+    )

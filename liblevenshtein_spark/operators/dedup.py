@@ -28,7 +28,7 @@ __all__ = [
     "jaccard_pairs", "containment_pairs", "minhash_signatures",
     "minhash_lsh_pairs", "minhash_band_keys", "incremental_minhash_pairs",
     "simhash", "simhash_pairs", "dedup_groups",
-    "keep_best_groups", "dedup_turns",
+    "keep_best_groups", "dedup_turns", "ppjoin_pairs",
 ]
 
 
@@ -529,3 +529,84 @@ def keep_best_groups(docs: DataFrame, pairs: DataFrame,
             (F.col("_rn") == 1).alias("is_kept"),
         )
     )
+
+
+def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """LOSSLESS set-similarity self-join via prefix filtering with the
+    positional refinement — the AllPairs/PPJoin discipline (Bayardo et al.
+    WWW 2007; Xiao et al. WWW 2008) — returning EXACTLY the pairs with
+    shingle-set Jaccard >= threshold, like jaccard_pairs with no df_cap,
+    but without ever joining on common shingles outside each document's
+    short prefix.
+
+    Principle: order every document's shingles by ascending global document
+    frequency (rarest first, ties by shingle text); a pair with Jaccard >=
+    t must share at least ceil(t*|A|) shingles, so it must share one inside
+    A's first |A| - ceil(t*|A|) + 1 — the PREFIX. Only prefix rows enter
+    the self-join, so the hot 'the quick brown fox' shingles that make the
+    naive shingle join quadratic are joined only by the (few) documents
+    whose prefix reaches them. The positional filter then prunes candidate
+    pairs whose best-case remaining overlap 1 + min(|A|-pos_a, |B|-pos_b)
+    is below the Jaccard overlap bound ceil(t/(1+t)*(|A|+|B|)); exact
+    Jaccard verification (jaccard_for_pairs, cost ∝ candidates) decides.
+
+    Float safety: prefix lengths / overlap bounds use ceil(x - 1e-9) so a
+    binary-float product like 0.6*5 = 3.0000000000000004 can only ERR
+    TOWARD a longer prefix / weaker prune — more candidates, never a lost
+    pair; the verify stage keeps the result exact either way. Generation
+    additionally runs at threshold - 1e-4: the verify filter compares the
+    4-DECIMAL-ROUNDED Jaccard (gate_round4, the repo's float-stability
+    convention), which admits true values down to threshold - 5e-5, so the
+    prefix/positional bounds must be lossless down there too.
+
+    Scale shape vs the siblings: jaccard_pairs(df_cap) bounds the hot
+    buckets by DROPPING them from generation (lossy on all-boilerplate
+    pairs); minhash_lsh_pairs bounds them probabilistically; ppjoin is the
+    EXACT bounded path — one df agg (map-side combined), one per-doc
+    window over docs-x-shingles rows, a self-join carrying only prefix
+    rows, and a candidate-bounded verify. No UDFs, no cross join."""
+    from pyspark.sql import Window
+
+    eps = F.lit(1e-9)
+    t_gen = max(0.0, threshold - 1e-4)
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            F.col(id_col), "shingle", "_df",
+            F.row_number().over(w).alias("pos"),
+            F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(t_gen) * F.col("n_sh") - eps) + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col(id_col), "shingle", "pos", "n_sh"
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b"),
+    )
+    alpha = F.ceil(
+        F.lit(t_gen / (1.0 + t_gen)) * (F.col("n_a") + F.col("n_b")) - eps
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(1) + F.least(
+                F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+            ) >= alpha
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_for_pairs(sh, cands, threshold, id_col)
