@@ -60,6 +60,14 @@ _PRIORITY = [
     "scrub_boilerplate",
     "event_variant_stats",
     "corpus_top_docs",
+    # session-3 additions (never driver-captured):
+    "clusters_pivot",
+    "dedup_ppjoin",
+    "eval_vmeasure",
+    "match_knn_graph",
+    "dedup_cdc",
+    "event_transitions",
+    "corpus_zipf",
     "candidate_pairs_canopy",
     "bpe_merge_pairs",
     "eval_pairwise_f1_sampled",

@@ -6372,3 +6372,227 @@ def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATA_QUERIES["dedup_ppjoin"] = q_dedup_ppjoin
 DATA_ORACLES["dedup_ppjoin"] = DUCK_SHINGLES + """
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5"""
+
+
+def q_eval_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-measure (operators.metrics.vmeasure — Rosenberg & Hirschberg 2007)
+    of the strict distance<=1 CC clusters against gold identity: the
+    entropy lens on the same contingency table eval_bcubed and eval_rand
+    average arithmetically, completing the standard extrinsic-eval trio
+    (pairwise F1 / B-cubed / information-theoretic). Runs on the same
+    fractional-recall clustering as eval_bcubed so conditional entropies
+    are exercised away from the degenerate all-1.0 point."""
+    from .operators.metrics import vmeasure
+
+    ship_package(spark)
+    matches1 = (
+        q_score_pairs(spark, sf_dir)
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b")
+    )
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    pred = assign_clusters(entities, matches1)
+    rec = pred.withColumn("gold_id", F.expr("substring(conv_id, 2)"))
+    return vmeasure(rec)
+
+
+LINKAGE_QUERIES["eval_vmeasure"] = q_eval_vmeasure
+LINKAGE_ORACLES["eval_vmeasure"] = _GOLD_CONTINGENCY + """,
+cs AS (SELECT cluster_id, sum(n_cg) AS n_c FROM cg GROUP BY cluster_id),
+gs AS (SELECT gold_id, sum(n_cg) AS n_g FROM cg GROUP BY gold_id),
+cond AS (
+  SELECT CAST(sum(n_cg) AS BIGINT) AS n_entities,
+         sum(-CAST(n_cg AS DOUBLE) * ln(CAST(n_cg AS DOUBLE) / n_c)) AS hgc_raw,
+         sum(-CAST(n_cg AS DOUBLE) * ln(CAST(n_cg AS DOUBLE) / n_g)) AS hcg_raw
+  FROM cg JOIN cs USING (cluster_id) JOIN gs USING (gold_id)
+),
+hg AS (
+  SELECT sum(-CAST(n_g AS DOUBLE) * ln(CAST(n_g AS DOUBLE))) / sum(n_g)
+         + ln(CAST(sum(n_g) AS DOUBLE)) AS h_gold
+  FROM gs
+),
+hc AS (
+  SELECT sum(-CAST(n_c AS DOUBLE) * ln(CAST(n_c AS DOUBLE))) / sum(n_c)
+         + ln(CAST(sum(n_c) AS DOUBLE)) AS h_pred
+  FROM cs
+),
+hv AS (
+  SELECT n_entities,
+         CASE WHEN h_gold <= 0 THEN 1.0
+              ELSE 1.0 - (hgc_raw / n_entities) / h_gold END AS hom,
+         CASE WHEN h_pred <= 0 THEN 1.0
+              ELSE 1.0 - (hcg_raw / n_entities) / h_pred END AS com
+  FROM cond, hg, hc
+)
+SELECT n_entities,
+       round(hom + 0.000000001, 4) AS homogeneity,
+       round(com + 0.000000001, 4) AS completeness,
+       round(CASE WHEN hom + com = 0 THEN 0
+                  ELSE 2 * hom * com / (hom + com) END + 0.000000001, 4) AS v_measure
+FROM hv"""
+
+
+def q_match_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor sparsification of the match graph
+    (operators.graph.knn_graph, k=2): every node keeps only its 2 nearest
+    match edges and an edge survives only if BOTH endpoints keep it — the
+    degree cap that bounds clustering work to O(k·n) edges and suppresses
+    hub records before CC at 10^12-turn scale. Deterministic tie-break by
+    neighbor id makes the cut hash-stable cross-engine."""
+    from .operators.graph import knn_graph
+
+    ship_package(spark)
+    return knn_graph(q_matches(spark, sf_dir), k=2, mutual=True)
+
+
+LINKAGE_QUERIES["match_knn_graph"] = q_match_knn_graph
+LINKAGE_ORACLES["match_knn_graph"] = DUCK_TRANSCRIPTS + """,
+sym AS (
+  SELECT id_a AS src, id_b AS dst, distance AS d FROM matches
+  UNION ALL SELECT id_b, id_a, distance FROM matches
+),
+rk AS (
+  SELECT src, dst, d,
+         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rnk
+  FROM sym
+),
+fwd AS (SELECT src AS id_a, dst AS id_b, d AS distance, rnk AS rank_a
+        FROM rk WHERE src < dst),
+rev AS (SELECT dst AS id_a, src AS id_b, rnk AS rank_b
+        FROM rk WHERE src > dst)
+SELECT f.id_a, f.id_b, f.distance,
+       CAST(f.rank_a AS INT) AS rank_a, CAST(r.rank_b AS INT) AS rank_b
+FROM fwd f JOIN rev r ON r.id_a = f.id_a AND r.id_b = f.id_b
+WHERE f.rank_a <= 2 AND r.rank_b <= 2"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream
+    (operators.analytics.event_transitions): counts + integer-scaled
+    P(next | prev) for every observed type pair."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.event_transitions(ev)
+
+
+DATA_QUERIES["event_transitions"] = q_event_transitions
+DATA_ORACLES["event_transitions"] = """
+WITH steps AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+marg AS (
+  SELECT prev_type, sum(n_trans) AS n_from_prev FROM steps GROUP BY prev_type
+)
+SELECT s.prev_type, s.next_type,
+       CAST(s.n_trans AS BIGINT) AS n_trans,
+       CAST(m.n_from_prev AS BIGINT) AS n_from_prev,
+       CAST(floor(1000000.0 * s.n_trans / m.n_from_prev + 0.5) AS BIGINT)
+         AS p_next_1e6
+FROM steps s JOIN marg m USING (prev_type)"""
+
+
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row lexical profile (operators.analytics.corpus_zipf):
+    token/type counts, type-token ratio, and the ln-ln least-squares Zipf
+    slope/intercept; the vocabulary rank comes from the distributed
+    global_rank (range partition + broadcast offsets), not a
+    single-partition window."""
+    return analytics.corpus_zipf(_docs(spark, sf_dir))
+
+
+DATA_QUERIES["corpus_zipf"] = q_corpus_zipf
+DATA_ORACLES["corpus_zipf"] = """
+WITH tf AS (
+  SELECT term, count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  )
+  GROUP BY term
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       round(CAST(count(*) AS DOUBLE) / sum(freq) + 0.000000001, 4)
+         AS type_token_ratio,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+             + 0.000000001, 4) AS zipf_slope,
+       round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+             + 0.000000001, 4) AS zipf_intercept
+FROM ranked"""
+
+
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup ledger
+    (operators.chunking.cdc_dedup_stats): rolling-hash chunk boundaries
+    (LBFS/FastCDC scheme — boundaries anchored to content, so shared
+    passages align across documents regardless of offset shifts), then
+    per-document counts of exactly-repeated chunk mass corpus-wide. The
+    min-gap boundary suppression is a deterministic left-to-right fold
+    (higher-order array aggregate in Spark, a per-doc recursive walk in
+    the DuckDB oracle — two genuinely independent formulations)."""
+    from .operators.chunking import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(spark, sf_dir))
+
+
+DATA_QUERIES["dedup_cdc"] = q_dedup_cdc
+DATA_ORACLES["dedup_cdc"] = """
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text, unnest(range(2, length(text) - 8 + 2)) AS p
+  FROM documents WHERE length(text) >= 9
+),
+hits AS (
+  SELECT doc_id, CAST(p AS INT) AS p FROM pos
+  WHERE CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 8)), 1, 15))
+             AS BIGINT) % 64 = 0
+),
+bounds AS (SELECT doc_id, list_sort(list(p)) AS bs FROM hits GROUP BY doc_id),
+walk(doc_id, bs, i, last_kept, kept) AS (
+  SELECT doc_id, bs, 1, 1, CAST([] AS INT[]) FROM bounds
+  UNION ALL
+  SELECT doc_id, bs, i + 1,
+         CASE WHEN bs[i] - last_kept >= 16 THEN bs[i] ELSE last_kept END,
+         CASE WHEN bs[i] - last_kept >= 16 THEN list_append(kept, bs[i])
+              ELSE kept END
+  FROM walk WHERE i <= len(bs)
+),
+final_kept AS (SELECT doc_id, kept FROM walk WHERE i = len(bs) + 1),
+cuts AS (
+  SELECT d.doc_id, d.text,
+         list_concat(
+           list_concat(CAST([1] AS INT[]), coalesce(k.kept, CAST([] AS INT[]))),
+           [CAST(length(d.text) + 1 AS INT)]
+         ) AS cuts
+  FROM documents d LEFT JOIN final_kept k USING (doc_id)
+  WHERE length(d.text) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(cuts[CAST(i AS INT) + 1] - cuts[CAST(i AS INT)] AS INT) AS chunk_len,
+         md5(substring(text, cuts[CAST(i AS INT)],
+                       cuts[CAST(i AS INT) + 1] - cuts[CAST(i AS INT)])) AS chunk_hash
+  FROM (SELECT doc_id, text, cuts, unnest(range(1, len(cuts))) AS i FROM cuts)
+),
+occ AS (SELECT chunk_hash, count(*) AS occ FROM chunks GROUP BY chunk_hash)
+SELECT c.doc_id,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(c.chunk_len) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN o.occ > 1 THEN c.chunk_len ELSE 0 END) AS BIGINT)
+         AS dup_chars,
+       CAST(floor(10000.0 * sum(CASE WHEN o.occ > 1 THEN c.chunk_len ELSE 0 END)
+                  / sum(c.chunk_len) + 0.5) AS BIGINT) AS dup_ratio_1e4
+FROM chunks c JOIN occ o USING (chunk_hash)
+GROUP BY c.doc_id"""

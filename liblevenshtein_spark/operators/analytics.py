@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 __all__ = ["bpe_merge_pairs",
-           "tfidf_topk", "event_gap_stats", "corpus_rollup", "corpus_cube",
+           "tfidf_topk", "event_gap_stats", "event_transitions",
+           "corpus_rollup", "corpus_cube", "corpus_zipf",
            "event_running_totals", "corpus_pivot", "corpus_unpivot",
            "length_deciles", "event_hop_windows", "event_props_map",
            "PIVOT_LANGS"]
@@ -382,4 +383,74 @@ def bpe_merge_pairs(docs: DataFrame, text_col: str = "text",
         agg.withColumn("rank", rank.cast("int"))
         .filter(F.col("rank") <= top_n)
         .select("pair", "pair_count", "rank")
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition statistics over each user's
+    time-ordered event stream: for every observed (prev_type, next_type)
+    pair, the transition count and the conditional probability
+    P(next | prev) — the behavioral fingerprint used for funnel sanity
+    checks, bot detection (improbable transition chains), and simulating
+    realistic event load. Probability is integer-scaled to 1e6
+    (floor(x + 0.5), the repo's hash-stable ratio convention).
+
+    Shape: ONE lag window per user (same partitioning event_gap_stats
+    already shuffles by, so a shared pipeline reuses the exchange), then
+    a hash agg on (prev, next) — at most |types|² rows out — and a tiny
+    per-prev marginal self-agg. Nothing leaves the JVM."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    marg = steps.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from_prev")
+    )
+    return (
+        steps.join(marg, "prev_type")
+        .select(
+            "prev_type", "next_type", "n_trans", "n_from_prev",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_trans") / F.col("n_from_prev")
+                + F.lit(0.5)
+            ).cast("bigint").alias("p_next_1e6"),
+        )
+    )
+
+
+def corpus_zipf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level lexical statistics in one row: token/type counts,
+    type-token ratio, and the Zipf rank-frequency power-law fit — the
+    least-squares slope/intercept of ln(freq) on ln(rank) (Zipf's law
+    predicts slope ≈ -1; a corpus that deviates hard is usually templated
+    or machine-generated, which makes this a cheap corpus-quality gate).
+
+    Scale shape: one tokenize+explode pass with a map-side-combined term
+    count; ranking runs on the VOCABULARY (sublinear in corpus size by
+    Heaps' law) through operators.ranking.global_rank — range-partitioned
+    sort + broadcast offsets, never a single-partition global window; the
+    regression is one aggregate over (ln rank, ln freq)."""
+    from .ranking import global_rank
+
+    tf = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    ranked = global_rank(
+        tf.withColumn("_negf", -F.col("freq")), ["_negf", "term"]
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("freq").cast("double"))
+    from ..functions.text import gate_round4
+
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        gate_round4(F.count("*") / F.sum("freq")).alias("type_token_ratio"),
+        gate_round4(F.regr_slope(lf, lr)).alias("zipf_slope"),
+        gate_round4(F.regr_intercept(lf, lr)).alias("zipf_intercept"),
     )

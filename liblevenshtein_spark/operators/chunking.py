@@ -31,8 +31,9 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["chunk_documents", "pack_sequences",
-           "CHUNK_WINDOW", "CHUNK_STRIDE", "SEQ_CAPACITY"]
+__all__ = ["chunk_documents", "pack_sequences", "cdc_chunks", "cdc_dedup_stats",
+           "CHUNK_WINDOW", "CHUNK_STRIDE", "SEQ_CAPACITY",
+           "CDC_GRAM", "CDC_MODULUS", "CDC_MIN_CHUNK"]
 
 # Defaults sized for readability at test scale; production values (e.g.
 # 2048/1920) only change the literals — the plan shape is identical.
@@ -118,3 +119,132 @@ def chunk_documents(docs: DataFrame, window: int = CHUNK_WINDOW,
         )
     )
     return out
+
+
+# Content-defined chunking defaults: 8-char rolling gram, boundary when the
+# gram hash ≡ 0 (mod 64) -> ~64-char expected chunks; chunks shorter than
+# CDC_MIN_CHUNK merge forward into their successor (the FastCDC-style floor
+# that stops pathological boundary runs from emitting confetti).
+CDC_GRAM = 8
+CDC_MODULUS = 64
+CDC_MIN_CHUNK = 16
+
+
+def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", gram: int = CDC_GRAM,
+               modulus: int = CDC_MODULUS,
+               min_chunk: int = CDC_MIN_CHUNK) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary scheme of LBFS /
+    rsync / FastCDC, Muthitacharoen SOSP'01): cut a document wherever the
+    hash of the gram STARTING at that position is ≡ 0 mod `modulus`, so
+    boundaries are anchored to CONTENT, not offsets — insert one character
+    at the front of a doc and every fixed-width chunk shifts, but all CDC
+    chunks after the edit keep their exact bytes and their hashes. That
+    shift-invariance is what makes chunk-level dedup catch shared passages
+    between documents that fixed chunking (chunk_documents) structurally
+    cannot.
+
+    Boundaries closer than `min_chunk` to the previous cut are suppressed
+    (deterministically, scanning left-to-right — expressed as an aggregate
+    over the sorted boundary array, no loop), bounding the chunk-count
+    blow-up on low-entropy text. Emits (id, chunk_idx:int,
+    chunk_start:int 1-based, chunk_len:int, chunk_hash).
+
+    Scale shape: one explode to per-position rows (corpus chars — the same
+    volume every shingle pass in this toolkit already shuffles), a
+    per-doc aggregate collecting the (tiny: chars/modulus expected)
+    boundary list, and a narrow per-chunk projection with substring; the
+    rolling hash is the portable 60-bit md5 gram hash, so DuckDB
+    recomputes boundaries bit-for-bit. No UDFs."""
+    from ..functions.text import portable_hash64
+
+    n = F.length(text_col)
+    pos = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"),
+        F.explode(
+            F.sequence(F.lit(2), F.greatest(F.lit(1), n - F.lit(gram - 1)))
+        ).alias("p"),
+    ).filter(F.length("_t") >= gram + 1)
+    hits = pos.filter(
+        portable_hash64(F.substring(F.col("_t"), F.col("p"), gram))
+        % modulus == 0
+    )
+    bounds = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("p")).alias("_bs")
+    )
+    # deterministic left-to-right min-gap suppression: fold the sorted
+    # boundary list, keeping a cut only if it is >= min_chunk past the
+    # last KEPT cut (which starts at 1, the document head)
+    kept = F.aggregate(
+        F.col("_bs"),
+        F.array().cast("array<int>"),
+        # F.get is 0-based and null-safe on the empty accumulator (ANSI
+        # element_at would throw INVALID_ARRAY_INDEX there)
+        lambda acc, b: F.when(
+            b - F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(1)) >= min_chunk,
+            F.concat(acc, F.array(b.cast("int"))),
+        ).otherwise(acc),
+    )
+    with_bounds = (
+        docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .join(bounds, id_col, "left")
+        .select(
+            F.col(id_col), "_t",
+            F.concat(
+                F.array(F.lit(1)),
+                F.coalesce(kept, F.array().cast("array<int>")),
+                F.array((F.length("_t") + 1).cast("int")),
+            ).alias("_cuts"),
+        )
+        .filter(F.length("_t") > 0)
+    )
+    starts = with_bounds.select(
+        F.col(id_col), "_t",
+        F.posexplode(F.slice(F.col("_cuts"), 1, F.size("_cuts") - 1))
+        .alias("chunk_idx", "chunk_start"),
+        F.col("_cuts").alias("_all"),
+    )
+    chunk_len = (
+        F.element_at(F.col("_all"), F.col("chunk_idx") + 2) - F.col("chunk_start")
+    )
+    return starts.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        chunk_len.cast("int").alias("chunk_len"),
+        F.md5(F.substring(F.col("_t"), F.col("chunk_start"), chunk_len))
+        .alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", gram: int = CDC_GRAM,
+                    modulus: int = CDC_MODULUS,
+                    min_chunk: int = CDC_MIN_CHUNK) -> DataFrame:
+    """Per-document shared-content accounting over the CDC chunk table:
+    (id, n_chunks, total_chars, n_dup_chunks, dup_chars, dup_ratio_1e4)
+    where a chunk is DUP if its exact bytes occur anywhere else in the
+    corpus (other docs or elsewhere in the same doc). This is the
+    passage-level dedup ledger — robust to insertions in a way fixed
+    chunks are not — that decides which documents carry mostly-boilerplate
+    mass before training. One hash agg over (chunk_hash, chunk_len) for
+    global occurrence counts + one join back; cost ∝ chunks."""
+    ch = cdc_chunks(docs, id_col, text_col, gram, modulus, min_chunk)
+    occ = ch.groupBy("chunk_hash").agg(F.count("*").alias("_occ"))
+    dup = F.col("_occ") > 1
+    return (
+        ch.join(occ, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("total_chars"),
+            F.sum(dup.cast("int")).cast("int").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0))
+            .cast("bigint").alias("dup_chars"),
+            F.floor(
+                F.lit(10000.0)
+                * F.sum(F.when(dup, F.col("chunk_len")).otherwise(0))
+                / F.sum("chunk_len") + F.lit(0.5)
+            ).cast("bigint").alias("dup_ratio_1e4"),
+        )
+    )

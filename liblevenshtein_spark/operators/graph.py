@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.text import gate_round4
 from .clustering import assign_clusters
 
-__all__ = ["edge_support", "cluster_cohesion", "robust_clusters"]
+__all__ = ["edge_support", "cluster_cohesion", "robust_clusters", "knn_graph"]
 
 
 def edge_support(matches: DataFrame, id_a: str = "id_a",
@@ -230,3 +230,63 @@ def robust_clusters(entities: DataFrame, matches: DataFrame,
     return untouched.select(id_col, "cluster_id").unionByName(
         sub.select(id_col, "cluster_id")
     )
+
+
+def knn_graph(scored: DataFrame, k: int = 2, mutual: bool = True,
+              id_a: str = "id_a", id_b: str = "id_b",
+              dist_col: str = "distance") -> DataFrame:
+    """Degree-bounded match graph: keep each node's k NEAREST match edges
+    (rank by ascending distance, ties by neighbor id so the cut is
+    deterministic), optionally only where BOTH endpoints keep each other
+    (the mutual-kNN graph).
+
+    Why this exists at 10^12-turn scale: clustering cost and mega-cluster
+    risk are both driven by node degree — a hub record (boilerplate
+    fingerprint, template conversation) with 10^5 match edges welds
+    everything it touches and makes CC's shuffles quadratic-ish in the hot
+    key. Capping every node at its k best edges bounds downstream work to
+    O(k·n) edges TOTAL, and the mutual filter is the standard
+    hub-suppressor: a hub is rarely among its victims' own top-k, so its
+    spoke edges drop unless the attraction is reciprocated. This is the
+    graph-sparsification twin of the blocking-side df_cap / block-purging
+    guards — same discipline, applied after scoring instead of before.
+
+    Physical shape: one symmetrize union, ONE window (partition by node,
+    order by distance then id) over the match edges — bounded by the match
+    volume, never the candidate volume — then a self-join of the two kept
+    directions on the canonical pair key. No texts, no kernel, nothing
+    quadratic.
+
+    Returns canonical (id_a < id_b) rows (id_a, id_b, distance, rank_a,
+    rank_b): rank_x = how the edge ranks among x's neighbors (1 = x's
+    nearest). With mutual=False an edge survives if EITHER endpoint keeps
+    it, and the losing side's rank is reported as it ranked pre-cut."""
+    from pyspark.sql import Window
+
+    sym = scored.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst"),
+        F.col(dist_col).alias("_d"),
+    ).unionByName(scored.select(
+        F.col(id_b).alias("src"), F.col(id_a).alias("dst"),
+        F.col(dist_col).alias("_d"),
+    ))
+    w = Window.partitionBy("src").orderBy(F.col("_d").asc(), F.col("dst").asc())
+    ranked = sym.select(
+        "src", "dst", "_d", F.row_number().over(w).alias("_rnk")
+    )
+    fwd = ranked.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias(id_a), F.col("dst").alias(id_b),
+        F.col("_d").alias(dist_col), F.col("_rnk").alias("rank_a"),
+    )
+    rev = ranked.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias(id_a), F.col("src").alias(id_b),
+        F.col("_rnk").alias("rank_b"),
+    )
+    both = fwd.join(rev, [id_a, id_b])
+    if mutual:
+        return both.filter(
+            (F.col("rank_a") <= k) & (F.col("rank_b") <= k)
+        ).select(id_a, id_b, dist_col, "rank_a", "rank_b")
+    return both.filter(
+        (F.col("rank_a") <= k) | (F.col("rank_b") <= k)
+    ).select(id_a, id_b, dist_col, "rank_a", "rank_b")

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "block_stats", "score_distribution", "reduction_ratio", "hot_keys",
-    "pairwise_confusion", "bcubed", "rand_stats", "fs_model", "fs_em",
+    "pairwise_confusion", "bcubed", "rand_stats", "vmeasure", "fs_model", "fs_em",
     "banded_truth_pairs", "match_provenance",
     "blocking_key_drift", "calibration_bins", "greedy_scheme_selection",
 ]
@@ -606,4 +606,69 @@ def calibration_bins(scored: DataFrame, labels: Column,
             "n_true",
             gate_round4(F.col("n_true") / F.col("n_pairs").cast("double")).alias("precision"),
         )
+    )
+
+
+def vmeasure(assignments: DataFrame, pred_col: str = "cluster_id",
+             gold_col: str = "gold_id") -> DataFrame:
+    """V-measure (Rosenberg & Hirschberg, EMNLP 2007): the entropy-based
+    extrinsic clustering evaluation — homogeneity h = 1 - H(G|C)/H(G)
+    (each predicted cluster holds one gold entity), completeness
+    c = 1 - H(C|G)/H(C) (each gold entity lands in one cluster), and their
+    harmonic mean V. Complements the repo's other two extrinsic lenses:
+    pairwise F1 is dominated by the biggest clusters, B-cubed averages
+    per-record, V-measure is the information-theoretic view that is
+    invariant to cluster-id permutation and penalizes both over- and
+    under-merge through conditional entropy.
+
+    Degenerate conventions (matching the paper): h = 1 when H(G) = 0
+    (single gold entity), c = 1 when H(C) = 0; V = 0 when h + c = 0.
+
+    Scale shape: identical to bcubed — everything reduces over the
+    (cluster, gold) contingency table, which is never larger than the
+    record count: one groupBy on the record table, two side aggs for the
+    marginals, natural-log arithmetic in plain JVM expressions. No joins
+    back to records, nothing quadratic."""
+    from ..functions.text import gate_round4
+
+    cg = assignments.groupBy(pred_col, gold_col).agg(F.count("*").alias("n_cg"))
+    c_sizes = cg.groupBy(pred_col).agg(F.sum("n_cg").alias("n_c"))
+    g_sizes = cg.groupBy(gold_col).agg(F.sum("n_cg").alias("n_g"))
+    joined = cg.join(c_sizes, pred_col).join(g_sizes, gold_col)
+    n_cg = F.col("n_cg").cast("double")
+    agg = joined.agg(
+        F.sum("n_cg").cast("bigint").alias("n_entities"),
+        F.sum(-n_cg * F.log(n_cg / F.col("n_c"))).alias("_hgc_raw"),
+        F.sum(-n_cg * F.log(n_cg / F.col("n_g"))).alias("_hcg_raw"),
+    )
+    hg = (
+        g_sizes.agg(F.sum("n_g").cast("double").alias("_n"),
+                    F.sum(-F.col("n_g").cast("double")
+                          * F.log(F.col("n_g").cast("double"))).alias("_s"))
+        .select((F.col("_s") / F.col("_n") + F.log(F.col("_n"))).alias("h_gold"))
+    )
+    hc = (
+        c_sizes.agg(F.sum("n_c").cast("double").alias("_n"),
+                    F.sum(-F.col("n_c").cast("double")
+                          * F.log(F.col("n_c").cast("double"))).alias("_s"))
+        .select((F.col("_s") / F.col("_n") + F.log(F.col("_n"))).alias("h_pred"))
+    )
+    row = agg.crossJoin(F.broadcast(hg)).crossJoin(F.broadcast(hc))
+    n = F.col("n_entities").cast("double")
+    h_g_given_c = F.col("_hgc_raw") / n
+    h_c_given_g = F.col("_hcg_raw") / n
+    hom = F.when(F.col("h_gold") <= F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_g_given_c / F.col("h_gold")
+    )
+    com = F.when(F.col("h_pred") <= F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_c_given_g / F.col("h_pred")
+    )
+    v = F.when(hom + com == 0, F.lit(0.0)).otherwise(
+        2 * hom * com / (hom + com)
+    )
+    return row.select(
+        "n_entities",
+        gate_round4(hom).alias("homogeneity"),
+        gate_round4(com).alias("completeness"),
+        gate_round4(v).alias("v_measure"),
     )

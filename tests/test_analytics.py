@@ -330,3 +330,82 @@ def test_bpe_merge_pairs_case_and_punct(spark):
     # lowercased + split on non-letters: ab(2 as distinct word... 'ab','ab','cd','ab')
     # vocab: ab wc=3, cd wc=1 -> pairs ab=3, cd=1
     assert out == {"ab": 3, "cd": 1}
+
+
+def test_event_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from liblevenshtein_spark.operators.analytics import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, datetime(2024, 1, 1, 0, 0), 10, "a"),
+        (2, datetime(2024, 1, 1, 0, 1), 10, "b"),
+        (3, datetime(2024, 1, 1, 0, 2), 10, "a"),
+        (4, datetime(2024, 1, 1, 0, 0), 20, "a"),
+        (5, datetime(2024, 1, 1, 0, 3), 20, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n_trans, r.n_from_prev, r.p_next_1e6)
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1000000),
+        ("b", "a"): (1, 1, 1000000),
+    }
+
+
+def test_event_transitions_probabilities_sum_to_one(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from liblevenshtein_spark.operators.analytics import event_transitions
+    from pyspark.sql import functions as F
+
+    rng = random.Random(2)
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(minutes=i), rng.randrange(5),
+         rng.choice("xyz"))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = event_transitions(df)
+    sums = (
+        out.groupBy("prev_type")
+        .agg(F.sum("p_next_1e6").alias("s"), F.sum("n_trans").alias("n"),
+             F.first("n_from_prev").alias("m"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1000000) <= 2  # floor(+0.5) rounding slack
+        assert r.n == r.m
+
+
+def test_corpus_zipf_on_known_distribution(spark):
+    from liblevenshtein_spark.operators.analytics import corpus_zipf
+
+    # freq(term_r) = 2^(6-r): a perfect power law over ranks 1,2,4,...
+    docs = []
+    text = []
+    for r, word in enumerate(["alpha", "beta", "gamma", "delta"], start=1):
+        text += [word] * (2 ** (5 - r))
+    docs.append((1, " ".join(text)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    row = corpus_zipf(df).collect()[0]
+    assert row.n_types == 4
+    assert row.n_tokens == 16 + 8 + 4 + 2
+    import math
+
+    # exact least-squares on the 4 (ln rank, ln freq) points
+    pts = [(math.log(r), math.log(f)) for r, f in
+           [(1, 16), (2, 8), (3, 4), (4, 2)]]
+    mx = sum(x for x, _ in pts) / 4
+    my = sum(y for _, y in pts) / 4
+    slope = sum((x - mx) * (y - my) for x, y in pts) / sum(
+        (x - mx) ** 2 for x, _ in pts
+    )
+    assert abs(row.zipf_slope - round(slope + 1e-9, 4)) < 1e-9
+    assert row.zipf_slope < 0

@@ -259,3 +259,103 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
             assert r.abs_err_1e4 == round(abs(r.est_16 / 16 - r.jaccard) * 10000)
     # the unrelated doc never becomes a candidate
     assert not any(4 in p for p in out)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_reference(text, gram=8, modulus=64, min_chunk=16):
+    """Independent boundary walk mirroring the LBFS rule."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n = len(text)
+    cand = [
+        p for p in range(2, n - gram + 2)
+        if h(text[p - 1:p - 1 + gram]) % modulus == 0
+    ]
+    kept, last = [], 1
+    for p in cand:
+        if p - last >= min_chunk:
+            kept.append(p)
+            last = p
+    cuts = [1] + kept + [n + 1]
+    return [
+        (i, cuts[i], cuts[i + 1] - cuts[i],
+         hashlib.md5(text[cuts[i] - 1:cuts[i + 1] - 1].encode()).hexdigest())
+        for i in range(len(cuts) - 1)
+    ]
+
+
+def _mk_text(seed, n):
+    import random
+
+    rng = random.Random(seed)
+    return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+
+def test_cdc_chunks_match_reference(spark):
+    from liblevenshtein_spark.operators.chunking import cdc_chunks
+
+    rows = [(i, _mk_text(i, 50 + 70 * i)) for i in range(6)] + [(99, "short")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks(df).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        for idx, start, ln, hsh in _cdc_reference(text):
+            want[(doc_id, idx)] = (start, ln, hsh)
+    assert got == want
+
+
+def test_cdc_shift_invariance_vs_fixed_chunking(spark):
+    """Prepend 3 chars to a long doc: CDC re-emits the original chunk
+    hashes for everything after the first content boundary (fixed-offset
+    chunking shares nothing)."""
+    from liblevenshtein_spark.operators.chunking import cdc_chunks
+
+    base = _mk_text(42, 600)
+    df = spark.createDataFrame(
+        [(1, base), (2, "xyz" + base)], ["doc_id", "text"]
+    )
+    by_doc = {1: set(), 2: set()}
+    for r in cdc_chunks(df).collect():
+        by_doc[r.doc_id].add(r.chunk_hash)
+    shared = by_doc[1] & by_doc[2]
+    assert len(shared) >= len(by_doc[1]) - 2  # all but the head chunk(s)
+    assert len(by_doc[1]) >= 4  # the doc really split into several chunks
+
+
+def test_cdc_min_gap_suppression(spark):
+    """No non-tail chunk may be shorter than CDC_MIN_CHUNK."""
+    from liblevenshtein_spark.operators.chunking import CDC_MIN_CHUNK, cdc_chunks
+
+    rows = [(i, _mk_text(100 + i, 400)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = cdc_chunks(df).collect()
+    n_per_doc = {}
+    for r in chunks:
+        n_per_doc[r.doc_id] = max(n_per_doc.get(r.doc_id, 0), r.chunk_idx)
+    for r in chunks:
+        if r.chunk_idx < n_per_doc[r.doc_id]:  # not the tail
+            assert r.chunk_len >= CDC_MIN_CHUNK, r
+
+
+def test_cdc_dedup_stats_planted_duplicates(spark):
+    from liblevenshtein_spark.operators.chunking import cdc_dedup_stats
+
+    a = _mk_text(7, 500)
+    b = _mk_text(8, 500)
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], ["doc_id", "text"]
+    )
+    stats = {r.doc_id: r for r in cdc_dedup_stats(df).collect()}
+    assert stats[1].dup_ratio_1e4 == 10000  # exact twin: all chunks shared
+    assert stats[2].dup_ratio_1e4 == 10000
+    assert stats[3].dup_ratio_1e4 == 0
+    assert stats[1].total_chars == 500 and stats[3].n_dup_chunks == 0

@@ -236,3 +236,70 @@ def test_transitivity_matches_bruteforce_random(spark):
         assert (row["n_wedges"], row["n_closed_wedges"]) == (ref_w, ref_c), trial
         expect = 0.0 if ref_w == 0 else round(ref_c / ref_w + 1e-9, 4)
         assert row["transitivity"] == expect, trial
+
+
+def _knn_reference(pairs, k, mutual):
+    """Independent per-node top-k + mutual/union filter."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b, d in pairs:
+        nbrs[a].append((d, b))
+        nbrs[b].append((d, a))
+    rank = {}
+    for u, lst in nbrs.items():
+        for i, (d, v) in enumerate(sorted(lst), start=1):
+            rank[(u, v)] = i
+    out = {}
+    for a, b, d in pairs:
+        lo, hi = min(a, b), max(a, b)
+        ra, rb = rank[(lo, hi)], rank[(hi, lo)]
+        keep = (ra <= k and rb <= k) if mutual else (ra <= k or rb <= k)
+        if keep:
+            out[(lo, hi)] = (d, ra, rb)
+    return out
+
+
+def _knn_collect(df):
+    return {
+        (r.id_a, r.id_b): (r.distance, r.rank_a, r.rank_b) for r in df.collect()
+    }
+
+
+def test_knn_graph_matches_reference(spark):
+    from liblevenshtein_spark.operators.graph import knn_graph
+
+    rng = random.Random(23)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    pairs = {}
+    for _ in range(60):
+        a, b = rng.sample(nodes, 2)
+        pairs[(min(a, b), max(a, b))] = rng.randint(0, 3)
+    rows = [(a, b, d) for (a, b), d in pairs.items()]
+    df = spark.createDataFrame(rows, ["id_a", "id_b", "distance"])
+    for k in (1, 2, 3):
+        for mutual in (True, False):
+            got = _knn_collect(knn_graph(df, k=k, mutual=mutual))
+            want = _knn_reference(rows, k, mutual)
+            assert got == want, f"k={k} mutual={mutual}"
+
+
+def test_knn_graph_suppresses_hub(spark):
+    """A hub matched to 6 spokes at distance 2 loses every spoke edge under
+    mutual k=1 when the spokes pair up at distance 1 among themselves."""
+    from liblevenshtein_spark.operators.graph import knn_graph
+
+    rows = [("hub", f"s{i}", 2) for i in range(6)]
+    rows += [(f"s{i}", f"s{i + 1}", 1) for i in range(0, 6, 2)]
+    df = spark.createDataFrame(rows, ["id_a", "id_b", "distance"])
+    kept = _knn_collect(knn_graph(df, k=1, mutual=True))
+    assert all("hub" not in pair for pair in kept)
+    assert len(kept) == 3  # the three spoke-spoke pairs survive
+    # and the degree bound holds: no node appears in more than k kept edges
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in kept:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) <= 1

@@ -188,3 +188,62 @@ def test_match_provenance(spark):
     assert out[("a", "b")].n_schemes == 2
     assert out[("c", "d")].schemes == "snm" and out[("c", "d")].n_schemes == 1
     assert out[("x", "y")].schemes == "" and out[("x", "y")].n_schemes == 0
+
+
+def _vm(spark, rows):
+    from liblevenshtein_spark.operators.metrics import vmeasure
+
+    df = spark.createDataFrame(rows, ["conv_id", "cluster_id", "gold_id"])
+    r = vmeasure(df).collect()[0]
+    return r.homogeneity, r.completeness, r.v_measure
+
+
+def _vm_reference(rows):
+    """Independent entropy-by-hand V-measure."""
+    import math
+    from collections import Counter
+
+    n = len(rows)
+    cg = Counter((c, g) for _, c, g in rows)
+    cs = Counter(c for _, c, _ in rows)
+    gs = Counter(g for _, _, g in rows)
+    hg = -sum(v / n * math.log(v / n) for v in gs.values())
+    hc = -sum(v / n * math.log(v / n) for v in cs.values())
+    hgc = -sum(v / n * math.log(v / cs[c]) for (c, g), v in cg.items())
+    hcg = -sum(v / n * math.log(v / gs[g]) for (c, g), v in cg.items())
+    hom = 1.0 if hg <= 0 else 1.0 - hgc / hg
+    com = 1.0 if hc <= 0 else 1.0 - hcg / hc
+    v = 0.0 if hom + com == 0 else 2 * hom * com / (hom + com)
+    rnd = lambda x: round(x + 1e-9, 4)
+    return rnd(hom), rnd(com), rnd(v)
+
+
+def test_vmeasure_perfect(spark):
+    rows = [("a", "k1", "g1"), ("b", "k1", "g1"), ("c", "k2", "g2")]
+    assert _vm(spark, rows) == (1.0, 1.0, 1.0)
+
+
+def test_vmeasure_all_merged_and_all_split(spark):
+    # one giant cluster over two gold entities: completeness 1, homogeneity 0
+    merged = [("a", "k", "g1"), ("b", "k", "g1"), ("c", "k", "g2"), ("d", "k", "g2")]
+    hom, com, v = _vm(spark, merged)
+    assert (hom, com, v) == (0.0, 1.0, 0.0)
+    # all singleton clusters: homogeneity 1, completeness 0
+    split = [("a", "k1", "g"), ("b", "k2", "g"), ("c", "k3", "g")]
+    hom, com, v = _vm(spark, split)
+    assert (hom, com, v) == (1.0, 0.0, 0.0)
+
+
+def test_vmeasure_matches_reference_and_label_permutation(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (f"r{i}", f"k{rng.randrange(4)}", f"g{rng.randrange(3)}")
+        for i in range(40)
+    ]
+    assert _vm(spark, rows) == _vm_reference(rows)
+    # invariant under cluster-label permutation
+    perm = {f"k{i}": f"z{9 - i}" for i in range(4)}
+    rows2 = [(r, perm[c], g) for r, c, g in rows]
+    assert _vm(spark, rows2) == _vm(spark, rows)
