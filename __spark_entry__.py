@@ -62,6 +62,7 @@ _PRIORITY = [
     "corpus_top_docs",
     # session-3 additions (never driver-captured):
     "clusters_pivot",
+    "eval_bcubed_pivot",
     "dedup_ppjoin",
     "eval_vmeasure",
     "match_knn_graph",

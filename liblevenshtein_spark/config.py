@@ -83,6 +83,12 @@ class LinkConfig:
     #          mitigation choice, and a fixed 3-join dataflow with zero
     #          driver-side iteration (see eval_bcubed_star for the
     #          measured precision/recall trade).
+    # 'pivot': Ailon-Charikar-Newman correlation-clustering pivot in its
+    #          round-synchronous parallel form — diameter <= 2 like star,
+    #          but assigned nodes leave the graph and the rule re-runs on
+    #          the residual, so nodes star would strand as singletons
+    #          regroup under later-round pivots (expected-3-approximation
+    #          structure; see eval_bcubed_pivot).
     cluster_strategy: str = "cc"
 
     fingerprint_sep: str = FINGERPRINT_SEP
@@ -103,8 +109,8 @@ class LinkConfig:
             raise ValueError("units must be 'codepoint' or 'utf16'")
         if self.blocking_scheme not in ("segments", "deletions"):
             raise ValueError("blocking_scheme must be 'segments' or 'deletions'")
-        if self.cluster_strategy not in ("cc", "star"):
-            raise ValueError("cluster_strategy must be 'cc' or 'star'")
+        if self.cluster_strategy not in ("cc", "star", "pivot"):
+            raise ValueError("cluster_strategy must be 'cc', 'star' or 'pivot'")
 
     @property
     def effective_segments(self) -> int:

@@ -6304,9 +6304,24 @@ def _pivot_oracle(rounds: int = PIVOT_ROUNDS) -> str:
     minima piv{k}, attachments att{k}, then folds into asg{k+1}/un{k+1}.
     Priorities are md5('pivot|' || id) in both engines (lowercase hex,
     lexicographic compare) so the greedy order is bit-identical."""
+    steps = _pivot_steps(rounds, src="matches")
+    final = (
+        f"SELECT c.conv_id, coalesce(a.cluster, c.conv_id) AS pivot_id\n"
+        f"FROM canonical2 c LEFT JOIN (\n"
+        f"  SELECT node, cluster FROM asg{rounds}\n"
+        f"  UNION ALL SELECT node, node FROM un{rounds}\n"
+        f") a ON a.node = c.conv_id"
+    )
+    return DUCK_TRANSCRIPTS + ",\n" + ",\n".join(steps) + "\n" + final
+
+
+def _pivot_steps(rounds: int, src: str) -> list[str]:
+    """The unrolled pivot-round CTE list over edge source CTE `src`
+    (id_a, id_b) — shared by the clusters_pivot and eval_bcubed_pivot
+    oracles."""
     steps = [
-        "sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM matches"
-        " UNION ALL SELECT id_b, id_a FROM matches)",
+        f"sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM {src}"
+        f" UNION ALL SELECT id_b, id_a FROM {src})",
         "un0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
         "asg0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS node,"
         " CAST(NULL AS VARCHAR) AS cluster WHERE 1 = 0)",
@@ -6340,14 +6355,7 @@ def _pivot_oracle(rounds: int = PIVOT_ROUNDS) -> str:
             f"un{k + 1} AS MATERIALIZED (SELECT node FROM un{k}"
             f" WHERE node NOT IN (SELECT node FROM asg{k + 1}))"
         )
-    final = (
-        f"SELECT c.conv_id, coalesce(a.cluster, c.conv_id) AS pivot_id\n"
-        f"FROM canonical2 c LEFT JOIN (\n"
-        f"  SELECT node, cluster FROM asg{rounds}\n"
-        f"  UNION ALL SELECT node, node FROM un{rounds}\n"
-        f") a ON a.node = c.conv_id"
-    )
-    return DUCK_TRANSCRIPTS + ",\n" + ",\n".join(steps) + "\n" + final
+    return steps
 
 
 LINKAGE_QUERIES["clusters_pivot"] = q_clusters_pivot
@@ -6596,3 +6604,69 @@ SELECT c.doc_id,
                   / sum(c.chunk_len) + 0.5) AS BIGINT) AS dup_ratio_1e4
 FROM chunks c JOIN occ o USING (chunk_hash)
 GROUP BY c.doc_id"""
+
+
+def q_eval_bcubed_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed of PIVOT correlation clustering vs gold identity on the same
+    strict (distance<=1) graph eval_bcubed (CC) and eval_bcubed_star score
+    — the third row of the clustering decision table: pivot keeps star's
+    diameter-<=2 guarantee but regroups the nodes star strands, so its
+    recall sits between star's and CC's while precision stays 1.0 on this
+    corpus. Together the three entries turn cluster-strategy selection
+    (LinkConfig.cluster_strategy) into a measured decision."""
+    from .operators.clustering import pivot_clusters
+
+    ship_package(spark)
+    matches1 = (
+        q_score_pairs(spark, sf_dir)
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b")
+    )
+    entities = _canonical(spark, sf_dir).select("conv_id")
+    pred = pivot_clusters(entities, matches1, max_rounds=PIVOT_ROUNDS).select(
+        "conv_id", F.col("pivot_id").alias("cluster_id")
+    )
+    rec = pred.withColumn("gold_id", F.expr("substring(conv_id, 2)"))
+    return bcubed(rec)
+
+
+def _pivot_bcubed_oracle(rounds: int = PIVOT_ROUNDS) -> str:
+    steps = ["matches1 AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE distance <= 1)"]
+    steps += _pivot_steps(rounds, src="matches1")
+    steps.append(
+        f"assign AS MATERIALIZED (SELECT c.conv_id,"
+        f" coalesce(a.cluster, c.conv_id) AS cluster_id,"
+        f" substring(c.conv_id, 2) AS gold_id"
+        f" FROM canonical2 c LEFT JOIN ("
+        f"   SELECT node, cluster FROM asg{rounds}"
+        f"   UNION ALL SELECT node, node FROM un{rounds}"
+        f" ) a ON a.node = c.conv_id)"
+    )
+    steps.append(
+        "cg AS (SELECT cluster_id, gold_id, count(*) AS n_cg"
+        " FROM assign GROUP BY cluster_id, gold_id)"
+    )
+    steps.append("cs AS (SELECT cluster_id, sum(n_cg) AS n_c FROM cg GROUP BY cluster_id)")
+    steps.append("gs AS (SELECT gold_id, sum(n_cg) AS n_g FROM cg GROUP BY gold_id)")
+    steps.append(
+        "pr AS (SELECT CAST(sum(n_cg) AS BIGINT) AS n_entities,"
+        " sum(CAST(n_cg AS DOUBLE) * n_cg / n_c) AS sp,"
+        " sum(CAST(n_cg AS DOUBLE) * n_cg / n_g) AS sr"
+        " FROM cg JOIN cs USING (cluster_id) JOIN gs USING (gold_id))"
+    )
+    steps.append(
+        "fin AS (SELECT n_entities, sp / n_entities AS p, sr / n_entities AS r FROM pr)"
+    )
+    final = (
+        "SELECT n_entities,\n"
+        "       round(p + 0.000000001, 4) AS bcubed_precision,\n"
+        "       round(r + 0.000000001, 4) AS bcubed_recall,\n"
+        "       round(CASE WHEN p + r = 0 THEN 0\n"
+        "                  ELSE 2 * p * r / (p + r) END + 0.000000001, 4) AS bcubed_f1\n"
+        "FROM fin"
+    )
+    return DUCK_TRANSCRIPTS + ",\n" + ",\n".join(steps) + "\n" + final
+
+
+LINKAGE_QUERIES["eval_bcubed_pivot"] = q_eval_bcubed_pivot
+LINKAGE_ORACLES["eval_bcubed_pivot"] = _pivot_bcubed_oracle(PIVOT_ROUNDS)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..config import LinkConfig
 from ..operators.candidates import block_keys, candidate_pairs
 from ..operators.canonicalize import canonicalize
-from ..operators.clustering import assign_clusters, star_clusters
+from ..operators.clustering import assign_clusters, pivot_clusters, star_clusters
 from ..operators.scoring import match_filter, score_pairs
 
 __all__ = ["LinkResult", "exact_groups", "run_linkage"]
@@ -84,6 +84,10 @@ def run_linkage(transcripts: DataFrame, conf: LinkConfig | None = None,
         rep_clusters = star_clusters(reps.select("conv_id"), matches).withColumnRenamed(
             "star_id", "cluster_id"
         )
+    elif conf.cluster_strategy == "pivot":
+        rep_clusters = pivot_clusters(
+            reps.select("conv_id"), matches
+        ).withColumnRenamed("pivot_id", "cluster_id")
     else:
         rep_clusters = assign_clusters(reps, matches, max_iterations=conf.cc_max_iterations)
     if contract_exact:

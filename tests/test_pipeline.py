@@ -250,3 +250,36 @@ def test_cluster_strategy_star_contracted(spark):
     assert n_violations == 0
     # all entities assigned exactly once
     assert res.clusters.count() == canon.count()
+
+
+def test_cluster_strategy_pivot(spark):
+    """run_linkage(cluster_strategy='pivot') runs pivot correlation
+    clustering over the same match graph: every member is a DIRECT match
+    of its pivot, the assignment equals the standalone operator, and the
+    match set is identical across strategies."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.clustering import pivot_clusters
+    from liblevenshtein_spark.plans.pipeline import run_linkage
+    from liblevenshtein_spark.sources.tables import TRANSCRIPTS_SCHEMA
+    from liblevenshtein_spark.testdata_gen import gen_transcript_rows
+
+    rows, _ = gen_transcript_rows(n_base=25, dup_fraction=0.6, max_edits=2, seed=11)
+    t = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    cc = run_linkage(t, LinkConfig(max_distance=2, cluster_strategy="cc"))
+    pv = run_linkage(t, LinkConfig(max_distance=2, cluster_strategy="pivot"))
+    assert sorted(r["conv_id"] for r in cc.clusters.collect()) == \
+           sorted(r["conv_id"] for r in pv.clusters.collect())
+    edges = {(r["id_a"], r["id_b"]) for r in pv.matches.select("id_a", "id_b").collect()}
+    sym = edges | {(b, a) for a, b in edges}
+    for r in pv.clusters.collect():
+        assert r["cluster_id"] == r["conv_id"] or (r["conv_id"], r["cluster_id"]) in sym
+    assert cc.matches.count() == pv.matches.count()
+    # pipeline assignment == standalone operator on the same graph
+    want = {
+        r["conv_id"]: r["pivot_id"]
+        for r in pivot_clusters(
+            cc.canonical.select("conv_id"), cc.matches.select("id_a", "id_b")
+        ).collect()
+    }
+    got = {r["conv_id"]: r["cluster_id"] for r in pv.clusters.collect()}
+    assert got == want
