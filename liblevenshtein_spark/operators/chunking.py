@@ -159,15 +159,25 @@ def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
     from ..functions.text import portable_hash64
 
     n = F.length(text_col)
-    pos = docs.select(
-        F.col(id_col), F.col(text_col).alias("_t"),
-        F.explode(
-            F.sequence(F.lit(2), F.greatest(F.lit(1), n - F.lit(gram - 1)))
-        ).alias("p"),
-    ).filter(F.length("_t") >= gram + 1)
-    hits = pos.filter(
-        portable_hash64(F.substring(F.col("_t"), F.col("p"), gram))
-        % modulus == 0
+    # build (position, gram) structs per doc and explode THOSE — the rows
+    # that ride the explode carry an 8-char gram, never the full text, so
+    # the per-doc cost is O(L·gram) bytes instead of the O(L²) a naive
+    # position-explode-then-substring pays (at 10 KB docs that is the
+    # difference between 80 KB and 100 MB of row copies per document)
+    pos_grams = F.when(
+        n >= gram + 1,
+        F.transform(
+            F.sequence(F.lit(2), n - F.lit(gram - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("p"),
+                F.col(text_col).substr(i, F.lit(gram)).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,g:string>>"))
+    hits = (
+        docs.select(F.col(id_col), F.explode(pos_grams).alias("_pg"))
+        .filter(portable_hash64(F.col("_pg.g")) % modulus == 0)
+        .select(F.col(id_col), F.col("_pg.p").alias("p"))
     )
     bounds = hits.groupBy(id_col).agg(
         F.sort_array(F.collect_list("p")).alias("_bs")
@@ -198,22 +208,32 @@ def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.length("_t") > 0)
     )
-    starts = with_bounds.select(
-        F.col(id_col), "_t",
-        F.posexplode(F.slice(F.col("_cuts"), 1, F.size("_cuts") - 1))
-        .alias("chunk_idx", "chunk_start"),
-        F.col("_cuts").alias("_all"),
+    # same trick on emission: build the per-doc chunk-struct array in one
+    # row (start, len, md5 of the chunk bytes), then explode structs that
+    # no longer reference the text column
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), F.size("_cuts") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_cuts"), i).alias("start"),
+            (F.element_at(F.col("_cuts"), i + 1)
+             - F.element_at(F.col("_cuts"), i)).alias("len"),
+            F.md5(
+                F.col("_t").substr(
+                    F.element_at(F.col("_cuts"), i),
+                    F.element_at(F.col("_cuts"), i + 1)
+                    - F.element_at(F.col("_cuts"), i),
+                )
+            ).alias("hash"),
+        ),
     )
-    chunk_len = (
-        F.element_at(F.col("_all"), F.col("chunk_idx") + 2) - F.col("chunk_start")
-    )
-    return starts.select(
+    return with_bounds.select(
+        F.col(id_col), F.posexplode(chunk_structs).alias("chunk_idx", "_c")
+    ).select(
         F.col(id_col),
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("chunk_start").cast("int").alias("chunk_start"),
-        chunk_len.cast("int").alias("chunk_len"),
-        F.md5(F.substring(F.col("_t"), F.col("chunk_start"), chunk_len))
-        .alias("chunk_hash"),
+        F.col("_c.start").cast("int").alias("chunk_start"),
+        F.col("_c.len").cast("int").alias("chunk_len"),
+        F.col("_c.hash").alias("chunk_hash"),
     )
 
 

@@ -564,7 +564,7 @@ def _pivot_pri(col) -> Column:
     return F.md5(F.concat(F.lit("pivot|"), col.cast("string")))
 
 
-def _local_pivot(spark, rows, max_rounds: int):
+def _local_pivot(spark, rows, max_rounds: int, schema):
     """Driver-side replica of the round-synchronous pivot rule over a
     collected edge list — the same adaptive small-graph strategy selection
     as _local_components, and bit-identical to the distributed loop (the
@@ -597,9 +597,7 @@ def _local_pivot(spark, rows, max_rounds: int):
         live -= set(newly)
     for u in live:  # max_rounds exhausted: defensive self-assign
         assign[u] = u
-    return spark.createDataFrame(
-        [(k, v) for k, v in assign.items()], "node string, cluster string"
-    )
+    return spark.createDataFrame([(k, v) for k, v in assign.items()], schema)
 
 
 def pivot_clusters(entities: DataFrame, matches: DataFrame,
@@ -638,10 +636,13 @@ def pivot_clusters(entities: DataFrame, matches: DataFrame,
         matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
     spark = edges.sparkSession
+    assign_schema = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("cluster")
+    ).schema
     if small_graph_edges > 0:
         probe = edges.limit(small_graph_edges + 1).collect()
         if len(probe) <= small_graph_edges:
-            assign = _local_pivot(spark, probe, max_rounds)
+            assign = _local_pivot(spark, probe, max_rounds, assign_schema)
             return (
                 entities.select(id_col)
                 .join(assign.withColumnRenamed("node", id_col), id_col, "left")
@@ -657,7 +658,7 @@ def pivot_clusters(entities: DataFrame, matches: DataFrame,
     un_nodes = sym.select(F.col("src").alias("node")).distinct() \
         .localCheckpoint(eager=True)
     un_edges = sym.localCheckpoint(eager=True)
-    assign = spark.createDataFrame([], "node string, cluster string")
+    assign = spark.createDataFrame([], assign_schema)
     for _ in range(max_rounds):
         nbr_min = un_edges.groupBy("src").agg(
             F.min(_pivot_pri(F.col("dst"))).alias("_mn")
