@@ -71,6 +71,11 @@ _PRIORITY = [
     "corpus_zipf",
     "candidate_pairs_canopy",
     "bpe_merge_pairs",
+    # session-4 additions (never driver-captured):
+    "retract_entities",
+    "dedup_estimate",
+    "similarity_tool_seq",
+    "profile_table",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

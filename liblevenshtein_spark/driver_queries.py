@@ -6670,3 +6670,221 @@ def _pivot_bcubed_oracle(rounds: int = PIVOT_ROUNDS) -> str:
 
 LINKAGE_QUERIES["eval_bcubed_pivot"] = q_eval_bcubed_pivot
 LINKAGE_ORACLES["eval_bcubed_pivot"] = _pivot_bcubed_oracle(PIVOT_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-4 wave: retraction, duplicate-population estimation,
+# process (tool-sequence) similarity, ingest profiling
+# ---------------------------------------------------------------------------
+
+
+def q_retract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten retraction (operators/clustering.py::
+    retract_entities): entities whose portable-md5 first hex digit is 'f'
+    (~1/16 of the corpus, deterministic in both engines) are deleted from
+    the standing cluster assignment; clusters untouched by the deletion
+    keep their rows verbatim, affected clusters re-run CC on surviving
+    internal edges only.  The oracle recomputes connected components from
+    scratch on the survivor graph, so the gate certifies that incremental
+    repair == full re-cluster (node deletion can split components but
+    never merge them — the invariant the fast path rests on)."""
+    from .operators.clustering import retract_entities
+
+    ship_package(spark)
+    clusters = q_clusters(spark, sf_dir)
+    matches = q_matches(spark, sf_dir).select("id_a", "id_b")
+    deleted = _canonical(spark, sf_dir).filter(
+        F.substring(F.md5("conv_id"), 1, 1) == "f"
+    ).select("conv_id")
+    return retract_entities(clusters, matches, deleted)
+
+
+LINKAGE_QUERIES["retract_entities"] = q_retract_entities
+LINKAGE_ORACLES["retract_entities"] = DUCK_TRANSCRIPTS + """,
+kept AS (
+  SELECT conv_id FROM canonical2 WHERE substring(md5(conv_id), 1, 1) <> 'f'
+),
+kept_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  WHERE substring(md5(id_a), 1, 1) <> 'f' AND substring(md5(id_b), 1, 1) <> 'f'
+  UNION ALL
+  SELECT id_b, id_a FROM matches
+  WHERE substring(md5(id_a), 1, 1) <> 'f' AND substring(md5(id_b), 1, 1) <> 'f'
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM kept
+    UNION
+    SELECT e.dst, r.root FROM r JOIN kept_edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node"""
+
+
+def q_dedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate of the total duplicate-pair
+    population (operators/metrics.py::capture_recapture) from two
+    imperfect detectors run over the same corpus: detector A = sorted-
+    neighborhood matching (window 4 over the sig sort), detector B =
+    exact-sig-equality blocking, both scored with the banded kernel at
+    n=2.  One audit row: each detector's match count, the recapture
+    overlap, the Chapman population estimate and the implied number of
+    still-missed duplicates — 'how many duplicates remain' WITHOUT ground
+    truth, the census-linkage technique (Winkler) every large-corpus
+    dedup run should report.  Caveat (documented, inherent to the
+    method): both detectors key on the sig prefix, so positive capture
+    correlation biases the estimate low relative to truly independent
+    detectors; the entry is the estimator mechanics through the hard
+    gate, the scheme choice is per-deployment."""
+    from .operators.metrics import capture_recapture
+    from .operators.ranking import sorted_neighborhood_pairs
+    from .operators.scoring import score_pairs
+
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    canon = _canonical(spark, sf_dir)
+    texts = canon.select("conv_id", "fingerprint")
+    ents = canon.select(
+        "conv_id", F.expr(f"substring(fingerprint, 1, {SIG_LEN})").alias("sig")
+    )
+    snm = sorted_neighborhood_pairs(ents, "sig", window=4).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    cap_a = score_pairs(snm, texts, conf).filter(F.col("distance") <= 2)
+    sa = ents.select(F.col("conv_id").alias("id_a"), "sig")
+    sb = ents.select(F.col("conv_id").alias("id_b"), "sig")
+    sig_eq = sa.join(sb, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    cap_b = score_pairs(sig_eq, texts, conf).filter(F.col("distance") <= 2)
+    return capture_recapture(cap_a, cap_b)
+
+
+LINKAGE_QUERIES["dedup_estimate"] = q_dedup_estimate
+LINKAGE_ORACLES["dedup_estimate"] = DUCK_TRANSCRIPTS + """,
+rnk AS (
+  SELECT conv_id, row_number() OVER (ORDER BY sig, conv_id) AS r
+  FROM canonical2
+),
+snm_band AS (
+  SELECT least(a.conv_id, b.conv_id) AS id_a,
+         greatest(a.conv_id, b.conv_id) AS id_b
+  FROM rnk a JOIN rnk b ON b.r > a.r AND b.r <= a.r + 3
+),
+cap_a AS (
+  SELECT DISTINCT p.id_a, p.id_b
+  FROM (
+    SELECT s.id_a, s.id_b, x.fingerprint AS fa, y.fingerprint AS fb
+    FROM snm_band s
+    JOIN canonical2 x ON x.conv_id = s.id_a
+    JOIN canonical2 y ON y.conv_id = s.id_b
+    WHERE abs(x.fp_len - y.fp_len) <= 2
+  ) p
+  WHERE levenshtein(p.fa, p.fb) <= 2
+),
+sig_eq AS (
+  SELECT a.conv_id AS id_a, b.conv_id AS id_b
+  FROM canonical2 a JOIN canonical2 b
+    ON a.sig = b.sig AND a.conv_id < b.conv_id
+),
+cap_b AS (
+  SELECT DISTINCT p.id_a, p.id_b
+  FROM (
+    SELECT s.id_a, s.id_b, x.fingerprint AS fa, y.fingerprint AS fb
+    FROM sig_eq s
+    JOIN canonical2 x ON x.conv_id = s.id_a
+    JOIN canonical2 y ON y.conv_id = s.id_b
+    WHERE abs(x.fp_len - y.fp_len) <= 2
+  ) p
+  WHERE levenshtein(p.fa, p.fb) <= 2
+),
+counts AS (
+  SELECT CAST((SELECT count(*) FROM cap_a) AS BIGINT) AS n_a,
+         CAST((SELECT count(*) FROM cap_b) AS BIGINT) AS n_b,
+         CAST((SELECT count(*) FROM cap_a JOIN cap_b USING (id_a, id_b)) AS BIGINT) AS n_both
+)
+SELECT n_a, n_b, n_both,
+       CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT) AS est_total,
+       CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1
+            - (n_a + n_b - n_both) AS BIGINT) AS est_missed
+FROM counts"""
+
+
+def q_similarity_tool_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-similarity comparator for AGENT transcripts: order-sensitive
+    edit distance over each conversation's tool-call SEQUENCE — two runs
+    that invoked the same tools in the same order are process-duplicates
+    even when their prose differs, the sequence twin of
+    collective_linkage's order-free tool-profile Jaccard.  Tool stand-in
+    per turn is the input-schema `tool` column's deterministic proxy
+    (first md5 hex char of the turn text — same convention as
+    collective_linkage, 16 possible tools); each conversation compresses
+    to a ≤n_turns-char string over that 16-symbol alphabet, and the
+    EXISTING banded kernel scores the candidate stream on the encoded
+    strings (max_distance 2, sentinel 3) — the kernels are
+    alphabet-agnostic, so 'token-level edit distance' is literally
+    dictionary-encode + the same operator.  Cost: the encoded strings are
+    ~60x shorter than fingerprints, so the kernel pass is noise; one
+    groupBy builds the sequences."""
+    from .operators.scoring import score_pairs
+
+    ship_package(spark)
+    t = derive_transcripts(spark, sf_dir)
+    seq = (
+        t.select("conv_id", "turn_idx", F.substring(F.md5("text"), 1, 1).alias("ch"))
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "ch"))).alias("ordered"))
+        .select(
+            "conv_id",
+            F.array_join(F.expr("transform(ordered, t -> t.ch)"), "").alias("fingerprint"),
+        )
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    return score_pairs(pairs, seq, conf).select(
+        "id_a", "id_b", F.col("distance").alias("seq_distance")
+    )
+
+
+LINKAGE_QUERIES["similarity_tool_seq"] = q_similarity_tool_seq
+LINKAGE_ORACLES["similarity_tool_seq"] = DUCK_TRANSCRIPTS + """,
+toolseq AS MATERIALIZED (
+  SELECT conv_id,
+         string_agg(substring(md5(text), 1, 1), '' ORDER BY turn_idx) AS seq
+  FROM transcripts GROUP BY conv_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(least(levenshtein(a.seq, b.seq), 3) AS INT) AS seq_distance
+FROM cand_pairs p
+JOIN toolseq a ON a.conv_id = p.id_a
+JOIN toolseq b ON b.conv_id = p.id_b
+WHERE abs(length(a.seq) - length(b.seq)) <= 2"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time column profiling (operators/analytics.py::
+    profile_columns) over the transcripts table: per column, row/null/
+    distinct counts and min/max/total string-rendering length — the
+    data-quality report a production linkage run opens with (unexpected
+    null rates or distinct-count collapse upstream of blocking is the
+    most common silent recall killer).  One scan; see the operator
+    docstring for the multi-DISTINCT Expand plan shape."""
+    from .operators.analytics import profile_columns
+
+    t = derive_transcripts(spark, sf_dir)
+    return profile_columns(t, ["conv_id", "turn_idx", "role", "text", "tool"])
+
+
+_PROFILE_COL_SQL = """
+  SELECT '{c}' AS column_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+         CAST(min(length(CAST({c} AS VARCHAR))) AS INT) AS min_len,
+         CAST(max(length(CAST({c} AS VARCHAR))) AS INT) AS max_len,
+         CAST(sum(length(CAST({c} AS VARCHAR))) AS BIGINT) AS sum_len
+  FROM transcripts"""
+
+LINKAGE_QUERIES["profile_table"] = q_profile_table
+LINKAGE_ORACLES["profile_table"] = DUCK_TRANSCRIPTS + "\n" + "\nUNION ALL\n".join(
+    _PROFILE_COL_SQL.format(c=c) for c in ["conv_id", "turn_idx", "role", "text", "tool"]
+)

@@ -454,3 +454,47 @@ def corpus_zipf(docs: DataFrame, text_col: str = "text") -> DataFrame:
         gate_round4(F.regr_slope(lf, lr)).alias("zipf_slope"),
         gate_round4(F.regr_intercept(lf, lr)).alias("zipf_intercept"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level data profiling (the ingest-time quality report every
+    production linkage run opens with — Splink/Great-Expectations-style):
+    for each named column, row count, null count, distinct count and
+    min/max/total length of the string rendering, one output row per
+    column.
+
+    Scale shape: ONE table scan computes every column's statistics — the
+    per-column count/min/max/sum aggregates fuse into a single hash-agg
+    pass, and the exact distinct counts ride Spark's multi-DISTINCT
+    Expand (one narrow (gid, value) row per profiled column inside the
+    same scan, partial-aggregated map-side — not a separate job per
+    column); the wide 1-row result is then unpivoted by a stack()
+    projection over O(columns) rows.
+    Non-string columns profile their canonical string rendering so the
+    report shape is uniform."""
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        ln = F.length(s)
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(s).cast("bigint").alias(f"{c}__distinct"),
+            F.min(ln).cast("int").alias(f"{c}__min_len"),
+            F.max(ln).cast("int").alias(f"{c}__max_len"),
+            F.sum(ln).cast("bigint").alias(f"{c}__sum_len"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct,"
+        f" {c}__min_len, {c}__max_len, {c}__sum_len"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " AS (column_name, n_rows, n_nulls, n_distinct,"
+            " min_len, max_len, sum_len)"
+        )
+    )

@@ -208,6 +208,63 @@ def fold_clusters(entities: DataFrame, assignment: DataFrame,
                            small_graph_edges=small_graph_edges)
 
 
+def retract_entities(assignment: DataFrame, matches: DataFrame,
+                     deleted: DataFrame, id_col: str = "conv_id",
+                     max_iterations: int = 50,
+                     small_graph_edges: int = 1_000_000) -> DataFrame:
+    """Right-to-be-forgotten retraction: remove a set of entities from an
+    existing cluster assignment and repair ONLY the clusters they touched.
+
+    Deleting nodes can SPLIT a connected component but can never MERGE two
+    of them, so every cluster with no deleted member keeps its assignment
+    row verbatim — including its cluster_id, since the id is the minimum
+    member id and that member, being undeleted, still anchors it.  Only
+    the affected clusters re-run connected components, on their surviving
+    internal edges.  At 10^12-turn scale a deletion batch therefore costs
+    one semi-join over the assignment plus CC over the affected-cluster
+    subgraph (bounded by deleted-cluster mass), NOT a re-cluster of the
+    full match graph — the deletion-side twin of fold_clusters (which
+    handles additions the same incremental way).
+
+    `matches` must carry the match edges for at least the affected
+    clusters (the full match stream is fine; edges elsewhere are pruned by
+    the cluster semi-join before CC).  Result is identical to
+    assign_clusters(entities - deleted, edges among survivors)."""
+    deleted = deleted.select(id_col).distinct()
+    flagged = assignment.join(
+        deleted.withColumn("_del", F.lit(1)), id_col, "left"
+    )
+    affected = (
+        flagged.filter(F.col("_del").isNotNull())
+        .select("cluster_id").distinct()
+    )
+    untouched = assignment.join(affected, "cluster_id", "left_anti").select(
+        id_col, "cluster_id"
+    )
+    survivors = (
+        flagged.filter(F.col("_del").isNull())
+        .join(affected, "cluster_id")
+        .select(id_col)
+    )
+    # An edge's two endpoints share a cluster by CC's definition, so
+    # membership of id_a alone decides whether the edge is in an affected
+    # cluster; both-endpoint survival is enforced by the anti-joins.
+    sub_edges = (
+        matches.select("id_a", "id_b")
+        .join(
+            assignment.select(F.col(id_col).alias("id_a"), "cluster_id"),
+            "id_a",
+        )
+        .join(affected, "cluster_id")
+        .join(deleted.select(F.col(id_col).alias("id_a")), "id_a", "left_anti")
+        .join(deleted.select(F.col(id_col).alias("id_b")), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    )
+    repaired = assign_clusters(survivors, sub_edges, id_col, max_iterations,
+                               small_graph_edges=small_graph_edges)
+    return untouched.unionByName(repaired)
+
+
 def star_clusters(entities: DataFrame, matches: DataFrame,
                   id_col: str = "conv_id") -> DataFrame:
     """Deterministic one-hop star clustering (the CENTER family, Haveliwala

@@ -672,3 +672,37 @@ def vmeasure(assignments: DataFrame, pred_col: str = "cluster_id",
         gate_round4(com).alias("completeness"),
         gate_round4(v).alias("v_measure"),
     )
+
+
+def capture_recapture(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """Chapman capture–recapture estimate of the TOTAL duplicate-pair
+    population from two independent imperfect detectors (Lincoln–Petersen
+    with Chapman's small-sample correction — the standard census tool for
+    'how many duplicates did we miss', applied to ER exactly as in
+    Winkler's census-linkage error-rate work): detector A marks n_a pairs,
+    detector B recaptures n_b of which n_both were already marked, so the
+    population estimate is (n_a+1)(n_b+1)/(n_both+1) - 1.
+
+    Both inputs must be canonical (id_a < id_b) pair streams.  The
+    estimator stays in INTEGER arithmetic (bigint DIV) so both engines
+    round identically; est_missed is the estimate minus the union actually
+    found.  Scale shape: two count aggs plus one pair-keyed join — cost is
+    the smaller detector's pair volume, nothing corpus-sized."""
+    a = pairs_a.select("id_a", "id_b").distinct()
+    b = pairs_b.select("id_a", "id_b").distinct()
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    nj = a.join(b, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    est = F.expr("(n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1")
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nj))
+        .select(
+            "n_a", "n_b", "n_both",
+            est.cast("bigint").alias("est_total"),
+            (est - (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+            .cast("bigint").alias("est_missed"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Session-4 wave: retraction repair parity, capture–recapture closed form,
+column profiling, and token-sequence distance via dictionary encoding.
+
+retract_entities' contract is the graph fact it rests on: deleting nodes can
+split a connected component but never merge two, so repairing only affected
+clusters must equal a full re-cluster of the survivor graph — asserted here
+against a pure-python union-find over randomized graphs (bridges included),
+for BOTH physical CC strategies (driver fast path and distributed loop).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from liblevenshtein_spark.operators.clustering import (
+    assign_clusters, retract_entities,
+)
+from liblevenshtein_spark.operators.metrics import capture_recapture
+from liblevenshtein_spark.operators.analytics import profile_columns
+
+from test_clustering import union_find
+
+
+def _random_graph(rng, n_nodes, n_edges):
+    nodes = [f"n{i:03d}" for i in range(n_nodes)]
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    return nodes, sorted(edges)
+
+
+def test_retract_parity_randomized(spark):
+    rng = random.Random(7)
+    for trial in range(6):
+        nodes, edges = _random_graph(rng, 40, rng.randint(10, 60))
+        deleted = set(rng.sample(nodes, rng.randint(1, 12)))
+        survivors = [n for n in nodes if n not in deleted]
+        kept_edges = [(a, b) for a, b in edges
+                      if a not in deleted and b not in deleted]
+        want = union_find(survivors, kept_edges)
+
+        nodes_df = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+        edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        deleted_df = spark.createDataFrame([(d,) for d in deleted], ["conv_id"])
+        for threshold in (1_000_000, 0):
+            assignment = assign_clusters(nodes_df, edges_df,
+                                         small_graph_edges=threshold)
+            got = {
+                r.conv_id: r.cluster_id
+                for r in retract_entities(
+                    assignment, edges_df, deleted_df,
+                    small_graph_edges=threshold
+                ).collect()
+            }
+            assert got == want, f"trial={trial} small_graph_edges={threshold}"
+
+
+def test_retract_bridge_splits_cluster(spark):
+    # a - b - c chained through bridge b: deleting b must split {a,c}
+    nodes_df = spark.createDataFrame([("a",), ("b",), ("c",)], ["conv_id"])
+    edges_df = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    assignment = assign_clusters(nodes_df, edges_df)
+    out = {
+        r.conv_id: r.cluster_id
+        for r in retract_entities(
+            assignment, edges_df,
+            spark.createDataFrame([("b",)], ["conv_id"]),
+        ).collect()
+    }
+    assert out == {"a": "a", "c": "c"}
+
+
+def test_retract_untouched_cluster_passes_through(spark):
+    nodes_df = spark.createDataFrame(
+        [("a",), ("b",), ("x",), ("y",)], ["conv_id"])
+    edges_df = spark.createDataFrame([("a", "b"), ("x", "y")], ["id_a", "id_b"])
+    assignment = assign_clusters(nodes_df, edges_df)
+    out = {
+        r.conv_id: r.cluster_id
+        for r in retract_entities(
+            assignment, edges_df,
+            spark.createDataFrame([("y",)], ["conv_id"]),
+        ).collect()
+    }
+    assert out == {"a": "a", "b": "a", "x": "x"}
+
+
+def test_capture_recapture_closed_form(spark):
+    pairs = lambda rows: spark.createDataFrame(rows, ["id_a", "id_b"])
+    a = pairs([("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")])
+    b = pairs([("a", "b"), ("c", "d"), ("i", "j")])
+    row = capture_recapture(a, b).collect()[0]
+    assert (row.n_a, row.n_b, row.n_both) == (4, 3, 2)
+    # Chapman: (4+1)*(3+1)//(2+1) - 1 = 20//3 - 1 = 5
+    assert row.est_total == 5
+    assert row.est_missed == 5 - (4 + 3 - 2)
+
+
+def test_capture_recapture_zero_overlap(spark):
+    pairs = lambda rows: spark.createDataFrame(rows, ["id_a", "id_b"])
+    row = capture_recapture(
+        pairs([("a", "b")]), pairs([("c", "d")])
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.n_both) == (1, 1, 0)
+    assert row.est_total == (2 * 2) // 1 - 1 == 3
+
+
+def test_profile_columns_with_nulls(spark):
+    df = spark.createDataFrame(
+        [("r1", 10, None), ("r2", 7, "xy"), ("r3", 10, "")],
+        ["sid", "num", "txt"],
+    )
+    out = {r.column_name: r for r in
+           profile_columns(df, ["sid", "num", "txt"]).collect()}
+    assert out["sid"].n_rows == 3 and out["sid"].n_nulls == 0
+    assert out["sid"].n_distinct == 3
+    assert (out["sid"].min_len, out["sid"].max_len, out["sid"].sum_len) == (2, 2, 6)
+    # ints profile their string rendering: '10','7','10'
+    assert out["num"].n_distinct == 2
+    assert (out["num"].min_len, out["num"].max_len, out["num"].sum_len) == (1, 2, 5)
+    # nulls are counted but excluded from distinct/length stats
+    assert out["txt"].n_nulls == 1
+    assert out["txt"].n_distinct == 2  # 'xy' and ''
+    assert (out["txt"].min_len, out["txt"].max_len, out["txt"].sum_len) == (0, 2, 2)
+
+
+def test_tool_seq_dictionary_encoding_is_token_levenshtein(spark):
+    """Token-level edit distance == char distance on dictionary-encoded
+    sequences: verify the encode-then-banded-kernel path against a
+    python token-list Levenshtein."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.scoring import score_pairs
+
+    def lev(xs, ys):
+        prev = list(range(len(ys) + 1))
+        for i, x in enumerate(xs, 1):
+            cur = [i]
+            for j, y in enumerate(ys, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    seqs = {
+        "c1": ["search", "read", "edit", "bash"],
+        "c2": ["search", "read", "edit"],          # one deletion
+        "c3": ["search", "grep", "edit", "bash"],  # one substitution
+        "c4": ["bash", "bash", "bash", "bash"],    # far
+    }
+    vocab = {t: chr(65 + i) for i, t in enumerate(
+        sorted({t for s in seqs.values() for t in s}))}
+    enc = {k: "".join(vocab[t] for t in s) for k, s in seqs.items()}
+    ents = spark.createDataFrame(
+        [(k, v) for k, v in enc.items()], ["conv_id", "fingerprint"])
+    ids = sorted(seqs)
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        ["id_a", "id_b"],
+    )
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    got = {(r.id_a, r.id_b): r.distance
+           for r in score_pairs(pairs, ents, conf).collect()}
+    for (a, b), d in got.items():
+        want = min(lev(seqs[a], seqs[b]), 3)
+        assert d == want, (a, b, d, want)
+    # the length-band prefilter may drop |len diff| > 2 pairs; every
+    # surviving true pair must be present
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if abs(len(seqs[a]) - len(seqs[b])) <= 2:
+                assert (a, b) in got
