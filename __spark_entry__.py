@@ -76,6 +76,9 @@ _PRIORITY = [
     "dedup_estimate",
     "similarity_tool_seq",
     "profile_table",
+    "progressive_recall",
+    "clusters_exemplar",
+    "corpus_sample_stratified",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

@@ -6888,3 +6888,194 @@ LINKAGE_QUERIES["profile_table"] = q_profile_table
 LINKAGE_ORACLES["profile_table"] = DUCK_TRANSCRIPTS + "\n" + "\nUNION ALL\n".join(
     _PROFILE_COL_SQL.format(c=c) for c in ["conv_id", "turn_idx", "role", "text", "tool"]
 )
+
+
+def q_progressive_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-as-you-go (progressive) ER budget curve (Whang et al. 2013 /
+    Papenbrock et al.): rank every candidate pair by a FREE ordering
+    signal — CBS, the number of blocking keys the pair co-occurs in
+    (meta-blocking's weight, already computed before any kernel work) —
+    and report, per spending decile of that ranked stream, how much of
+    the total match volume a scoring budget cut off there would have
+    found.  A steep curve certifies the ordering: most matches sit in the
+    first deciles, so a 10x-smaller kernel budget keeps most recall —
+    the table that decides 'can we afford full scoring this run'.
+
+    Scale shape: key-count agg on the pair stream (no texts), the
+    distributed global_rank (range partition + broadcast offsets — no
+    single-partition window), one bucket agg; the cumulative window runs
+    over TEN rows.  Integer bucket arithmetic ((rank-1)*10 DIV n) keeps
+    decile edges cross-engine exact."""
+    from pyspark.sql import Window
+
+    from .operators.ranking import global_rank
+
+    ship_package(spark)
+    keys = _sig_keys(spark, sf_dir)
+    a = keys.select(F.col("conv_id").alias("_ida"), "block_key")
+    b = keys.select(F.col("conv_id").alias("_idb"), "block_key")
+    cbs = (
+        a.join(b, "block_key")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cbs"))
+    )
+    ranked = global_rank(cbs.withColumn("_negcbs", -F.col("cbs")),
+                         ["_negcbs", "id_a", "id_b"])
+    n_total = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    matches = q_matches(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("_m")
+    )
+    flagged = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .join(matches, ["id_a", "id_b"], "left")
+        .select(
+            F.expr("CAST((rank - 1) * 10 DIV _n AS INT)").alias("decile"),
+            F.coalesce("_m", F.lit(0)).alias("_m"),
+        )
+    )
+    agg = flagged.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_m").cast("bigint").alias("n_matches"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "decile", "n_pairs", "n_matches",
+        F.sum("n_matches").over(cum).cast("bigint").alias("cum_matches"),
+        gate_round4(
+            F.sum("n_matches").over(cum)
+            / F.greatest(F.sum("n_matches").over(tot), F.lit(1))
+        ).alias("cum_recall"),
+    )
+
+
+LINKAGE_QUERIES["progressive_recall"] = q_progressive_recall
+LINKAGE_ORACLES["progressive_recall"] = DUCK_TRANSCRIPTS + """,
+cbs AS MATERIALIZED (
+  SELECT a.conv_id AS id_a, b.conv_id AS id_b, count(*) AS cbs
+  FROM sig_keys a JOIN sig_keys b ON a.block_key = b.block_key
+  WHERE a.conv_id < b.conv_id
+  GROUP BY a.conv_id, b.conv_id
+),
+ranked AS (
+  SELECT id_a, id_b,
+         row_number() OVER (ORDER BY cbs DESC, id_a, id_b) AS rn,
+         count(*) OVER () AS n
+  FROM cbs
+),
+flagged AS (
+  SELECT CAST((r.rn - 1) * 10 // r.n AS INT) AS decile,
+         CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_match
+  FROM ranked r LEFT JOIN matches m USING (id_a, id_b)
+),
+agg AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_match) AS BIGINT) AS n_matches
+  FROM flagged GROUP BY decile
+)
+SELECT decile, n_pairs, n_matches,
+       CAST(sum(n_matches) OVER (ORDER BY decile) AS BIGINT) AS cum_matches,
+       round(CAST(sum(n_matches) OVER (ORDER BY decile) AS DOUBLE)
+             / greatest(sum(n_matches) OVER (), 1) + 0.000000001, 4) AS cum_recall
+FROM agg"""
+
+
+def q_clusters_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid canonical-record selection (operators/clustering.py::
+    cluster_exemplars) for every multi-member entity cluster: the member
+    with minimum summed edit distance to its co-members, computed in
+    closed form from the SCORED pair stream only (unscored intra-cluster
+    pairs count the sentinel n+1) — no within-cluster all-pairs
+    expansion, no re-scoring.  The actual-record complement of
+    golden_records' synthetic field fusion."""
+    from .operators.clustering import cluster_exemplars
+
+    ship_package(spark)
+    return cluster_exemplars(
+        q_clusters(spark, sf_dir), q_score_pairs(spark, sf_dir)
+    )
+
+
+LINKAGE_QUERIES["clusters_exemplar"] = q_clusters_exemplar
+LINKAGE_ORACLES["clusters_exemplar"] = DUCK_TRANSCRIPTS + """,
+nodes AS (SELECT conv_id FROM canonical2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM matches
+  UNION ALL SELECT id_b, id_a FROM matches
+),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT conv_id, conv_id FROM nodes
+    UNION
+    SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+),
+assign AS (
+  SELECT node AS conv_id, min(root) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id
+  HAVING count(*) >= 2
+),
+intra AS (
+  SELECT s.id_a, s.id_b, s.distance, x.cluster_id
+  FROM scored s
+  JOIN assign x ON x.conv_id = s.id_a
+  JOIN assign y ON y.conv_id = s.id_b
+  WHERE x.cluster_id = y.cluster_id
+),
+gains AS (
+  SELECT conv_id, sum(gain) AS deficit FROM (
+    SELECT id_a AS conv_id, 3 - distance AS gain FROM intra
+    UNION ALL
+    SELECT id_b, 3 - distance FROM intra
+  ) GROUP BY conv_id
+),
+cost AS (
+  SELECT a.cluster_id, a.conv_id, s.n,
+         3 * (s.n - 1) - coalesce(g.deficit, 0) AS total
+  FROM assign a
+  JOIN sizes s USING (cluster_id)
+  LEFT JOIN gains g ON g.conv_id = a.conv_id
+)
+SELECT cluster_id, conv_id AS exemplar_id,
+       CAST(n AS INT) AS n_members,
+       CAST(total AS BIGINT) AS exemplar_cost
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY total, conv_id) AS rn
+  FROM cost
+) WHERE rn = 1"""
+
+
+def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling (operators/sampling.py::
+    stratified_sample): strata are (source, length-bucket-of-200-chars);
+    within each, the 5 docs with the smallest portable-md5 rank survive —
+    the balanced eval/holdout draw a Bernoulli sample can't give on
+    skewed corpora.  WindowGroupLimit plan (per-partition top-k before
+    the shuffle)."""
+    from .operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.expr("CAST(length(text) DIV 200 AS INT)").alias("len_bucket"),
+    )
+    return stratified_sample(docs, ["source", "len_bucket"], k=5)
+
+
+LINKAGE_QUERIES["corpus_sample_stratified"] = q_corpus_sample_stratified
+LINKAGE_ORACLES["corpus_sample_stratified"] = """
+SELECT doc_id, source, len_bucket
+FROM (
+  SELECT doc_id, source,
+         CAST(length(text) // 200 AS INT) AS len_bucket,
+         row_number() OVER (
+           PARTITION BY source, CAST(length(text) // 200 AS INT)
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5"""

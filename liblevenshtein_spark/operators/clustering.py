@@ -317,6 +317,63 @@ def star_clusters(entities: DataFrame, matches: DataFrame,
     )
 
 
+def cluster_exemplars(assignment: DataFrame, scored: DataFrame,
+                      id_col: str = "conv_id",
+                      max_distance: int = 2) -> DataFrame:
+    """Medoid canonical-record selection: for every multi-member cluster,
+    the member minimizing the summed edit distance to its co-members —
+    the record a mastering pipeline publishes when it wants an ACTUAL
+    representative rather than golden_records' synthetic field fusion.
+
+    Unscored intra-cluster pairs (never candidates, or beyond the band)
+    count the kernel's sentinel distance n+1, which gives the closed form
+        total(m) = (n+1)·(|C|-1) − Σ_scored pairs at m (n+1 − d)
+    so the computation touches ONLY the scored edge stream plus the
+    assignment — no all-pairs expansion within clusters, no re-scoring.
+    Cost: two assignment joins to restrict scored pairs to intra-cluster
+    edges, one endpoint-exploded sum, one per-cluster argmin window
+    (WindowGroupLimit; clusters are small by construction).  All-integer
+    arithmetic, deterministic (cost, id) tie-break."""
+    sentinel = max_distance + 1
+    ca = assignment.select(F.col(id_col).alias("id_a"),
+                           F.col("cluster_id").alias("_ca"))
+    cb = assignment.select(F.col(id_col).alias("id_b"),
+                           F.col("cluster_id").alias("_cb"))
+    intra = (
+        scored.select("id_a", "id_b", "distance")
+        .join(ca, "id_a").join(cb, "id_b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .select("id_a", "id_b", (F.lit(sentinel) - F.col("distance")).alias("_gain"))
+    )
+    gains = (
+        intra.select(F.col("id_a").alias(id_col), "_gain")
+        .unionByName(intra.select(F.col("id_b").alias(id_col), "_gain"))
+        .groupBy(id_col)
+        .agg(F.sum("_gain").cast("bigint").alias("_deficit"))
+    )
+    sizes = assignment.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members")
+    ).filter(F.col("n_members") >= 2)
+    cost = (
+        assignment.join(sizes, "cluster_id")
+        .join(gains, id_col, "left")
+        .select(
+            "cluster_id", id_col, "n_members",
+            (F.lit(sentinel) * (F.col("n_members") - 1)
+             - F.coalesce("_deficit", F.lit(0))).cast("bigint").alias("exemplar_cost"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("exemplar_cost", id_col)
+    return (
+        cost.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("exemplar_id"),
+                "n_members", "exemplar_cost")
+    )
+
+
 def golden_records(assignment: DataFrame, entities: DataFrame,
                    id_col: str = "conv_id", cluster_col: str = "cluster_id",
                    longest: tuple[str, ...] = (), mode: tuple[str, ...] = (),

@@ -114,3 +114,29 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, strata: list[str], k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: within each stratum
+    (the distinct combination of `strata` columns) keep the k rows with
+    the smallest md5(id) — a portable uniform-at-random-but-reproducible
+    draw, the standard recipe for balanced eval/holdout sets over skewed
+    corpora (a plain Bernoulli sample under- or over-shoots small
+    strata; this never does).
+
+    Scale shape: ONE window (partition by strata, order by md5 with the
+    id as tiebreak) whose rank<=k filter compiles to WindowGroupLimit —
+    per-partition top-k pushed before the shuffle, so the exchange
+    carries at most k rows per stratum per input partition, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

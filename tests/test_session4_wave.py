@@ -172,3 +172,52 @@ def test_tool_seq_dictionary_encoding_is_token_levenshtein(spark):
         for b in ids[i + 1:]:
             if abs(len(seqs[a]) - len(seqs[b])) <= 2:
                 assert (a, b) in got
+
+
+def test_cluster_exemplars_closed_form(spark):
+    """Closed-form medoid vs brute force on a hand graph: cluster {a,b,c}
+    with scored distances a-b=1, b-c=2, a-c unscored (counts sentinel 3)."""
+    from liblevenshtein_spark.operators.clustering import cluster_exemplars
+
+    assignment = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")],
+        ["conv_id", "cluster_id"],
+    )
+    scored = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2)], ["id_a", "id_b", "distance"]
+    )
+    out = {r.cluster_id: r for r in
+           cluster_exemplars(assignment, scored).collect()}
+    # totals: a = 1 + 3 = 4, b = 1 + 2 = 3, c = 2 + 3 = 5 -> medoid b
+    assert out["a"].exemplar_id == "b" and out["a"].exemplar_cost == 3
+    assert out["a"].n_members == 3
+    assert "z" not in out  # singletons emit no exemplar row
+
+
+def test_cluster_exemplars_tie_breaks_to_min_id(spark):
+    from liblevenshtein_spark.operators.clustering import cluster_exemplars
+
+    assignment = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], ["conv_id", "cluster_id"])
+    scored = spark.createDataFrame([("a", "b", 1)], ["id_a", "id_b", "distance"])
+    row = cluster_exemplars(assignment, scored).collect()[0]
+    assert row.exemplar_id == "a" and row.exemplar_cost == 1
+
+
+def test_stratified_sample_exact_k(spark):
+    from liblevenshtein_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(df, ["source"], k=4).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 4 for v in by_stratum.values())
+    # deterministic: same draw twice
+    out2 = {(r.source, r.doc_id) for r in
+            stratified_sample(df, ["source"], k=4).collect()}
+    assert {(r.source, r.doc_id) for r in out} == out2
+    # small stratum: keeps everything when fewer than k rows
+    tiny = spark.createDataFrame([(1, "only"), (2, "only")], ["doc_id", "source"])
+    assert stratified_sample(tiny, ["source"], k=5).count() == 2
