@@ -13,8 +13,10 @@ from .incremental import (  # noqa: F401
     compact_state,
     fold_clusters_state,
     matches_from_sink,
+    retract_state,
     start_incremental_linkage,
     start_incremental_waterfall,
+    start_retraction_stream,
     stream_transcripts,
     stream_turn_metrics,
     waterfall_groups_from_sink,

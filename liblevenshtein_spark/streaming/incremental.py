@@ -395,3 +395,89 @@ def stream_turn_metrics(stream: DataFrame, window: str = "1 minute",
             "role", "n_turns", "n_convs",
         )
     )
+
+
+def retract_state(spark: SparkSession, state_dir: str,
+                  deletes: DataFrame) -> DataFrame:
+    """Apply a right-to-be-forgotten deletion batch to the persisted
+    linkage state: prune the deleted ids from entities/ and matches/,
+    then repair clusters/ via operators.clustering.retract_entities
+    (untouched clusters pass through; affected clusters re-run CC on
+    surviving internal edges — cost ∝ affected-cluster mass, the
+    deletion twin of fold_clusters_state).  Returns the repaired
+    assignment.
+
+    Crash-safe by step idempotence: every step is an anti-join /
+    incremental repair keyed on the delete set, so replaying the same
+    batch over fully- or partially-applied state is a no-op (ids already
+    gone appear in no table, making 'affected' empty).  Write order:
+    entities, matches, then clusters — readers of clusters/ only see the
+    repair once its supporting state is pruned.  Offline/single-caller,
+    like compact_state and fold_clusters_state: concurrent directory
+    swaps race."""
+    import tempfile
+
+    from ..operators.clustering import retract_entities
+
+    deletes = deletes.select("conv_id").dropDuplicates(["conv_id"]) \
+        .localCheckpoint(eager=True)
+    if deletes.isEmpty():
+        prior = _read_or_none(spark, os.path.join(state_dir, "clusters"))
+        return prior
+
+    def _prune_swap(name: str, df) -> None:
+        import glob
+        import shutil
+
+        path = os.path.join(state_dir, name)
+        parent = os.path.dirname(path.rstrip("/")) or "."
+        for stale in glob.glob(os.path.join(parent, f".tmp_{name}_*")):
+            shutil.rmtree(stale, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=f".tmp_{name}_", dir=parent)
+        df.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, path)
+
+    entities = spark.read.parquet(os.path.join(state_dir, "entities"))
+    _prune_swap("entities",
+                entities.join(deletes, "conv_id", "left_anti")
+                .localCheckpoint(eager=True))
+
+    matches = spark.read.parquet(os.path.join(state_dir, "matches"))
+    kept_matches = (
+        matches
+        .join(deletes.select(F.col("conv_id").alias("id_a")), "id_a", "left_anti")
+        .join(deletes.select(F.col("conv_id").alias("id_b")), "id_b", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    _prune_swap("matches", kept_matches)
+
+    prior = _read_or_none(spark, os.path.join(state_dir, "clusters"))
+    if prior is None:
+        return None
+    # repair against the PRE-prune edge set restricted by retract_entities
+    # itself (it anti-joins deleted endpoints); using kept_matches is
+    # equivalent and already materialized
+    repaired = retract_entities(
+        prior, kept_matches.select("id_a", "id_b"), deletes
+    ).localCheckpoint(eager=True)
+    _prune_swap("clusters", repaired)
+    return spark.read.parquet(os.path.join(state_dir, "clusters"))
+
+
+def start_retraction_stream(stream: DataFrame, state_dir: str,
+                            checkpoint_dir: str):
+    """Streaming twin of retract_state: a stream of deletion requests
+    (conv_id rows) folds into the persisted linkage state per
+    micro-batch.  Replay-safe because retract_state is idempotent per
+    batch (see its docstring); exactly-once therefore degrades to
+    at-least-once-with-no-effect, the same argument as the match sink's
+    replay audit."""
+    def _body(df: DataFrame, _bid: int) -> None:
+        retract_state(df.sparkSession, state_dir, df)
+
+    return (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

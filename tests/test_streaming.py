@@ -352,3 +352,69 @@ def test_streaming_waterfall_fold_matches_batch_groups(spark, corpus, tmp_path):
     idx = spark.read.parquet(state + "/fp_index")
     assert idx.count() == canon.select("fingerprint").distinct().count()
     assert idx.groupBy("fingerprint").count().filter("count > 1").count() == 0
+
+
+def test_streaming_retraction_equals_batch_retract(spark, corpus, tmp_path):
+    """Deletion requests folded per micro-batch (start_retraction_stream)
+    must leave the persisted state identical to ONE batch retraction of
+    the union of all deletes — and replaying an already-applied delete
+    batch must be a no-op (the crash/replay safety argument)."""
+    import os
+
+    from liblevenshtein_spark.operators.clustering import retract_entities
+    from liblevenshtein_spark.streaming import fold_clusters_state
+    from liblevenshtein_spark.streaming.incremental import (
+        retract_state, start_retraction_stream)
+
+    src, df = corpus
+    state = str(tmp_path / "state")
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+    )
+    q.awaitTermination(timeout=600)
+    fold_clusters_state(spark, state)
+
+    # freeze pre-retraction state driver-side (the stream mutates the dirs)
+    assignment0 = spark.read.parquet(os.path.join(state, "clusters")) \
+        .localCheckpoint(eager=True)
+    matches0 = spark.read.parquet(os.path.join(state, "matches")) \
+        .select("id_a", "id_b").localCheckpoint(eager=True)
+
+    ids = sorted(r.conv_id for r in assignment0.select("conv_id").collect())
+    batch1, batch2 = ids[::7], ids[3::9]  # overlapping deterministic batches
+    del_src = str(tmp_path / "deletes")
+    os.makedirs(del_src)
+    for i, batch in enumerate([batch1, batch2]):
+        (spark.createDataFrame([(x,) for x in batch], "conv_id string")
+         .coalesce(1).write.mode("append").parquet(del_src))
+
+    stream = (spark.readStream.schema("conv_id string")
+              .option("maxFilesPerTrigger", 1).parquet(del_src))
+    rq = start_retraction_stream(stream, state, str(tmp_path / "del_ckpt"))
+    rq.awaitTermination(timeout=600)
+
+    union = spark.createDataFrame(
+        [(x,) for x in sorted(set(batch1) | set(batch2))], "conv_id string")
+    want = {tuple(r) for r in
+            retract_entities(assignment0, matches0, union).collect()}
+    got = {tuple(r) for r in
+           spark.read.parquet(os.path.join(state, "clusters")).collect()}
+    assert got == want and len(got) > 0
+
+    # deleted ids are gone from every state table
+    gone = {x for x in set(batch1) | set(batch2)}
+    for name, col in [("clusters", "conv_id"), ("entities", "conv_id")]:
+        left = {r[col] for r in
+                spark.read.parquet(os.path.join(state, name)).collect()}
+        assert not (left & gone), name
+    m = spark.read.parquet(os.path.join(state, "matches"))
+    assert m.filter(F.col("id_a").isin(list(gone))
+                    | F.col("id_b").isin(list(gone))).count() == 0
+
+    # replaying batch1 over fully-applied state is a no-op
+    retract_state(spark, state,
+                  spark.createDataFrame([(x,) for x in batch1],
+                                        "conv_id string"))
+    again = {tuple(r) for r in
+             spark.read.parquet(os.path.join(state, "clusters")).collect()}
+    assert again == want
