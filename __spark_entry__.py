@@ -79,6 +79,9 @@ _PRIORITY = [
     "progressive_recall",
     "clusters_exemplar",
     "corpus_sample_stratified",
+    "eval_ann_recall",
+    "block_filtering",
+    "fork_detection",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

@@ -7079,3 +7079,219 @@ FROM (
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5"""
+
+
+def q_eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality closure: recall of the scale path (embed_lsh_ann —
+    banded hyperplane LSH + cosine>=0.35 verify) against BRUTE-FORCE
+    top-5 truth, per truth rank — the decay curve (rank-1 neighbors are
+    near-dups the bands almost always co-bucket; rank-5 neighbors sit
+    closer to the threshold) that decides bands/planes settings before a
+    production rollout, computed entirely inside the gate so both engines
+    re-derive truth AND the LSH path from scratch.  Truth neighbors below
+    the verify threshold are unreachable by construction; the curve
+    reports that honestly rather than normalizing it away.  The
+    brute-force side is a declared oracle anchor (all-pairs cosine), fine
+    at gate scales; the LSH side is the audited scale path."""
+    ship_package(spark)
+    e = _emb(spark, sf_dir)
+    truth = ann.brute_force_topk(e, e, k=5).select(
+        "query_id", "neighbor_id", "rank",
+        F.least("query_id", "neighbor_id").alias("id_a"),
+        F.greatest("query_id", "neighbor_id").alias("id_b"),
+    )
+    lsh = ann.lsh_ann_pairs(e, threshold=0.35).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(lsh, ["id_a", "id_b"], "left")
+        .groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_found"),
+        )
+        .select(
+            "rank", "n_truth", "n_found",
+            gate_round4(F.col("n_found") / F.col("n_truth")).alias("recall"),
+        )
+    )
+
+
+LINKAGE_QUERIES["eval_ann_recall"] = q_eval_ann_recall
+LINKAGE_ORACLES["eval_ann_recall"] = f"""
+WITH lsh AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_lsh_ann_oracle_sql(0.35)})
+),
+truth AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[])) + 0.000000001, 4) DESC,
+             c.vec_id ASC
+           ) AS INT) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  ) WHERE rank <= 5
+),
+flagged AS (
+  SELECT t.rank,
+         CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN lsh l
+    ON l.id_a = least(t.query_id, t.neighbor_id)
+   AND l.id_b = greatest(t.query_id, t.neighbor_id)
+)
+SELECT rank,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(hit) AS BIGINT) AS n_found,
+       round(sum(hit) / CAST(count(*) AS DOUBLE) + 0.000000001, 4) AS recall
+FROM flagged GROUP BY rank"""
+
+
+def q_block_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Papadakis BLOCK FILTERING (the third member of the block-processing
+    family beside purging — candidate_pairs_union — and meta-blocking /
+    CBS): each ENTITY keeps only its ceil(0.6·n) smallest blocks, so
+    hot keys are dropped per-entity exactly where they contribute least
+    marginal recall (an entity in a huge block almost always shares a
+    smaller, more selective block with its true matches).  Emits the
+    filtered candidate pair stream.  Cost: one block-size agg, one
+    per-entity window over ~17 keys (WindowGroupLimit shape), then the
+    usual key equi-join over the RETAINED keys only — at web scale this
+    cuts the bucket-join fan-out of exactly the hottest keys without a
+    global pair materialization.  Integer ceil via (6n+9) DIV 10 keeps
+    the retention boundary cross-engine exact."""
+    from pyspark.sql import Window
+
+    ship_package(spark)
+    keys = _sig_keys(spark, sf_dir)
+    sizes = keys.groupBy("block_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bsize")
+    )
+    w = Window.partitionBy("conv_id").orderBy("_bsize", "block_key")
+    ranked = (
+        keys.join(sizes, "block_key")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nk", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
+        .filter(F.col("_rn") <= F.expr("(6 * _nk + 9) DIV 10"))
+        .select("conv_id", "block_key")
+    )
+    a = ranked.select(F.col("conv_id").alias("id_a"), "block_key")
+    b = ranked.select(F.col("conv_id").alias("id_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+LINKAGE_QUERIES["block_filtering"] = q_block_filtering
+LINKAGE_ORACLES["block_filtering"] = DUCK_TRANSCRIPTS + """,
+bsizes AS (
+  SELECT block_key, count(*) AS bsize FROM sig_keys GROUP BY block_key
+),
+ranked AS (
+  SELECT k.conv_id, k.block_key,
+         row_number() OVER (
+           PARTITION BY k.conv_id ORDER BY s.bsize, k.block_key) AS rn,
+         count(*) OVER (PARTITION BY k.conv_id) AS nk
+  FROM sig_keys k JOIN bsizes s USING (block_key)
+),
+retained AS (
+  SELECT conv_id, block_key FROM ranked WHERE rn <= (6 * nk + 9) // 10
+)
+SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+FROM retained a JOIN retained b ON a.block_key = b.block_key
+WHERE a.conv_id < b.conv_id"""
+
+
+def q_fork_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation FORK detection, the partial-overlap linkage
+    global near-dup matching cannot see: two conversations that share a
+    run of >= 3 consecutive identical turns (a forked session, a
+    copy-pasted prologue, a replayed agent prefix) while their FULL
+    fingerprints may be arbitrarily far apart.  Turn-window shingling —
+    the turn-granularity analog of dedup_cdc's char-level chunks and the
+    discovery-mode complement of turn_alignment (which explains pairs the
+    matcher ALREADY joined): each conversation emits a portable-md5 gram
+    per 3-consecutive-turn window (separator-joined, position-tagged into
+    the gram so runs must align content-wise, not position-wise), pairs
+    sharing >= 2 distinct window grams are reported with their shared
+    volume and a flag for whether global matching already caught them
+    (is_near_dup; rows with false are the pure forks — invisible to every
+    other operator in the repo).  Hot boilerplate windows are dropped by
+    the dedup suite's stop-shingle discipline (df_cap=64, documented
+    recall trade) so the gram join cannot quadratic-blow on a templated
+    greeting turn.  Cost: one turn-window pass (windows ≈ turns), a
+    df-capped gram self-join, one pair agg — no kernels, no texts on the
+    shuffle."""
+    from pyspark.sql import Window
+
+    ship_package(spark)
+    t = derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    grams = (
+        t.select(
+            "conv_id",
+            F.md5(F.concat_ws("\x1f",
+                              F.col("text"),
+                              F.lead("text", 1).over(w),
+                              F.lead("text", 2).over(w))).alias("gram"),
+            F.lead("text", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("conv_id", "gram")
+        .distinct()
+    )
+    hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")) \
+        .filter(F.col("_df") > 64).select("gram")
+    cool = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = cool.select(F.col("conv_id").alias("id_a"), "gram")
+    b = cool.select(F.col("conv_id").alias("id_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= 2)
+    )
+    matches = q_matches(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(True).alias("_nd"))
+    return pairs.join(matches, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", "n_shared_windows",
+        F.coalesce("_nd", F.lit(False)).alias("is_near_dup"),
+    )
+
+
+LINKAGE_QUERIES["fork_detection"] = q_fork_detection
+LINKAGE_ORACLES["fork_detection"] = DUCK_TRANSCRIPTS + """,
+grams AS MATERIALIZED (
+  SELECT DISTINCT conv_id,
+         md5(text || chr(31) || t1 || chr(31) || t2) AS gram
+  FROM (
+    SELECT conv_id, text,
+           lead(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t1,
+           lead(text, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2
+    FROM transcripts
+  ) WHERE t2 IS NOT NULL
+),
+cool AS (
+  SELECT g.conv_id, g.gram FROM grams g
+  LEFT JOIN (
+    SELECT gram FROM grams GROUP BY gram HAVING count(*) > 64
+  ) h ON h.gram = g.gram
+  WHERE h.gram IS NULL
+),
+pairs AS (
+  SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_windows
+  FROM cool a JOIN cool b ON a.gram = b.gram
+  WHERE a.conv_id < b.conv_id
+  GROUP BY a.conv_id, b.conv_id
+  HAVING count(*) >= 2
+)
+SELECT p.id_a, p.id_b, p.n_shared_windows,
+       (m.id_a IS NOT NULL) AS is_near_dup
+FROM pairs p LEFT JOIN matches m USING (id_a, id_b)"""

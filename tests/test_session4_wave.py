@@ -221,3 +221,46 @@ def test_stratified_sample_exact_k(spark):
     # small stratum: keeps everything when fewer than k rows
     tiny = spark.createDataFrame([(1, "only"), (2, "only")], ["doc_id", "source"])
     assert stratified_sample(tiny, ["source"], k=5).count() == 2
+
+
+def test_block_filtering_retention_and_subset(spark):
+    """Per-entity retention is exactly ceil(0.6*n) smallest blocks, and the
+    filtered pair set is a subset of the unfiltered key-equality pairs."""
+    import math
+
+    from pyspark.sql import Window
+
+    rows = []
+    # entity e_i carries keys k0..k_{i%5}; low-index keys are hottest
+    for i in range(30):
+        for k in range(1 + i % 5):
+            rows.append((f"e{i:02d}", f"k{k}"))
+    keys = spark.createDataFrame(rows, ["conv_id", "block_key"])
+    sizes = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsize"))
+    w = Window.partitionBy("conv_id").orderBy("_bsize", "block_key")
+    ranked = (
+        keys.join(sizes, "block_key")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nk", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
+    )
+    retained = ranked.filter(F.col("_rn") <= F.expr("(6 * _nk + 9) DIV 10"))
+    got = {(r.conv_id, r.block_key) for r in retained.collect()}
+    per_entity = {}
+    for c, k in got:
+        per_entity.setdefault(c, set()).add(k)
+    n_keys = {}
+    for c, k in rows:
+        n_keys[c] = n_keys.get(c, 0) + 1
+    for c, n in n_keys.items():
+        assert len(per_entity.get(c, ())) == math.ceil(0.6 * n), (c, n)
+    # retained keys are each entity's SMALLEST blocks: any kept key's block
+    # size <= any dropped key's block size for the same entity
+    bsize = {r.block_key: r._bsize for r in sizes.collect()}
+    all_keys = {}
+    for c, k in rows:
+        all_keys.setdefault(c, set()).add(k)
+    for c in all_keys:
+        kept = per_entity.get(c, set())
+        dropped = all_keys[c] - kept
+        if kept and dropped:
+            assert max(bsize[k] for k in kept) <= min(bsize[k] for k in dropped)
