@@ -7162,23 +7162,12 @@ def q_block_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the bucket-join fan-out of exactly the hottest keys without a
     global pair materialization.  Integer ceil via (6n+9) DIV 10 keeps
     the retention boundary cross-engine exact."""
-    from pyspark.sql import Window
+    from .functions.blocking import filter_blocks
 
     ship_package(spark)
-    keys = _sig_keys(spark, sf_dir)
-    sizes = keys.groupBy("block_key").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_bsize")
-    )
-    w = Window.partitionBy("conv_id").orderBy("_bsize", "block_key")
-    ranked = (
-        keys.join(sizes, "block_key")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_nk", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
-        .filter(F.col("_rn") <= F.expr("(6 * _nk + 9) DIV 10"))
-        .select("conv_id", "block_key")
-    )
-    a = ranked.select(F.col("conv_id").alias("id_a"), "block_key")
-    b = ranked.select(F.col("conv_id").alias("id_b"), "block_key")
+    retained = filter_blocks(_sig_keys(spark, sf_dir), ratio_tenths=6)
+    a = retained.select(F.col("conv_id").alias("id_a"), "block_key")
+    b = retained.select(F.col("conv_id").alias("id_b"), "block_key")
     return (
         a.join(b, "block_key")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -165,3 +165,33 @@ def phonetic_key(col: str) -> Column:
     terms: Spark returns NON-letter-prefixed strings unchanged, which makes
     degenerate keys."""
     return F.soundex(F.col(col))
+
+
+def filter_blocks(keys, ratio_tenths: int = 6,
+                  id_col: str = "conv_id",
+                  key_col: str = "block_key"):
+    """Papadakis BLOCK FILTERING: each entity keeps only its
+    ceil(ratio_tenths/10 · n) smallest blocks (n = the entity's key
+    count) — hot keys are dropped per-entity exactly where they
+    contribute least marginal recall.  Integer ceil
+    ((ratio_tenths·n + 9) DIV 10) keeps the retention boundary exact
+    across engines.  Returns the retained (id, key) rows; feed them to
+    the usual key equi-join for the filtered candidate stream.
+
+    One block-size agg + one per-entity window over the entity's few
+    keys ordered by (block size, key) — deterministic, WindowGroupLimit
+    shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sizes = keys.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bsize")
+    )
+    w = Window.partitionBy(id_col).orderBy("_bsize", key_col)
+    return (
+        keys.join(sizes, key_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nk", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .filter(F.col("_rn") <= F.expr(f"({ratio_tenths} * _nk + 9) DIV 10"))
+        .select(id_col, key_col)
+    )

@@ -472,24 +472,28 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     projection over O(columns) rows.
     Non-string columns profile their canonical string rendering so the
     report shape is uniform."""
+    # generated aliases are positional (_c0_rows, ...) and labels ride as
+    # escaped literals, so column names with spaces / hyphens / quotes
+    # profile fine — only F.col ever sees the raw name
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         s = F.col(c).cast("string")
         ln = F.length(s)
         aggs += [
-            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            F.count(F.lit(1)).cast("bigint").alias(f"_c{i}_rows"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint").alias(f"{c}__nulls"),
-            F.countDistinct(s).cast("bigint").alias(f"{c}__distinct"),
-            F.min(ln).cast("int").alias(f"{c}__min_len"),
-            F.max(ln).cast("int").alias(f"{c}__max_len"),
-            F.sum(ln).cast("bigint").alias(f"{c}__sum_len"),
+            .cast("bigint").alias(f"_c{i}_nulls"),
+            F.countDistinct(s).cast("bigint").alias(f"_c{i}_distinct"),
+            F.min(ln).cast("int").alias(f"_c{i}_min_len"),
+            F.max(ln).cast("int").alias(f"_c{i}_max_len"),
+            F.sum(ln).cast("bigint").alias(f"_c{i}_sum_len"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct,"
-        f" {c}__min_len, {c}__max_len, {c}__sum_len"
-        for c in cols
+        "'{lbl}', _c{i}_rows, _c{i}_nulls, _c{i}_distinct,"
+        " _c{i}_min_len, _c{i}_max_len, _c{i}_sum_len".format(
+            lbl=c.replace("\\", "\\\\").replace("'", "\\'"), i=i)
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

@@ -208,6 +208,58 @@ def fold_clusters(entities: DataFrame, assignment: DataFrame,
                            small_graph_edges=small_graph_edges)
 
 
+def affected_subgraph(assignment: DataFrame, matches: DataFrame,
+                      deleted: DataFrame, id_col: str = "conv_id"):
+    """Decompose a deletion batch against a standing assignment into
+    (untouched assignment rows, surviving members of affected clusters,
+    surviving intra-affected-cluster edges).  Shared by retract_entities
+    and scripts/retract_bench.py so the benchmarked edge volume is, by
+    construction, the edge set the operator actually feeds CC.
+
+    Edges are kept only when BOTH endpoints sit in the same affected
+    cluster of `assignment` — an edge the assignment has not folded yet
+    (endpoints in different clusters, or an endpoint the assignment has
+    never seen) is ignored: the assignment is authoritative for
+    connectivity, and repairing against unfolded edges would mint
+    cluster ids that are not member ids.  Fold first (fold_clusters /
+    fold_clusters_state), then retract."""
+    deleted = deleted.select(id_col).distinct()
+    flagged = assignment.join(
+        deleted.withColumn("_del", F.lit(1)), id_col, "left"
+    )
+    affected = (
+        flagged.filter(F.col("_del").isNotNull())
+        .select("cluster_id").distinct()
+    )
+    untouched = assignment.join(affected, "cluster_id", "left_anti").select(
+        id_col, "cluster_id"
+    )
+    survivors = (
+        flagged.filter(F.col("_del").isNull())
+        .join(affected, "cluster_id")
+        .select(id_col)
+    )
+    sub_edges = (
+        matches.select("id_a", "id_b")
+        .join(
+            assignment.select(F.col(id_col).alias("id_a"),
+                              F.col("cluster_id").alias("_ca")),
+            "id_a",
+        )
+        .join(
+            assignment.select(F.col(id_col).alias("id_b"),
+                              F.col("cluster_id").alias("_cb")),
+            "id_b",
+        )
+        .filter(F.col("_ca") == F.col("_cb"))
+        .join(affected.select(F.col("cluster_id").alias("_ca")), "_ca")
+        .join(deleted.select(F.col(id_col).alias("id_a")), "id_a", "left_anti")
+        .join(deleted.select(F.col(id_col).alias("id_b")), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    )
+    return untouched, survivors, sub_edges
+
+
 def retract_entities(assignment: DataFrame, matches: DataFrame,
                      deleted: DataFrame, id_col: str = "conv_id",
                      max_iterations: int = 50,
@@ -226,39 +278,14 @@ def retract_entities(assignment: DataFrame, matches: DataFrame,
     full match graph — the deletion-side twin of fold_clusters (which
     handles additions the same incremental way).
 
-    `matches` must carry the match edges for at least the affected
-    clusters (the full match stream is fine; edges elsewhere are pruned by
-    the cluster semi-join before CC).  Result is identical to
+    PRECONDITION: `assignment` must have folded every edge in `matches`
+    (both endpoints of every edge in one cluster).  Edges the assignment
+    has not absorbed are IGNORED by the repair (see affected_subgraph) —
+    fold pending batches first, as streaming.retract_state does.  Under
+    that precondition the result is identical to
     assign_clusters(entities - deleted, edges among survivors)."""
-    deleted = deleted.select(id_col).distinct()
-    flagged = assignment.join(
-        deleted.withColumn("_del", F.lit(1)), id_col, "left"
-    )
-    affected = (
-        flagged.filter(F.col("_del").isNotNull())
-        .select("cluster_id").distinct()
-    )
-    untouched = assignment.join(affected, "cluster_id", "left_anti").select(
-        id_col, "cluster_id"
-    )
-    survivors = (
-        flagged.filter(F.col("_del").isNull())
-        .join(affected, "cluster_id")
-        .select(id_col)
-    )
-    # An edge's two endpoints share a cluster by CC's definition, so
-    # membership of id_a alone decides whether the edge is in an affected
-    # cluster; both-endpoint survival is enforced by the anti-joins.
-    sub_edges = (
-        matches.select("id_a", "id_b")
-        .join(
-            assignment.select(F.col(id_col).alias("id_a"), "cluster_id"),
-            "id_a",
-        )
-        .join(affected, "cluster_id")
-        .join(deleted.select(F.col(id_col).alias("id_a")), "id_a", "left_anti")
-        .join(deleted.select(F.col(id_col).alias("id_b")), "id_b", "left_anti")
-        .select("id_a", "id_b")
+    untouched, survivors, sub_edges = affected_subgraph(
+        assignment, matches, deleted, id_col
     )
     repaired = assign_clusters(survivors, sub_edges, id_col, max_iterations,
                                small_graph_edges=small_graph_edges)

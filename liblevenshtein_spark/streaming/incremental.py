@@ -51,6 +51,8 @@ __all__ = [
     "matches_from_sink",
     "clusters_from_sink",
     "fold_clusters_state",
+    "retract_state",
+    "start_retraction_stream",
     "stream_turn_metrics",
     "start_incremental_waterfall",
     "waterfall_groups_from_sink",
@@ -398,20 +400,31 @@ def stream_turn_metrics(stream: DataFrame, window: str = "1 minute",
 
 
 def retract_state(spark: SparkSession, state_dir: str,
-                  deletes: DataFrame) -> DataFrame:
+                  deletes: DataFrame) -> DataFrame | None:
     """Apply a right-to-be-forgotten deletion batch to the persisted
-    linkage state: prune the deleted ids from entities/ and matches/,
-    then repair clusters/ via operators.clustering.retract_entities
-    (untouched clusters pass through; affected clusters re-run CC on
-    surviving internal edges — cost ∝ affected-cluster mass, the
-    deletion twin of fold_clusters_state).  Returns the repaired
-    assignment.
+    linkage state: bring the cluster assignment current (fold any match
+    batches appended since the last fold — retract_entities requires a
+    fully-folded assignment, see its precondition), then prune the
+    deleted ids from EVERY state table that carries them or their
+    text-derived data — entities/ (fingerprints), dict_keys/ (blocking
+    keys are fingerprint substrings), matches/, and, when the state dir
+    is a waterfall sink, mapping/ + fp_index/ (full fingerprints; groups
+    whose sticky rep is deleted re-elect the minimum surviving member,
+    so normalize_reps-normalized groups are unchanged and a group with
+    no survivor forgets its fingerprint entirely) — and finally repair
+    clusters/ via operators.clustering.retract_entities (cost ∝
+    affected-cluster mass, the deletion twin of fold_clusters_state).
+    Returns the repaired assignment, or None if the state dir has no
+    clusters yet.
 
     Crash-safe by step idempotence: every step is an anti-join /
-    incremental repair keyed on the delete set, so replaying the same
-    batch over fully- or partially-applied state is a no-op (ids already
-    gone appear in no table, making 'affected' empty).  Write order:
-    entities, matches, then clusters — readers of clusters/ only see the
+    rep re-election / incremental repair keyed on the delete set, so
+    replaying the same batch over fully- or partially-applied state is a
+    no-op (ids already gone appear in no table, making every prune and
+    the affected set empty).  Missing tables are skipped (a deletion
+    batch racing ahead of the first ingest commit is a no-op, not a
+    wedged stream).  Write order: fold, entities, dict_keys, matches,
+    waterfall state, clusters last — readers of clusters/ only see the
     repair once its supporting state is pruned.  Offline/single-caller,
     like compact_state and fold_clusters_state: concurrent directory
     swaps race."""
@@ -422,8 +435,7 @@ def retract_state(spark: SparkSession, state_dir: str,
     deletes = deletes.select("conv_id").dropDuplicates(["conv_id"]) \
         .localCheckpoint(eager=True)
     if deletes.isEmpty():
-        prior = _read_or_none(spark, os.path.join(state_dir, "clusters"))
-        return prior
+        return _read_or_none(spark, os.path.join(state_dir, "clusters"))
 
     def _prune_swap(name: str, df) -> None:
         import glob
@@ -437,26 +449,65 @@ def retract_state(spark: SparkSession, state_dir: str,
         df.write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
 
-    entities = spark.read.parquet(os.path.join(state_dir, "entities"))
-    _prune_swap("entities",
-                entities.join(deletes, "conv_id", "left_anti")
-                .localCheckpoint(eager=True))
-
-    matches = spark.read.parquet(os.path.join(state_dir, "matches"))
-    kept_matches = (
-        matches
-        .join(deletes.select(F.col("conv_id").alias("id_a")), "id_a", "left_anti")
-        .join(deletes.select(F.col("conv_id").alias("id_b")), "id_b", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    _prune_swap("matches", kept_matches)
-
+    entities = _read_or_none(spark, os.path.join(state_dir, "entities"))
+    matches = _read_or_none(spark, os.path.join(state_dir, "matches"))
     prior = _read_or_none(spark, os.path.join(state_dir, "clusters"))
-    if prior is None:
-        return None
-    # repair against the PRE-prune edge set restricted by retract_entities
-    # itself (it anti-joins deleted endpoints); using kept_matches is
-    # equivalent and already materialized
+
+    # fold BEFORE pruning: retract_entities ignores edges the assignment
+    # has not absorbed, so a stale assignment (match batches appended
+    # since the last fold) must be brought current first
+    if prior is not None and entities is not None and matches is not None:
+        prior = fold_clusters_state(spark, state_dir).localCheckpoint(eager=True)
+
+    if entities is not None:
+        _prune_swap("entities",
+                    entities.join(deletes, "conv_id", "left_anti")
+                    .localCheckpoint(eager=True))
+
+    dict_keys = _read_or_none(spark, os.path.join(state_dir, "dict_keys"))
+    if dict_keys is not None:
+        _prune_swap("dict_keys",
+                    dict_keys.join(deletes, "conv_id", "left_anti")
+                    .localCheckpoint(eager=True))
+
+    kept_matches = None
+    if matches is not None:
+        kept_matches = (
+            matches
+            .join(deletes.select(F.col("conv_id").alias("id_a")), "id_a", "left_anti")
+            .join(deletes.select(F.col("conv_id").alias("id_b")), "id_b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        _prune_swap("matches", kept_matches)
+
+    mapping = _read_or_none(spark, os.path.join(state_dir, "mapping"))
+    fp_index = _read_or_none(spark, os.path.join(state_dir, "fp_index"))
+    if mapping is not None and fp_index is not None:
+        kept_map = mapping.join(deletes, "conv_id", "left_anti")
+        new_reps = (
+            kept_map.join(deletes.select(F.col("conv_id").alias("rep")), "rep")
+            .groupBy("rep")
+            .agg(F.min("conv_id").alias("_new_rep"))
+            .localCheckpoint(eager=True)
+        )
+        remapped = (
+            kept_map.join(new_reps, "rep", "left")
+            .withColumn("rep", F.coalesce("_new_rep", F.col("rep")))
+            .drop("_new_rep")
+            .localCheckpoint(eager=True)
+        )
+        _prune_swap("mapping", remapped)
+        kept_fp = (
+            fp_index.join(new_reps, "rep", "left")
+            .withColumn("rep", F.coalesce("_new_rep", F.col("rep")))
+            .drop("_new_rep")
+            .join(deletes.select(F.col("conv_id").alias("rep")), "rep", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        _prune_swap("fp_index", kept_fp)
+
+    if prior is None or kept_matches is None:
+        return prior
     repaired = retract_entities(
         prior, kept_matches.select("id_a", "id_b"), deletes
     ).localCheckpoint(eager=True)

@@ -91,19 +91,15 @@ def main() -> None:
     ).select("conv_id").localCheckpoint(eager=True)
     n_deleted = deleted.count()
 
-    # work-volume diagnostics (computed once, outside the timed runs)
-    affected = (
-        assignment.join(deleted, "conv_id").select("cluster_id").distinct()
-        .localCheckpoint(eager=True)
+    # work-volume diagnostics (computed once, outside the timed runs) via
+    # the OPERATOR'S OWN decomposition, so the reported edge volume is by
+    # construction the edge set retract_entities feeds CC
+    from liblevenshtein_spark.operators.clustering import affected_subgraph
+
+    n_affected_clusters = (
+        assignment.join(deleted, "conv_id").select("cluster_id").distinct().count()
     )
-    n_affected_clusters = affected.count()
-    sub_edges = (
-        matches
-        .join(assignment.select(F.col("conv_id").alias("id_a"), "cluster_id"), "id_a")
-        .join(affected, "cluster_id")
-        .join(deleted.select(F.col("conv_id").alias("id_a")), "id_a", "left_anti")
-        .join(deleted.select(F.col("conv_id").alias("id_b")), "id_b", "left_anti")
-    )
+    _, _, sub_edges = affected_subgraph(assignment, matches, deleted)
     n_sub_edges = sub_edges.count()
 
     t0 = time.time()

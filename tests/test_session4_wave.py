@@ -224,11 +224,12 @@ def test_stratified_sample_exact_k(spark):
 
 
 def test_block_filtering_retention_and_subset(spark):
-    """Per-entity retention is exactly ceil(0.6*n) smallest blocks, and the
-    filtered pair set is a subset of the unfiltered key-equality pairs."""
+    """Exercise the SHIPPED filter_blocks: per-entity retention is exactly
+    ceil(0.6*n) smallest blocks, retained keys are each entity's smallest,
+    and the filtered candidate pair set is a subset of unfiltered."""
     import math
 
-    from pyspark.sql import Window
+    from liblevenshtein_spark.functions.blocking import filter_blocks
 
     rows = []
     # entity e_i carries keys k0..k_{i%5}; low-index keys are hottest
@@ -236,14 +237,7 @@ def test_block_filtering_retention_and_subset(spark):
         for k in range(1 + i % 5):
             rows.append((f"e{i:02d}", f"k{k}"))
     keys = spark.createDataFrame(rows, ["conv_id", "block_key"])
-    sizes = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsize"))
-    w = Window.partitionBy("conv_id").orderBy("_bsize", "block_key")
-    ranked = (
-        keys.join(sizes, "block_key")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_nk", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
-    )
-    retained = ranked.filter(F.col("_rn") <= F.expr("(6 * _nk + 9) DIV 10"))
+    retained = filter_blocks(keys, ratio_tenths=6)
     got = {(r.conv_id, r.block_key) for r in retained.collect()}
     per_entity = {}
     for c, k in got:
@@ -253,9 +247,10 @@ def test_block_filtering_retention_and_subset(spark):
         n_keys[c] = n_keys.get(c, 0) + 1
     for c, n in n_keys.items():
         assert len(per_entity.get(c, ())) == math.ceil(0.6 * n), (c, n)
-    # retained keys are each entity's SMALLEST blocks: any kept key's block
-    # size <= any dropped key's block size for the same entity
-    bsize = {r.block_key: r._bsize for r in sizes.collect()}
+    # retained keys are each entity's SMALLEST blocks
+    bsize = {}
+    for c, k in rows:
+        bsize[k] = bsize.get(k, 0) + 1
     all_keys = {}
     for c, k in rows:
         all_keys.setdefault(c, set()).add(k)
@@ -264,3 +259,116 @@ def test_block_filtering_retention_and_subset(spark):
         dropped = all_keys[c] - kept
         if kept and dropped:
             assert max(bsize[k] for k in kept) <= min(bsize[k] for k in dropped)
+
+    def pair_set(key_df):
+        a = key_df.selectExpr("conv_id as id_a", "block_key")
+        b = key_df.selectExpr("conv_id as id_b", "block_key")
+        return {(r.id_a, r.id_b) for r in
+                a.join(b, "block_key").filter("id_a < id_b")
+                .select("id_a", "id_b").distinct().collect()}
+
+    filtered_pairs = pair_set(retained)
+    all_pairs = pair_set(keys)
+    assert filtered_pairs and filtered_pairs <= all_pairs
+    assert len(filtered_pairs) < len(all_pairs)  # hot keys actually cut
+
+
+def test_retract_state_folds_stale_assignment_first(spark, tmp_path):
+    """A match batch appended AFTER the last fold must be absorbed before
+    retraction repairs clusters (retract_entities ignores unfolded edges,
+    so skipping the fold would mint wrong cluster ids)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_spark.streaming.incremental import retract_state
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    nodes = ["a", "b", "x", "y"]
+    spark.createDataFrame([(n, n, 0, 1) for n in nodes],
+                          ["conv_id", "fingerprint", "fp_len", "n_turns"]) \
+        .write.parquet(os.path.join(state, "entities"))
+    # batch 0: edge (a, x) -> folded into clusters below
+    # batch 1: edge (x, y) -> appended AFTER the fold (stale)
+    spark.createDataFrame([("a", "x", 0, 0), ("x", "y", 0, 1)],
+                          ["id_a", "id_b", "distance", "batch_id"]) \
+        .write.parquet(os.path.join(state, "matches"))
+    spark.createDataFrame([("a", "a"), ("x", "a"), ("b", "b"), ("y", "y")],
+                          ["conv_id", "cluster_id"]) \
+        .write.parquet(os.path.join(state, "clusters"))
+    spark.createDataFrame([(0,)], "batch_id long") \
+        .write.parquet(os.path.join(state, "clusters_hwm"))
+
+    # delete a: without the fold, cluster {a,x} would repair to {x} alone
+    # and the stale (x,y) edge would be ignored; with the fold, x and y
+    # belong together
+    out = retract_state(
+        spark, state, spark.createDataFrame([("a",)], ["conv_id"]))
+    got = {r.conv_id: r.cluster_id for r in out.collect()}
+    assert got == {"b": "b", "x": "x", "y": "x"}
+
+
+def test_retract_state_noop_on_missing_state(spark, tmp_path):
+    """A deletion batch racing ahead of the first ingest commit is a
+    graceful no-op, not a wedged stream."""
+    import os
+
+    from liblevenshtein_spark.streaming.incremental import retract_state
+
+    state = str(tmp_path / "fresh")
+    os.makedirs(state)
+    out = retract_state(
+        spark, state, spark.createDataFrame([("a",)], ["conv_id"]))
+    assert out is None
+
+
+def test_retract_state_purges_waterfall_index(spark, tmp_path):
+    """RTBF must purge text-derived state: deleted ids leave dict_keys,
+    and fp_index groups re-elect the min surviving member (or forget the
+    fingerprint entirely when no member survives)."""
+    import os
+
+    from liblevenshtein_spark.streaming.incremental import retract_state
+
+    state = str(tmp_path / "wf")
+    os.makedirs(state)
+    spark.createDataFrame(
+        [("a", "FP1", 3, 1), ("b", "FP1", 3, 1), ("c", "FP2", 3, 1)],
+        ["conv_id", "fingerprint", "fp_len", "n_turns"]) \
+        .write.parquet(os.path.join(state, "entities"))
+    spark.createDataFrame([("a", "k1"), ("b", "k1"), ("c", "k2")],
+                          ["conv_id", "block_key"]) \
+        .write.parquet(os.path.join(state, "dict_keys"))
+    spark.createDataFrame([("a", "b", 0, 0)],
+                          ["id_a", "id_b", "distance", "batch_id"]) \
+        .write.parquet(os.path.join(state, "matches"))
+    spark.createDataFrame([("a", "a"), ("b", "a"), ("c", "c")],
+                          ["conv_id", "cluster_id"]) \
+        .write.parquet(os.path.join(state, "clusters"))
+    spark.createDataFrame([(0,)], "batch_id long") \
+        .write.parquet(os.path.join(state, "clusters_hwm"))
+    # waterfall sink: group {a,b} under sticky rep a; singleton {c}
+    spark.createDataFrame([("a", "a", 0), ("b", "a", 0), ("c", "c", 0)],
+                          ["conv_id", "rep", "batch_id"]) \
+        .write.parquet(os.path.join(state, "mapping"))
+    spark.createDataFrame([("FP1", "a"), ("FP2", "c")],
+                          ["fingerprint", "rep"]) \
+        .write.parquet(os.path.join(state, "fp_index"))
+
+    retract_state(spark, state,
+                  spark.createDataFrame([("a",), ("c",)], ["conv_id"]))
+
+    assert {r.conv_id for r in
+            spark.read.parquet(os.path.join(state, "dict_keys")).collect()} \
+        == {"b"}
+    # rep a re-elected to b (surviving member); FP2 forgotten with c
+    fp = {(r.fingerprint, r.rep) for r in
+          spark.read.parquet(os.path.join(state, "fp_index")).collect()}
+    assert fp == {("FP1", "b")}
+    mp = {(r.conv_id, r.rep) for r in
+          spark.read.parquet(os.path.join(state, "mapping")).collect()}
+    assert mp == {("b", "b")}
+    cl = {r.conv_id: r.cluster_id for r in
+          spark.read.parquet(os.path.join(state, "clusters")).collect()}
+    assert cl == {"b": "b"}
