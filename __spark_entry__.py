@@ -82,6 +82,7 @@ _PRIORITY = [
     "eval_ann_recall",
     "block_filtering",
     "fork_detection",
+    "ann_incremental",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

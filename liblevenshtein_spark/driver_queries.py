@@ -7284,3 +7284,56 @@ pairs AS (
 SELECT p.id_a, p.id_b, p.n_shared_windows,
        (m.id_a IS NOT NULL) AS is_near_dup
 FROM pairs p LEFT JOIN matches m USING (id_a, id_b)"""
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest ANN (operators/ann.py::incremental_lsh_pairs): the
+    embeddings table splits deterministically (md5 first hex < '8' = the
+    persisted corpus, rest = the new ingest batch); the old side
+    contributes ONLY its persisted (id, chunk, chunk_val) band keys —
+    old vectors are never re-signed — and the batch probes them by band
+    key plus itself, cosine-verified at 0.35.  Completes the repo's
+    rolling-ingest trio (minhash dedup index `dedup_incremental`,
+    waterfall fingerprint index `waterfall_incremental`, and now the ANN
+    band index); the oracle recomputes both sides from the embedded
+    hyperplane literals, so the whole incremental path is SQL-checked,
+    not just its counts."""
+    ship_package(spark)
+    e = _emb(spark, sf_dir)
+    digit = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    old, batch = e.filter(digit < "8"), e.filter(digit >= "8")
+    index_keys = ann.lsh_band_keys(old)
+    return ann.incremental_lsh_pairs(index_keys, batch, e, threshold=0.35)
+
+
+def _incremental_lsh_oracle_sql(threshold: float = 0.35, dim: int = 64,
+                                n_planes: int = 16, bands: int = 4,
+                                seed: int = 42) -> str:
+    """Oracle for the incremental ANN path: same hyperplane-literal
+    signature/band chain as _lsh_ann_oracle_sql, with the candidate CTE
+    restricted to new×old + new×new (old×old pairs belong to earlier
+    batches)."""
+    base = _lsh_ann_oracle_sql(threshold, dim, n_planes, bands, seed)
+    old_cands = """cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+  WHERE a.vec_id < b.vec_id
+)"""
+    new_cands = """side AS (
+  SELECT vec_id,
+         substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS is_old
+  FROM embeddings
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+  JOIN side sa ON sa.vec_id = a.vec_id
+  JOIN side sb ON sb.vec_id = b.vec_id
+  WHERE a.vec_id < b.vec_id AND NOT (sa.is_old AND sb.is_old)
+)"""
+    assert base.count(old_cands) == 1
+    return base.replace(old_cands, new_cands)
+
+
+LINKAGE_QUERIES["ann_incremental"] = q_ann_incremental
+LINKAGE_ORACLES["ann_incremental"] = _incremental_lsh_oracle_sql()

@@ -332,3 +332,82 @@ def semantic_dedup(
         id_col, "dup_group",
         (F.col(id_col) == F.col("dup_group")).alias("is_kept"),
     )
+
+
+def lsh_band_keys(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, chunk, chunk_val) LSH band keys for an embedding set — the
+    rows a PERSISTED ANN index stores per vector (the embeddings twin of
+    dedup.minhash_band_keys).  Signatures ride one Arrow-batched pass;
+    only (id, 2 ints) leaves it."""
+    sig = lsh_signature_udf(dim, n_planes, seed)
+    chunk_bits = n_planes // bands
+    mask = (1 << chunk_bits) - 1
+    signed = emb.select(F.col(id_col), sig(F.col(vec_col)).alias("sig"))
+    return signed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("chunk"),
+        F.col("sig"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(sig, cast(chunk as int) * {chunk_bits}) & {mask}"),
+    ).select(id_col, "chunk", "chunk_val")
+
+
+def incremental_lsh_pairs(
+    index_keys: DataFrame,
+    batch: DataFrame,
+    all_emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Rolling-ingest ANN: near-neighbor pairs introduced by a NEW batch of
+    embeddings against a PERSISTED band-key index — new×old probes the
+    index by (chunk, chunk_val) key join (old vectors are never
+    re-signed), plus new×new within the batch; old×old pairs were
+    emitted by the batches that introduced them.  The embeddings twin of
+    dedup.incremental_minhash_pairs and the ANN leg of the repo's
+    rolling-ingest trio (minhash dedup index, waterfall fingerprint
+    index, LSH band index).  Verify re-reads vectors BY ID for candidate
+    pairs only (`all_emb` — in production, the embeddings table)."""
+    new_keys = lsh_band_keys(batch, id_col, vec_col, dim, n_planes, bands, seed)
+    probe = new_keys.select(F.col(id_col).alias("_idn"), "chunk", "chunk_val")
+    hits = (
+        probe.join(
+            index_keys.select(F.col(id_col).alias("_ido"), "chunk", "chunk_val"),
+            ["chunk", "chunk_val"],
+        )
+        .filter(F.col("_idn") != F.col("_ido"))
+        .select(
+            F.least("_idn", "_ido").alias("id_a"),
+            F.greatest("_idn", "_ido").alias("id_b"),
+        )
+    )
+    within = (
+        probe.join(
+            new_keys.select(F.col(id_col).alias("_idb"), "chunk", "chunk_val"),
+            ["chunk", "chunk_val"],
+        )
+        .filter(F.col("_idn") < F.col("_idb"))
+        .select(F.col("_idn").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    cands = hits.unionByName(within).distinct()
+    va = all_emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = all_emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

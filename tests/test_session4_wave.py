@@ -372,3 +372,39 @@ def test_retract_state_purges_waterfall_index(spark, tmp_path):
     cl = {r.conv_id: r.cluster_id for r in
           spark.read.parquet(os.path.join(state, "clusters")).collect()}
     assert cl == {"b": "b"}
+
+
+def test_incremental_lsh_union_equals_full(spark):
+    """new×old + new×new (incremental) ∪ old×old (prior batches) must equal
+    the one-shot lsh_ann_pairs output on the union corpus — the
+    losslessness contract of the rolling-ingest ANN index."""
+    import numpy as np
+
+    from liblevenshtein_spark.operators.ann import (
+        incremental_lsh_pairs, lsh_ann_pairs, lsh_band_keys)
+
+    rng = np.random.default_rng(5)
+    dim = 64
+    base = rng.standard_normal((12, dim))
+    rows = []
+    for i in range(12):
+        rows.append((i, [float(x) for x in base[i]]))
+        # near-duplicate of each vector under a new id
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(dim)]))
+    # an old×old near-dup pair so the prior-batch set is non-trivial
+    rows.append((50, [float(x) for x in base[0] + 0.01 * rng.standard_normal(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = emb.filter("vec_id < 100")
+    new = emb.filter("vec_id >= 100")
+
+    full = {(r.id_a, r.id_b) for r in
+            lsh_ann_pairs(emb, threshold=0.35).collect()}
+    prior = {(r.id_a, r.id_b) for r in
+             lsh_ann_pairs(old, threshold=0.35).collect()}
+    incr = {(r.id_a, r.id_b) for r in
+            incremental_lsh_pairs(lsh_band_keys(old), new, emb,
+                                  threshold=0.35).collect()}
+    assert incr | prior == full
+    assert incr and prior  # both sides non-trivial
+    # incremental emits no old×old pair
+    assert all(a >= 100 or b >= 100 for a, b in incr)
