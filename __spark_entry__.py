@@ -83,6 +83,7 @@ _PRIORITY = [
     "block_filtering",
     "fork_detection",
     "ann_incremental",
+    "similarity_token_sort",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

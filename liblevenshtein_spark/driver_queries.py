@@ -7337,3 +7337,72 @@ cands AS (
 
 LINKAGE_QUERIES["ann_incremental"] = q_ann_incremental
 LINKAGE_ORACLES["ann_incremental"] = _incremental_lsh_oracle_sql()
+
+
+def q_similarity_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort-ratio (the fuzzywuzzy/RapidFuzz workhorse): sort each
+    side's FIRST-TURN tokens alphabetically, re-join, and take normalized
+    banded edit distance on the sorted strings — word-order-insensitive
+    fuzzy matching ('john smith' vs 'smith john' scores 1.0), the
+    comparator that closes the fuzzy-matching family beside raw
+    Levenshtein (order-sensitive), Jaro-Winkler (prefix-weighted),
+    Monge-Elkan (best-pair token alignment) and TF-IDF cosine (weighted
+    bag).  Sorting is a pure JVM array op; the scoring pass is the
+    EXISTING banded kernel (max_distance 2, sentinel 3) on strings
+    capped at one turn width; ratio = 1 - d/max_len, round4, sentinel
+    rows floor at their capped bound rather than fabricating closeness.
+    Cost: one narrow projection + the standard score path over the
+    already-blocked stream."""
+    from .operators.scoring import score_pairs
+
+    ship_package(spark)
+    canon = _canonical(spark, sf_dir)
+    head = F.expr(f"substring(fingerprint, 1, {TURN_WIDTH})")
+    sorted_head = canon.select(
+        "conv_id",
+        F.array_join(
+            F.array_sort(F.filter(F.split(head, " "), lambda t: t != "")),
+            " ",
+        ).alias("fingerprint"),
+    )
+    pairs = q_candidate_pairs(spark, sf_dir)
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    scored = score_pairs(pairs, sorted_head, conf)
+    la = sorted_head.select(F.col("conv_id").alias("id_a"),
+                            F.length("fingerprint").alias("_la"))
+    lb = sorted_head.select(F.col("conv_id").alias("id_b"),
+                            F.length("fingerprint").alias("_lb"))
+    return (
+        scored.join(la, "id_a").join(lb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("distance").alias("sorted_distance"),
+            gate_round4(
+                F.when(F.greatest("_la", "_lb") == 0, F.lit(1.0))
+                .otherwise(1 - F.col("distance") / F.greatest("_la", "_lb"))
+            ).alias("token_sort_ratio"),
+        )
+    )
+
+
+LINKAGE_QUERIES["similarity_token_sort"] = q_similarity_token_sort
+LINKAGE_ORACLES["similarity_token_sort"] = DUCK_TRANSCRIPTS + f""",
+sorted_head AS MATERIALIZED (
+  SELECT conv_id,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(substring(fingerprint, 1, {TURN_WIDTH}), ' '),
+             t -> t <> '')),
+           ' ') AS s
+  FROM canonical2
+)
+SELECT p.id_a, p.id_b,
+       CAST(least(levenshtein(a.s, b.s), 3) AS INT) AS sorted_distance,
+       round(CASE WHEN greatest(length(a.s), length(b.s)) = 0 THEN 1.0
+             ELSE 1.0 - CAST(least(levenshtein(a.s, b.s), 3) AS DOUBLE)
+                  / greatest(length(a.s), length(b.s))
+             END + 0.000000001, 4) AS token_sort_ratio
+FROM cand_pairs p
+JOIN sorted_head a ON a.conv_id = p.id_a
+JOIN sorted_head b ON b.conv_id = p.id_b
+WHERE abs(length(a.s) - length(b.s)) <= 2"""

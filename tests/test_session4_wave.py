@@ -408,3 +408,28 @@ def test_incremental_lsh_union_equals_full(spark):
     assert incr and prior  # both sides non-trivial
     # incremental emits no old×old pair
     assert all(a >= 100 or b >= 100 for a, b in incr)
+
+
+def test_token_sort_is_order_insensitive(spark):
+    """'john smith' vs 'smith john' must reach distance 0 / ratio 1.0 on
+    the sorted-head path, while the raw fingerprints differ."""
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.scoring import score_pairs
+
+    ents = spark.createDataFrame(
+        [("a", "john smith"), ("b", "smith john"), ("c", "john smyth")],
+        ["conv_id", "head"],
+    )
+    sorted_head = ents.selectExpr(
+        "conv_id",
+        "array_join(array_sort(filter(split(head, ' '), t -> t != '')), ' ')"
+        " AS fingerprint",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["id_a", "id_b"])
+    conf = LinkConfig(algorithm="standard", max_distance=2)
+    got = {(r.id_a, r.id_b): r.distance
+           for r in score_pairs(pairs, sorted_head, conf).collect()}
+    assert got[("a", "b")] == 0          # pure reorder
+    assert got[("a", "c")] == 1          # smith -> smyth after sorting
+    assert got[("b", "c")] == 1
