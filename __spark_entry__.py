@@ -84,6 +84,7 @@ _PRIORITY = [
     "fork_detection",
     "ann_incremental",
     "similarity_token_sort",
+    "transduce_after_remove",
     "eval_pairwise_f1_sampled",
     "eval_blocking_recall_sampled",
     "similarity_tfidf_topk",

@@ -7406,3 +7406,35 @@ FROM cand_pairs p
 JOIN sorted_head a ON a.conv_id = p.id_a
 JOIN sorted_head b ON b.conv_id = p.id_b
 WHERE abs(length(a.s) - length(b.s)) <= 2"""
+
+
+def q_transduce_after_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary MUTATION parity — the reference's remove(term) surface on
+    mutable dictionaries ([PK] SortedDawg add/remove): a deterministic
+    ~1/4 of terms (portable-md5 first hex < '4') is deleted from the
+    ALREADY-COMPILED dictionary by a term anti-join — surviving keys are
+    NOT recompiled — and transduce over the mutated index must equal
+    transduce over a dictionary compiled fresh from the surviving terms
+    (the oracle takes the recompile route; any stale or lost key on the
+    mutation route hash-mismatches).  At 10^12-turn scale this is the
+    difference between an O(|deleted|) index delete and an O(|dict|)
+    rebuild per retention event — the dictionary-side sibling of
+    retract_entities."""
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=1,
+                      blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    compiled = compile_dictionary(d, conf)
+    removed = d.filter(F.substring(F.md5("term"), 1, 1) < "4").select(
+        F.col("term").alias("candidate"))
+    mutated = compiled.join(removed, "candidate", "left_anti")
+    return transduce(_word_queries(d), mutated, conf)
+
+
+LINKAGE_QUERIES["transduce_after_remove"] = q_transduce_after_remove
+LINKAGE_ORACLES["transduce_after_remove"] = DUCK_WORDS + """
+SELECT q.query_id, q.query_term, d.term AS candidate,
+       CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
+FROM queries q CROSS JOIN dict d
+WHERE substring(md5(d.term), 1, 1) >= '4'
+  AND levenshtein(q.query_term, d.term) <= 1"""
