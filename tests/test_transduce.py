@@ -83,3 +83,35 @@ def test_include_distance_flag(spark):
     assert "distance" not in out.columns
     rows = out.collect()
     assert ("q1", dictionary[0]) in {(r.query_id, r.candidate) for r in rows}
+
+
+def test_remove_terms_equals_recompile(spark):
+    """Deleting terms from the COMPILED dictionary (anti-join, no key
+    recompilation) must give transduce results identical to compiling a
+    fresh dictionary from the surviving terms — the mutable-dictionary
+    remove() parity behind the transduce_after_remove gate entry."""
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_spark.config import LinkConfig
+    from liblevenshtein_spark.operators.transduce import (
+        compile_dictionary, transduce)
+
+    conf = LinkConfig(algorithm="standard", max_distance=1,
+                      blocking_scheme="deletions")
+    terms = ["kitten", "sitten", "sitting", "mitten", "mutton", "bitten"]
+    d = spark.createDataFrame([(t,) for t in terms], ["term"])
+    removed = {"sitten", "mitten"}
+    survivors = d.filter(~F.col("term").isin(list(removed)))
+
+    mutated = compile_dictionary(d, conf).join(
+        spark.createDataFrame([(t,) for t in removed], ["candidate"]),
+        "candidate", "left_anti")
+    fresh = compile_dictionary(survivors, conf)
+
+    queries = spark.createDataFrame(
+        [("q1", "kitten"), ("q2", "mittens"), ("q3", "button")],
+        ["query_id", "term"])
+    got = {tuple(r) for r in transduce(queries, mutated, conf).collect()}
+    want = {tuple(r) for r in transduce(queries, fresh, conf).collect()}
+    assert got == want and got
+    assert all(c not in removed for (_, _, c, _) in got)
