@@ -6814,17 +6814,24 @@ def q_similarity_tool_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit distance over each conversation's tool-call SEQUENCE — two runs
     that invoked the same tools in the same order are process-duplicates
     even when their prose differs, the sequence twin of
-    collective_linkage's order-free tool-profile Jaccard.  Tool stand-in
-    per turn is the input-schema `tool` column's deterministic proxy
-    (first md5 hex char of the turn text — same convention as
-    collective_linkage, 16 possible tools); each conversation compresses
+    collective_linkage's order-free tool-profile Jaccard.  The per-turn
+    symbol is a TEXT-HASH stand-in for the `tool` column (first md5 hex
+    char of the turn text — the derived gate corpus leaves `tool` null,
+    so the hash provides a deterministic 16-symbol alphabet the way a
+    real tool id would; same convention as collective_linkage); each
+    conversation compresses
     to a ≤n_turns-char string over that 16-symbol alphabet, and the
     EXISTING banded kernel scores the candidate stream on the encoded
     strings (max_distance 2, sentinel 3) — the kernels are
     alphabet-agnostic, so 'token-level edit distance' is literally
-    dictionary-encode + the same operator.  Cost: the encoded strings are
-    ~60x shorter than fingerprints, so the kernel pass is noise; one
-    groupBy builds the sequences."""
+    dictionary-encode + the same operator.  Sequence order is
+    deterministic even on duplicate (conv_id, turn_idx) rows: Spark's
+    sort_array over struct(turn_idx, ch) tiebreaks on ch, and the oracle
+    string_agg ORDERs BY (turn_idx, symbol) to match — without the
+    second key, user-supplied data with repeated turn_idx values would
+    desync the engines.  Cost: the encoded strings are ~60x shorter than
+    fingerprints, so the kernel pass is noise; one groupBy builds the
+    sequences."""
     from .operators.scoring import score_pairs
 
     ship_package(spark)
@@ -6849,7 +6856,8 @@ LINKAGE_QUERIES["similarity_tool_seq"] = q_similarity_tool_seq
 LINKAGE_ORACLES["similarity_tool_seq"] = DUCK_TRANSCRIPTS + """,
 toolseq AS MATERIALIZED (
   SELECT conv_id,
-         string_agg(substring(md5(text), 1, 1), '' ORDER BY turn_idx) AS seq
+         string_agg(substring(md5(text), 1, 1), ''
+                    ORDER BY turn_idx, substring(md5(text), 1, 1)) AS seq
   FROM transcripts GROUP BY conv_id
 )
 SELECT p.id_a, p.id_b,
@@ -7205,8 +7213,14 @@ def q_fork_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the turn-granularity analog of dedup_cdc's char-level chunks and the
     discovery-mode complement of turn_alignment (which explains pairs the
     matcher ALREADY joined): each conversation emits a portable-md5 gram
-    per 3-consecutive-turn window (separator-joined, position-tagged into
-    the gram so runs must align content-wise, not position-wise), pairs
+    per 3-consecutive-turn window (separator-joined; grams are
+    CONTENT-only — no position tag — so runs match by content wherever
+    they sit in either conversation). Null turn text is filtered out
+    before windowing, in the Spark plan AND the oracle alike: Spark's
+    concat_ws SKIPS null elements while SQL `||` nullifies the whole
+    gram, so on nullable inputs the two recipes silently diverge unless
+    nulls are removed up front (the derived gate transcripts are never
+    null, but TRANSCRIPTS_SCHEMA declares text nullable). Pairs
     sharing >= 2 distinct window grams are reported with their shared
     volume and a flag for whether global matching already caught them
     (is_near_dup; rows with false are the pure forks — invisible to every
@@ -7219,7 +7233,7 @@ def q_fork_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ship_package(spark)
-    t = derive_transcripts(spark, sf_dir)
+    t = derive_transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     grams = (
         t.select(
@@ -7263,7 +7277,7 @@ grams AS MATERIALIZED (
     SELECT conv_id, text,
            lead(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t1,
            lead(text, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2
-    FROM transcripts
+    FROM transcripts WHERE text IS NOT NULL
   ) WHERE t2 IS NOT NULL
 ),
 cool AS (

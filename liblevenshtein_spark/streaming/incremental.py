@@ -417,17 +417,37 @@ def retract_state(spark: SparkSession, state_dir: str,
     Returns the repaired assignment, or None if the state dir has no
     clusters yet.
 
-    Crash-safe by step idempotence: every step is an anti-join /
-    rep re-election / incremental repair keyed on the delete set, so
-    replaying the same batch over fully- or partially-applied state is a
-    no-op (ids already gone appear in no table, making every prune and
-    the affected set empty).  Missing tables are skipped (a deletion
-    batch racing ahead of the first ingest commit is a no-op, not a
-    wedged stream).  Write order: fold, entities, dict_keys, matches,
-    waterfall state, clusters last — readers of clusters/ only see the
-    repair once its supporting state is pruned.  Offline/single-caller,
-    like compact_state and fold_clusters_state: concurrent directory
-    swaps race."""
+    Write order (and why replay is safe at EVERY crash point):
+      1. fold_clusters_state — brings clusters/ current (this swap is
+         visible: mid-run readers can observe a folded-but-unretracted
+         assignment until step 2 lands; the state dir is offline per the
+         contract below, so no external reader races it);
+      2. repair clusters/ (retract_entities over the survivor edge set,
+         computed in-memory — matches/ on disk is untouched so far);
+      3. prune entities/, dict_keys/, matches/, waterfall mapping/ +
+         fp_index/.
+    Clusters are repaired BEFORE the supporting tables are pruned —
+    deliberately.  If the prunes ran first, a crash between the entities
+    prune and the clusters repair would leave a replay folding against
+    survivor-only entities: the deleted ids would vanish from the
+    assignment silently (no assignment row -> empty affected set), so
+    clusters that should split would stay merged and a deleted conv_id
+    could persist as a cluster_id value — both a divergence from the
+    full-recompute postcondition and an RTBF leak.  With repair-first,
+    a replay at any crash point converges: if the crash hit before the
+    step-2 swap, the replay just redoes fold+repair (fold is
+    idempotent); if it hit after, the fold re-adds the deleted ids as
+    SINGLETONS (entities/ still holds them but the repaired assignment's
+    star edges no longer link them to anything) and retract_entities
+    removes those singleton rows again, reproducing the same repaired
+    assignment; once the entities prune lands, the deleted ids appear in
+    no table and every remaining step is a no-op anti-join.  The
+    crash-window replay test (tests/test_streaming.py::
+    test_retract_crash_window_replay) drives each window explicitly.
+    Missing tables are skipped (a deletion batch racing ahead of the
+    first ingest commit is a no-op, not a wedged stream).
+    Offline/single-caller, like compact_state and fold_clusters_state:
+    concurrent directory swaps race."""
     import tempfile
 
     from ..operators.clustering import retract_entities
@@ -459,6 +479,28 @@ def retract_state(spark: SparkSession, state_dir: str,
     if prior is not None and entities is not None and matches is not None:
         prior = fold_clusters_state(spark, state_dir).localCheckpoint(eager=True)
 
+    # survivor edges, computed in-memory BEFORE any on-disk prune: the
+    # clusters repair must land while matches/ and entities/ still hold
+    # the pre-retraction state (see write-order note in the docstring)
+    kept_matches = None
+    if matches is not None:
+        kept_matches = (
+            matches
+            .join(deletes.select(F.col("conv_id").alias("id_a")), "id_a", "left_anti")
+            .join(deletes.select(F.col("conv_id").alias("id_b")), "id_b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    # step 2: repair clusters FIRST (crash after this swap -> replay's
+    # fold re-adds deleted ids as singletons and the repair removes them
+    # again; crash before -> replay redoes fold+repair from scratch)
+    if prior is not None and kept_matches is not None:
+        repaired = retract_entities(
+            prior, kept_matches.select("id_a", "id_b"), deletes
+        ).localCheckpoint(eager=True)
+        _prune_swap("clusters", repaired)
+
+    # step 3: prune the supporting tables
     if entities is not None:
         _prune_swap("entities",
                     entities.join(deletes, "conv_id", "left_anti")
@@ -470,14 +512,7 @@ def retract_state(spark: SparkSession, state_dir: str,
                     dict_keys.join(deletes, "conv_id", "left_anti")
                     .localCheckpoint(eager=True))
 
-    kept_matches = None
-    if matches is not None:
-        kept_matches = (
-            matches
-            .join(deletes.select(F.col("conv_id").alias("id_a")), "id_a", "left_anti")
-            .join(deletes.select(F.col("conv_id").alias("id_b")), "id_b", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+    if kept_matches is not None:
         _prune_swap("matches", kept_matches)
 
     mapping = _read_or_none(spark, os.path.join(state_dir, "mapping"))
@@ -508,10 +543,6 @@ def retract_state(spark: SparkSession, state_dir: str,
 
     if prior is None or kept_matches is None:
         return prior
-    repaired = retract_entities(
-        prior, kept_matches.select("id_a", "id_b"), deletes
-    ).localCheckpoint(eager=True)
-    _prune_swap("clusters", repaired)
     return spark.read.parquet(os.path.join(state_dir, "clusters"))
 
 

@@ -169,7 +169,10 @@ def main() -> None:
     t0 = time.time()
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     grams = (
-        transcripts.select(
+        # null turn text filtered first: concat_ws SKIPS nulls, so without
+        # this the gram recipe desyncs from any ||-based SQL cross-check
+        # (same fix as driver_queries.q_fork_detection)
+        transcripts.filter(F.col("text").isNotNull()).select(
             "conv_id",
             F.md5(F.concat_ws("\x1f", F.col("text"),
                               F.lead("text", 1).over(w),

@@ -418,3 +418,86 @@ def test_streaming_retraction_equals_batch_retract(spark, corpus, tmp_path):
     again = {tuple(r) for r in
              spark.read.parquet(os.path.join(state, "clusters")).collect()}
     assert again == want
+
+
+@pytest.fixture(scope="module")
+def retract_template_state(spark, corpus, tmp_path_factory):
+    """Fully-ingested + folded linkage state, built once and copied per
+    crash-window param (retract_state mutates the dirs)."""
+    from liblevenshtein_spark.streaming import fold_clusters_state
+
+    src, _df = corpus
+    state = str(tmp_path_factory.mktemp("retract_tpl") / "state")
+    q = start_incremental_linkage(
+        stream_transcripts(spark, src, max_files_per_trigger=1), CONF, state
+    )
+    q.awaitTermination(timeout=600)
+    fold_clusters_state(spark, state)
+    return state
+
+
+@pytest.mark.parametrize("crash_at_swap", [1, 2, 3, 4, 5])
+def test_retract_crash_window_replay(spark, retract_template_state, tmp_path,
+                                     monkeypatch, crash_at_swap):
+    """Kill retract_state at EVERY directory-swap point and replay: the
+    replayed batch must converge to the same state as an uninterrupted
+    retraction (== retract_entities full recompute), with the deleted ids
+    gone from every table. Swap order under the repair-first protocol:
+    1 = fold_clusters_state's clusters swap, 2 = the clusters repair swap,
+    3 = entities prune, 4 = dict_keys prune, 5 = matches prune. Window 3
+    is the one the old prune-first order corrupted (entities pruned,
+    clusters repaired against survivor-only entities on replay); under
+    repair-first the replay re-adds deleted ids as fold singletons and
+    removes them again (streaming/incremental.py::retract_state docstring)."""
+    import os
+    import shutil
+
+    from liblevenshtein_spark.operators.clustering import retract_entities
+    from liblevenshtein_spark.streaming import incremental as incr
+
+    state = str(tmp_path / "state")
+    shutil.copytree(retract_template_state, state)
+
+    assignment0 = spark.read.parquet(os.path.join(state, "clusters")) \
+        .localCheckpoint(eager=True)
+    matches0 = spark.read.parquet(os.path.join(state, "matches")) \
+        .select("id_a", "id_b").localCheckpoint(eager=True)
+    ids = sorted(r.conv_id for r in assignment0.select("conv_id").collect())
+    deleted_ids = ids[::5]
+    deletes = spark.createDataFrame([(x,) for x in deleted_ids],
+                                    "conv_id string")
+    want = {tuple(r) for r in
+            retract_entities(assignment0, matches0, deletes).collect()}
+
+    real_swap = incr._swap_dir
+    calls = {"n": 0}
+
+    def crashing_swap(tmp, path):
+        calls["n"] += 1
+        if calls["n"] == crash_at_swap:
+            raise RuntimeError("injected crash before swap %d" % crash_at_swap)
+        real_swap(tmp, path)
+
+    monkeypatch.setattr(incr, "_swap_dir", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incr.retract_state(spark, state, deletes)
+    monkeypatch.setattr(incr, "_swap_dir", real_swap)
+
+    # replay the same deletion batch over the partially-applied state
+    incr.retract_state(spark, state, deletes)
+
+    got = {tuple(r) for r in
+           spark.read.parquet(os.path.join(state, "clusters")).collect()}
+    assert got == want and len(got) > 0
+    gone = set(deleted_ids)
+    # deleted ids appear nowhere: not as members, not as cluster ids (RTBF)
+    assert not ({r.cluster_id for r in
+                 spark.read.parquet(os.path.join(state, "clusters")).collect()}
+                & gone)
+    for name in ("entities", "dict_keys"):
+        left = {r.conv_id for r in
+                spark.read.parquet(os.path.join(state, name)).collect()}
+        assert not (left & gone), name
+    m = spark.read.parquet(os.path.join(state, "matches"))
+    assert m.filter(F.col("id_a").isin(list(gone))
+                    | F.col("id_b").isin(list(gone))).count() == 0
