@@ -44,23 +44,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver capture window records only the FIRST ~50 registered entries, so
-# registration order is a deliverable.  Round-4 order per the r03 verdict:
-# (1) event_sessions — red for three rounds; the r04 fix casts the oracle's
-#     sum(cents) to BIGINT (DuckDB sum(BIGINT) returns HUGEINT, which the
-#     driver's Arrow-side hasher renders as decimal128 and mismatches);
-# (2) the five entries that have never had a driver CORRECTNESS row
-#     (score_pairs_grouped, boilerplate_spans, scrub_boilerplate,
-#     event_variant_stats, corpus_top_docs) — green in the builder gate at
-#     both scales, but union driver coverage needs their rows to hit 104/104;
-# (3) round-4 additions; then the r03-green entries.
+# registration order is a deliverable.  Round-5 order per the r04 verdict
+# ("What's wrong" #1 / "Next round" #1):
+# (1) the 19 entries that have never had a driver CORRECTNESS row in any
+#     round (the round-4 late waves — PPRL stack, evidence/model family,
+#     monitors, incremental/tuning entries) — green in both committed
+#     167-entry contract runs with type parity, but union driver coverage
+#     needs their rows to close 148/167 -> 167/167;
+# (2) round-5 additions (transduce_after_add — the mutable-dictionary
+#     insertion twin);
+# (3) re-confirmation slots: event_sessions (red for three rounds before the
+#     r04 fix) and the high-value linkage core, up to the ~50 window.
 _PRIORITY = [
+    # --- (1) the 19 never-driver-captured entries ---
+    "similarity_pprl",
+    "pprl_candidates",
+    "pprl_cross_source",
+    "eval_pprl",
+    "turn_alignment",
+    "transitivity",
+    "temporal_linkage",
+    "collective_linkage",
+    "blocking_scheme_learn",
+    "fs_em",
+    "pair_weights_freq",
+    "threshold_autotune",
+    "waterfall_incremental",
+    "lsh_tuning",
+    "cluster_diff",
+    "blocking_drift",
+    "score_calibration",
+    "link_cross_source",
+    "similarity_soft_tfidf",
+    # --- (2) round-5 additions ---
+    "transduce_after_add",
+    # --- (3) re-confirmation: event_sessions + linkage core + r04 wave ---
     "event_sessions",
     "score_pairs_grouped",
     "boilerplate_spans",
     "scrub_boilerplate",
     "event_variant_stats",
     "corpus_top_docs",
-    # session-3 additions (never driver-captured):
     "clusters_pivot",
     "eval_bcubed_pivot",
     "dedup_ppjoin",
@@ -71,7 +95,6 @@ _PRIORITY = [
     "corpus_zipf",
     "candidate_pairs_canopy",
     "bpe_merge_pairs",
-    # session-4 additions (never driver-captured):
     "retract_entities",
     "dedup_estimate",
     "similarity_tool_seq",
@@ -106,25 +129,6 @@ _PRIORITY = [
     "waterfall_linkage",
     "clusters_adjudicated",
     "quality_lm",
-    "cluster_diff",
-    "blocking_drift",
-    "score_calibration",
-    "link_cross_source",
-    "similarity_soft_tfidf",
-    "similarity_pprl",
-    "pprl_candidates",
-    "eval_pprl",
-    "turn_alignment",
-    "transitivity",
-    "pprl_cross_source",
-    "temporal_linkage",
-    "collective_linkage",
-    "blocking_scheme_learn",
-    "fs_em",
-    "pair_weights_freq",
-    "threshold_autotune",
-    "waterfall_incremental",
-    "lsh_tuning",
     "similarity_fused",
     "eval_scheme_quality",
     "eval_bcubed_star",

@@ -32,7 +32,12 @@ from .operators.metrics import (banded_truth_pairs, bcubed,
                                 pairwise_confusion, rand_stats)
 from .operators.candidates import cross_source_pairs as cross_source_pairs_op
 from .operators.scoring import distance_udf
-from .operators.transduce import compile_dictionary, transduce, transduce_per_query
+from .operators.transduce import (
+    add_terms,
+    compile_dictionary,
+    transduce,
+    transduce_per_query,
+)
 from .session import ship_package
 
 TURN_WIDTH = 100
@@ -7452,3 +7457,38 @@ SELECT q.query_id, q.query_term, d.term AS candidate,
 FROM queries q CROSS JOIN dict d
 WHERE substring(md5(d.term), 1, 1) >= '4'
   AND levenshtein(q.query_term, d.term) <= 1"""
+
+
+def q_transduce_after_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary MUTATION parity, insertion side — the reference's
+    incremental add(term) on mutable dictionaries ([PK] SortedDawg
+    incremental construction; the symmetric twin of transduce_after_remove):
+    the index is compiled from ONLY the terms with portable-md5 first hex
+    >= '4' (~3/4 of the vocabulary), then a batch holding every term with
+    first hex < '6' — i.e. all the missing terms PLUS a ['4','6') slice the
+    index already contains — is appended via operators.transduce.add_terms
+    (anti-join against the index's candidate set, compile keys for the
+    unseen terms only; re-adds are dropped, proving add-idempotence on the
+    same gate).  Transduce over the appended index must equal transduce
+    over the FULL vocabulary compiled fresh — the oracle takes the
+    recompile route, so any lost, stale, or doubled key on the append
+    route hash-mismatches.  At 10^12-turn scale this is the difference
+    between an O(|batch|) broadcast-append per ingest event and an
+    O(|dict|) rebuild — the dictionary-side sibling of
+    waterfall_incremental's persisted-index fold."""
+    ship_package(spark)
+    conf = LinkConfig(algorithm="standard", max_distance=1,
+                      blocking_scheme="deletions")
+    d = _word_dictionary(spark, sf_dir)
+    base = d.filter(F.substring(F.md5("term"), 1, 1) >= "4")
+    batch = d.filter(F.substring(F.md5("term"), 1, 1) < "6")
+    appended = add_terms(compile_dictionary(base, conf), batch, conf)
+    return transduce(_word_queries(d), appended, conf)
+
+
+LINKAGE_QUERIES["transduce_after_add"] = q_transduce_after_add
+LINKAGE_ORACLES["transduce_after_add"] = DUCK_WORDS + """
+SELECT q.query_id, q.query_term, d.term AS candidate,
+       CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
+FROM queries q CROSS JOIN dict d
+WHERE levenshtein(q.query_term, d.term) <= 1"""

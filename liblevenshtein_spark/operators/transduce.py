@@ -18,7 +18,7 @@ from ..config import LinkConfig
 from ..functions.blocking import deletion_neighborhood, probe_keys, segment_keys
 from .scoring import score_attached
 
-__all__ = ["compile_dictionary", "transduce", "transduce_per_query"]
+__all__ = ["compile_dictionary", "add_terms", "transduce", "transduce_per_query"]
 
 
 def _build_keys_col(text_col: str, conf: LinkConfig):
@@ -41,6 +41,39 @@ def compile_dictionary(terms: DataFrame, conf: LinkConfig,
     return terms.select(term_col).distinct().select(
         F.col(term_col).alias("candidate"),
         F.explode(_build_keys_col(term_col, conf)).alias("block_key"),
+    )
+
+
+def add_terms(compiled_dict: DataFrame, new_terms: DataFrame,
+              conf: LinkConfig, term_col: str = "term") -> DataFrame:
+    """Incremental dictionary INSERTION: append a batch of terms to an
+    ALREADY-COMPILED (candidate, block_key) index without recompiling any
+    existing key — the reference's mutable-dictionary add() surface
+    ([PK] SortedDawg incremental construction; the dictionary notion is
+    pinned by README.md:13-14) in index form, and the dictionary-side
+    sibling of operators.waterfall.incremental_exact_groups (probe the
+    persisted index, fold in only the unseen members) the way
+    remove-by-anti-join (driver_queries.q_transduce_after_remove) is the
+    sibling of retract_entities.
+
+    Cost is O(|added|), not O(|dict|): the batch (typically tiny) anti-joins
+    against the index's distinct candidate set — at cluster scale a
+    broadcast of the batch against the bucketed index, no index shuffle —
+    already-present terms drop out (re-adding is a no-op, so the append is
+    idempotent), and only genuinely-new terms pay key compilation. The
+    `conf` must be the one the index was compiled under: blocking keys are
+    a function of (scheme, depth/segments), so mixing configs would splice
+    incompatible key spaces.
+
+    Invariant (pytest test_add_terms_equals_recompile asserts INDEX
+    equality, the transduce_after_add gate entry asserts query-result
+    equality at all scales): add_terms(compile(A), B) == compile(A ∪ B)."""
+    batch = new_terms.select(F.col(term_col).alias("candidate")).distinct()
+    unseen = batch.join(
+        compiled_dict.select("candidate").distinct(), "candidate", "left_anti"
+    )
+    return compiled_dict.unionByName(
+        compile_dictionary(unseen, conf, term_col="candidate")
     )
 
 

@@ -115,3 +115,40 @@ def test_remove_terms_equals_recompile(spark):
     want = {tuple(r) for r in transduce(queries, fresh, conf).collect()}
     assert got == want and got
     assert all(c not in removed for (_, _, c, _) in got)
+
+
+@pytest.mark.parametrize("algorithm", ALGOS)
+def test_add_terms_equals_recompile(spark, algorithm):
+    """Appending terms to the COMPILED dictionary (add_terms: anti-join +
+    compile only the unseen batch members) must yield an index IDENTICAL to
+    compiling the union fresh — including when the batch re-adds terms the
+    index already holds (re-add is a no-op). The mutable-dictionary add()
+    parity behind the transduce_after_add gate entry, symmetric twin of
+    test_remove_terms_equals_recompile."""
+    from liblevenshtein_spark.operators.transduce import add_terms
+
+    conf = LinkConfig(algorithm=algorithm, max_distance=1,
+                      blocking_scheme="deletions")
+    base = ["kitten", "sitten", "sitting", "mitten"]
+    batch = ["mutton", "bitten", "kitten", "sitten"]  # 2 new, 2 re-adds
+    base_df = spark.createDataFrame([(t,) for t in base], ["term"])
+    batch_df = spark.createDataFrame([(t,) for t in batch], ["term"])
+    union_df = spark.createDataFrame(
+        [(t,) for t in sorted(set(base) | set(batch))], ["term"])
+
+    appended = add_terms(compile_dictionary(base_df, conf), batch_df, conf)
+    fresh = compile_dictionary(union_df, conf)
+
+    # index-level equality, stronger than query-result parity: no stale,
+    # lost, or duplicated (candidate, block_key) row anywhere
+    got_idx = sorted(tuple(r) for r in appended.collect())
+    want_idx = sorted(tuple(r) for r in fresh.collect())
+    assert got_idx == want_idx and got_idx
+
+    queries = spark.createDataFrame(
+        [("q1", "kitten"), ("q2", "mutton"), ("q3", "bitte")],
+        ["query_id", "term"])
+    got = {tuple(r) for r in transduce(queries, appended, conf).collect()}
+    want = {tuple(r) for r in transduce(queries, fresh, conf).collect()}
+    assert got == want and got
+    assert any(c == "mutton" for (_, _, c, _) in got)  # added term reachable
