@@ -21,6 +21,10 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from liblevenshtein_spark.driver_queries import (  # noqa: E402
+    _DUCK_TRUTH,
+    DUCK_TRANSCRIPTS,
+)
 from liblevenshtein_spark.session import build_session  # noqa: E402
 
 argv = list(sys.argv[1:])
@@ -121,6 +125,28 @@ def hash_rows(cols, rows):
     return digest
 
 
+# The six eval-truth oracles (eval_pairwise_f1, eval_blocking_recall,
+# eval_threshold_sweep, eval_scheme_quality, blocking_scheme_learn,
+# threshold_autotune) all embed the IDENTICAL blocking-free banded
+# brute-force truth CTE (driver_queries._DUCK_TRUTH). Recomputing it per
+# entry cost ~230-244 s EACH at sf0.1 (~24 min of the r04 gate,
+# CONTRACT_r04_sf0.1.json). The gate stages it ONCE per session as a DuckDB
+# temp table and rewrites the exact CTE text to read from it — same SQL,
+# same session, so the substitution is value-identical by construction. The
+# oracle strings the DRIVER sees stay fully self-contained (it runs them
+# standalone at sf0.01, where the truth scan is cheap).
+_STAGED_TRUTH_CTE = "truth AS (SELECT id_a, id_b FROM _staged_truth)"
+
+
+def stage_truth_once(con, oracles, names) -> float | None:
+    if not any(_DUCK_TRUTH in oracles.get(n, "") for n in names):
+        return None
+    t0 = time.time()
+    con.sql("CREATE TEMP TABLE _staged_truth AS " + DUCK_TRANSCRIPTS +
+            ",\n" + _DUCK_TRUTH + "\nSELECT id_a, id_b FROM truth")
+    return round(time.time() - t0, 2)
+
+
 def main():
     spark = build_session(master="local[8]", shuffle_partitions=16,
                           extra_conf={"spark.ui.enabled": "false"})
@@ -130,6 +156,10 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    truth_sec = stage_truth_once(
+        con, oracles, ONLY if ONLY else list(queries))
+    if truth_sec is not None:
+        print(f"staged shared eval truth in {truth_sec}s")
     failures = 0
     results: dict[str, dict] = {}
     for name, fn in queries.items():
@@ -153,7 +183,7 @@ def main():
                              "err": None, "sec": sec}
             continue
         try:
-            rel = con.sql(oracles[name])
+            rel = con.sql(oracles[name].replace(_DUCK_TRUTH, _STAGED_TRUTH_CTE))
             ocols = [c.lower() for c in rel.columns]
             otypes = list(rel.types)
             orows = rel.fetchall()
@@ -193,6 +223,7 @@ def main():
     if JSON_OUT:
         with open(JSON_OUT, "w") as fh:
             json.dump({"sf_dir": SF_DIR, "failures": failures,
+                       "truth_staging_sec": truth_sec,
                        "entries": results}, fh, indent=1)
         print("wrote", JSON_OUT)
     spark.stop()
