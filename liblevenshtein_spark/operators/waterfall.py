@@ -98,23 +98,59 @@ def incremental_exact_groups(index: DataFrame, new_canon: DataFrame,
     return hits.unionByName(miss_map), new_reps
 
 
-def exact_pairs(mapping: DataFrame, id_col: str = "conv_id") -> DataFrame:
+def exact_pairs(mapping: DataFrame, id_col: str = "conv_id",
+                max_group_size: int | None = None) -> DataFrame:
     """All within-group pairs (id_a < id_b) from an exact_groups map — the
     deterministic-rule matches, emitted without touching the kernel.
 
-    Output-bounded: the self-join on rep produces exactly the pairs a
-    linkage product must report for byte-identical records; group sizes
-    are the corpus's exact-duplicate multiplicities, so the cost is the
-    size of the answer. A pathological mega-group (one fingerprint
-    repeated 10^6+ times) means the ANSWER is quadratic — production runs
-    cap or sample such groups upstream (see dedup.keep-best), not here."""
+    Output-bounded in the default case: the self-join on rep produces
+    exactly the pairs a linkage product must report for byte-identical
+    records; group sizes are the corpus's exact-duplicate multiplicities,
+    so the cost is the size of the answer.  But a pathological mega-group
+    (one boilerplate fingerprint repeated 10^6+ times in a 10^12-turn
+    corpus) makes that ANSWER quadratic — 10^12 pairs from a single
+    template — which no downstream consumer can absorb either.
+
+    ``max_group_size`` is the guard: groups at or under the threshold emit
+    their full C(n,2) pair set as before; groups ABOVE it emit only the
+    n-1 STAR pairs from the group's minimum member id to every other
+    member.  The star preserves within-group connectivity EXACTLY, so any
+    transitive consumer (cluster_cc / assign_clusters — the pipeline's
+    default sink for these edges) produces byte-identical clusters while
+    the mega-group's emission drops from quadratic to linear (3,000-replica
+    stress: 4,498,500 -> 2,999 rows, tests/test_waterfall.py).  Only a
+    consumer that needs every literal pair row (e.g. a pair-level audit
+    export) should leave the knob off — and then capping belongs to its
+    retention policy, not here.  None (default) preserves the historical
+    emit-everything behavior."""
     a = mapping.select(F.col("rep"), F.col(id_col).alias("id_a"))
     b = mapping.select(F.col("rep"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, "rep")
+    if max_group_size is None:
+        return (
+            a.join(b, "rep")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    sizes = mapping.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("_gsz"), F.min(id_col).alias("_hub")
+    )
+    tagged = mapping.join(sizes, "rep")
+    small = tagged.filter(F.col("_gsz") <= max_group_size)
+    full = (
+        small.select("rep", F.col(id_col).alias("id_a"))
+        .join(small.select("rep", F.col(id_col).alias("id_b")), "rep")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    star = (
+        tagged.filter((F.col("_gsz") > max_group_size)
+                      & (F.col(id_col) != F.col("_hub")))
+        .select(
+            F.least(id_col, "_hub").alias("id_a"),
+            F.greatest(id_col, "_hub").alias("id_b"),
+        )
+    )
+    return full.unionByName(star)
 
 
 def expand_rep_matches(rep_matches: DataFrame, mapping: DataFrame,
