@@ -42,6 +42,7 @@ from ..operators.candidates import block_keys, candidate_pairs
 from ..operators.canonicalize import canonicalize
 from ..operators.clustering import assign_clusters
 from ..operators.scoring import match_filter, score_pairs
+from ..sources.staging import staged_append
 from ..sources.tables import TRANSCRIPTS_SCHEMA
 
 __all__ = [
@@ -73,7 +74,12 @@ def stream_transcripts(
 
 
 def _append(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    # all-or-nothing batch append (sources/staging.py): a kill anywhere
+    # leaves the prior state byte-intact or the batch fully committed —
+    # Spark's own append committer can expose a torn batch when the job
+    # dies mid-commit, which would force every reader to re-derive a
+    # partial-batch replay argument
+    staged_append(df, path)
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
