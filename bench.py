@@ -311,7 +311,11 @@ def main() -> None:
             },
     }
 
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+    # 3 attempts by default (r04 verdict #8): the committed BENCH_r04 ran at
+    # canary 0.133 while the same code benched 9.44 s in a quiet window —
+    # one more retry materially raises the odds the driver capture lands
+    # behind a healthy canary, and attempts[]/canaries[] record why not.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     attempts = [capture()]
     while not attempts[-1]["canary_healthy"] and len(attempts) < max_attempts:
         attempts.append(capture())

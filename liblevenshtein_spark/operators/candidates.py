@@ -112,29 +112,59 @@ def candidate_pairs(
         return _plain_pairs()
 
     t = conf.hot_key_threshold
-    hot_keys = (
-        _key_counts(build, "c_build")
-        .join(_key_counts(probe, "c_probe"), "block_key")
-        .filter((F.col("c_build") > t) | (F.col("c_probe") > t))
-    )
+    # Skew-probe cost at scale is a full aggregation pass over the key
+    # table per side. For production thresholds (t >= 1000) a deterministic
+    # 1-in-RATE row sample makes that pass ~RATE x cheaper while still
+    # flagging every key near the threshold with overwhelming probability:
+    # a key at t expects t/RATE >= 50 sampled rows and we flag at half
+    # that, so a true hot key is missed only on a >2x downward sampling
+    # deviation (Chernoff-negligible at 50+ expected), and even then the
+    # salted path is a PERFORMANCE decomposition, never a correctness gate
+    # (logical no-op, pytest-pinned) — a missed borderline key just runs
+    # through the plain join under the AQE skew backstop. Keys between t/2
+    # and t may now flag where the exact probe let them pass; they take the
+    # no-op salted route, which only re-shapes tasks. Low thresholds keep
+    # the exact counts: the tests and the candidate_pairs_salted gate force
+    # the salted path with tiny t, where sampling noise could flip the
+    # decomposition decision the gates pin down.
+    _SAMPLE_RATE = 20
+    if t >= 1000:
+        def _sampled(df: DataFrame) -> DataFrame:
+            return df.filter(
+                F.pmod(F.xxhash64("block_key", id_col), F.lit(_SAMPLE_RATE)) == 0
+            )
+        flag_t = max(t // (2 * _SAMPLE_RATE), 1)
+        hot_plan = (
+            _key_counts(_sampled(build), "c_build")
+            .join(_key_counts(_sampled(probe), "c_probe"), "block_key")
+            .filter((F.col("c_build") > flag_t) | (F.col("c_probe") > flag_t))
+            # scale sampled counts back up: the salted grid sizes its task
+            # groups from these (a fan-out bound heuristic, not correctness)
+            .select(
+                "block_key",
+                (F.col("c_build") * _SAMPLE_RATE).alias("c_build"),
+                (F.col("c_probe") * _SAMPLE_RATE).alias("c_probe"),
+            )
+        )
+    else:
+        hot_plan = (
+            _key_counts(build, "c_build")
+            .join(_key_counts(probe, "c_probe"), "block_key")
+            .filter((F.col("c_build") > t) | (F.col("c_probe") > t))
+        )
 
-    # Materialize the (tiny, bounded by corpus / threshold) hot-key
-    # aggregate ONCE: the existence probe reads it for free, and on the
-    # skewed path the four joins below reuse it instead of re-running the
-    # key-count aggregation per consumer.
-    hot_keys = hot_keys.localCheckpoint(eager=True)
-
-    # Bounded existence probe (1-row limit on the materialized key-count
-    # agg, same pattern as the CC size probe): on an unskewed corpus there
-    # are NO hot keys, and the salted branch would still cost two broadcast
-    # left_anti scans of the full key tables, the empty hot-join sub-plan,
-    # and the union — skip straight to the plain equi-join. Logically
-    # identical: with hot_keys empty, left_anti passes everything through
-    # and hot_pairs is empty. The salted decomposition below is unchanged
-    # when skew exists (the candidate_pairs_salted gate entry forces it via
-    # a low threshold).
-    if not hot_keys.limit(1).count():
+    # Existence probe and materialization fused into one job: take(1) on
+    # the aggregate plan replaces the old eager-checkpoint-then-limit-count
+    # PAIR of jobs, so the common unskewed corpus pays a single (sampled)
+    # aggregation and skips straight to the plain equi-join — logically
+    # identical, since with hot_keys empty the left_anti passes everything
+    # through and hot_pairs is empty. The (tiny, corpus/threshold-bounded)
+    # hot-key table is checkpointed only when skew actually exists, where
+    # the four joins below reuse it instead of re-running the aggregation
+    # per consumer.
+    if not hot_plan.take(1):
         return _plain_pairs()
+    hot_keys = hot_plan.localCheckpoint(eager=True)
 
     cold_build = build.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
     cold_probe = probe.join(F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti")
