@@ -2311,9 +2311,12 @@ LINKAGE_ORACLES["clusters_incremental"] = LINKAGE_ORACLES["clusters"]
 
 # Sampled-truth eval: the portable-md5 entity sample (rate 0.25 -> bucket
 # < 2500 of 10000, same hash family as corpus_sample) induces the pair
-# subgraph on BOTH the truth scan and the prediction stream.
-LINKAGE_ORACLES["eval_pairwise_f1_sampled"] = DUCK_TRANSCRIPTS + """
-, samp AS MATERIALIZED (
+# subgraph on BOTH the truth scan and the prediction stream. The
+# (samp, struth) fragment is a module constant shared by both sampled
+# oracles — single source, and the gate stages it once per session the way
+# it stages _DUCK_TRUTH (the struth scan is the rate^2-cut brute force;
+# at sf1 it is still ~20 min of DuckDB, paid once instead of per entry).
+_DUCK_SAMPLED_TRUTH = """samp AS MATERIALIZED (
   SELECT * FROM canonical2
   WHERE CAST(('0x' || substring(md5('truthsample' || '|' || conv_id), 1, 15)) AS BIGINT) % 10000 < 2500
 ),
@@ -2322,7 +2325,10 @@ struth AS MATERIALIZED (
   FROM samp ca JOIN samp cb
     ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
   WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
-),
+)"""
+
+LINKAGE_ORACLES["eval_pairwise_f1_sampled"] = DUCK_TRANSCRIPTS + """
+, """ + _DUCK_SAMPLED_TRUTH + """,
 spreds AS (
   SELECT m.id_a, m.id_b FROM matches m
   JOIN samp a ON a.conv_id = m.id_a
@@ -2346,16 +2352,7 @@ FROM conf"""
 # truth, candidates, n and the C(n,2) denominator all on the induced
 # subgraph.
 LINKAGE_ORACLES["eval_blocking_recall_sampled"] = DUCK_TRANSCRIPTS + """
-, samp AS MATERIALIZED (
-  SELECT * FROM canonical2
-  WHERE CAST(('0x' || substring(md5('truthsample' || '|' || conv_id), 1, 15)) AS BIGINT) % 10000 < 2500
-),
-struth AS MATERIALIZED (
-  SELECT ca.conv_id AS id_a, cb.conv_id AS id_b
-  FROM samp ca JOIN samp cb
-    ON ca.conv_id < cb.conv_id AND abs(ca.fp_len - cb.fp_len) <= 2
-  WHERE levenshtein(ca.fingerprint, cb.fingerprint) <= 2
-),
+, """ + _DUCK_SAMPLED_TRUTH + """,
 scand AS MATERIALIZED (
   SELECT c.id_a, c.id_b FROM cand_pairs c
   JOIN samp a ON a.conv_id = c.id_a
