@@ -78,6 +78,7 @@ _PRIORITY = [
     "similarity_soft_tfidf",
     # --- (2) round-5 additions ---
     "transduce_after_add",
+    "exact_pairs_capped",
     # --- (3) re-confirmation: event_sessions + linkage core + r04 wave ---
     "event_sessions",
     "score_pairs_grouped",

@@ -7489,3 +7489,43 @@ SELECT q.query_id, q.query_term, d.term AS candidate,
        CAST(levenshtein(q.query_term, d.term) AS INT) AS distance
 FROM queries q CROSS JOIN dict d
 WHERE levenshtein(q.query_term, d.term) <= 1"""
+
+
+def q_exact_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-group pair-emission guard (operators/waterfall.py::exact_pairs
+    max_group_size), hash-gated on BOTH branches: conversations grouped by
+    a deliberately coarse template key (first fingerprint token — the gate
+    corpus has no byte-identical fingerprints, so this plays the role the
+    repeated boilerplate template plays at 10^12-turn scale, yielding
+    groups of ~8-39 members at every SF), emitted with max_group_size=20.
+    Groups at or under the cap must produce their verbatim C(n,2) pair
+    sets; larger groups exactly the n-1 min-member star rows — the oracle
+    recomputes both branches relationally, so a wrong branch cut, hub
+    choice, or pair orientation hash-mismatches. The star emission is
+    CC-identical to the full emission for the transitive consumer
+    (pytest: test_exact_pairs_mega_group_guard; measured 49,996x emission
+    cut on a 100k-replica template, BENCH_MEGA_GROUP.json)."""
+    from .operators.waterfall import exact_groups, exact_pairs
+
+    canon = _canonical(spark, sf_dir)
+    pseudo = canon.select(
+        "conv_id", F.substring_index("fingerprint", " ", 1).alias("fingerprint")
+    )
+    return exact_pairs(exact_groups(pseudo), max_group_size=20)
+
+
+LINKAGE_QUERIES["exact_pairs_capped"] = q_exact_pairs_capped
+LINKAGE_ORACLES["exact_pairs_capped"] = DUCK_TRANSCRIPTS + """
+, g AS MATERIALIZED (
+  SELECT conv_id,
+         split_part(fingerprint, ' ', 1) AS k,
+         min(conv_id) OVER (PARTITION BY split_part(fingerprint, ' ', 1)) AS hub,
+         count(*) OVER (PARTITION BY split_part(fingerprint, ' ', 1)) AS gsz
+  FROM canonical2
+)
+SELECT a.conv_id AS id_a, b.conv_id AS id_b
+FROM g a JOIN g b ON a.k = b.k AND a.conv_id < b.conv_id
+WHERE a.gsz <= 20
+UNION ALL
+SELECT least(conv_id, hub) AS id_a, greatest(conv_id, hub) AS id_b
+FROM g WHERE gsz > 20 AND conv_id <> hub"""
