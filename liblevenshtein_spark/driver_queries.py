@@ -3452,6 +3452,14 @@ LEFT JOIN pint pi ON pi.id_a = p.id_a AND pi.id_b = p.id_b"""
 # exact sorted bit list within the band; candidates = pairs agreeing on
 # >= 2 bands (multi-band agreement).  Empty bands emit no key in both
 # engines.
+# Oracle scale note (round 5): this band-signature self-join is
+# pair-quadratic within identical-signature groups. At the gate scales
+# (sf0.001-0.1) groups are small and the oracle runs in seconds; at the
+# synthetic sf1 dir DuckDB materialized >100 GB on a hot signature and the
+# three banded-PPRL oracles are therefore excluded from the sf1 contract
+# waves (the ENGINE side distributes the same join under Spark/AQE and
+# feeds candidate-bounded Dice scoring — similarity_pprl is sf1-green in
+# CONTRACT_r05_sf1_wave2.json at 5.0M pairs).
 LINKAGE_ORACLES["pprl_candidates"] = DUCK_TRANSCRIPTS + _DUCK_PPRL_BITS + """,
 pband AS MATERIALIZED (
   SELECT id, bit // 16 AS band, string_agg(bit, ',' ORDER BY bit) AS band_sig
